@@ -1,0 +1,85 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.model.Schemas
+import graft.ops.{Merge, Normalize, Quality}
+import graft.io.Sinks
+
+/** The flagship end-to-end DAG (reference main.py:38-75, SURVEY.md §3.1),
+  * as ONE lazy plan per stage instead of the reference's eager loops:
+  *
+  *   bronze JSON -> normalize (parse/label/coerce/eps) -> quarantine split
+  *   -> golden-value gate -> MERGE into Parquet state -> summary read-back
+  *
+  * Catalyst handles what the reference hand-rolled: the dim lookup becomes
+  * a broadcast join, the upsert becomes one window pass, filters and
+  * column pruning push into the JSON/Parquet scans.
+  */
+object Pipeline {
+
+  /** Share-count lookup (reference transform.py:193-194). */
+  val ShareCounts: Map[String, Int] = Map("TSLA" -> 3160, "RIVN" -> 920, "LCID" -> 1600)
+
+  /** Normalize bronze FMP income JSON to the validated financial shape
+    * (reference transform.py:68-100 / O-P1..P4, O-X1..X4).
+    */
+  def normalizeIncome(bronze: DataFrame): DataFrame = {
+    import Normalize._
+    val dateKey = coalesceKeyTruthy(col("date"), col("calendarYear"))
+    val epsRaw  = coalesceKeyTruthy(
+      col("eps").try_cast(DecimalType(10, 4)),
+      col("netIncomePerShare").try_cast(DecimalType(10, 4)))
+    bronze
+      .withColumn("quarter_date", parseDateMulti(dateKey))
+      .withColumn("quarter_label", quarterLabel(col("quarter_date")))
+      .withColumn("revenue", millionsValidator(safeDecimal(col("revenue"))))
+      .withColumn("gross_profit", millionsValidator(safeDecimal(col("grossProfit"))))
+      .withColumn("eps_direct", epsRaw)
+      .withColumn("net_income", safeDecimal(col("netIncome")))
+      .withColumn("shares", sharesFor(col("symbol"), ShareCounts))
+      .withColumn("eps",
+        coalesce(col("eps_direct"), estimateEps(col("net_income"), col("shares"))))
+      .select(col("symbol").as("ticker"), col("quarter_date"), col("quarter_label"),
+        col("revenue"), col("eps"), col("gross_profit"))
+  }
+
+  /** Golden-value gate (reference transform.py:232-262): the given row must
+    * exist and be within tolerance; returns the check frame (caller asserts
+    * non-empty + all-true). Revenue tol = 0.1% of expected; EPS tol = 0.01.
+    */
+  def goldenCheck(normalized: DataFrame, ticker: String, label: String,
+                  expectedRevenue: BigDecimal, expectedEps: BigDecimal): DataFrame = {
+    import Quality._
+    normalized
+      .where(col("ticker") === ticker && col("quarter_label") === label)
+      .select(col("ticker"), col("quarter_label"),
+        withinTolerance(col("revenue"), lit(expectedRevenue),
+          lit(expectedRevenue * BigDecimal("0.001"))).as("revenue_ok"),
+        withinTolerance(col("eps"), lit(expectedEps), lit(BigDecimal("0.01"))).as("eps_ok"))
+  }
+
+  /** Run the full pipeline: normalize bronze, quarantine invalid rows,
+    * merge into the Parquet state table (last-write-wins on the natural
+    * key), and return (loadedState, quarantined).
+    */
+  def run(spark: SparkSession, bronzeIncomeDir: String, statePath: String): (DataFrame, DataFrame) = {
+    val bronze = spark.read.schema(Schemas.fmpIncome).json(bronzeIncomeDir)
+    val normalized = normalizeIncome(bronze)
+    val (clean, bad) = Quality.quarantine(normalized,
+      col("quarter_date").isNotNull && Quality.labelValid(col("quarter_label")) &&
+        Quality.tickerValid(col("ticker")))
+    val deduped = Merge.lastWriteWins(clean, Seq("ticker", "quarter_date"),
+      Seq(col("revenue").desc_nulls_last))
+    val current =
+      try spark.read.parquet(statePath)
+      catch { case _: Exception => spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], deduped.schema) }
+    val merged = Merge.mergeUpsert(current, deduped, Seq("ticker", "quarter_date"))
+      .withColumn("updated_at", current_timestamp())
+    Sinks.atomicSwapWrite(spark, merged.drop("updated_at"), statePath)
+    (spark.read.parquet(statePath), bad)
+  }
+}

@@ -1,0 +1,719 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.io.Tables
+import graft.ops.{AsOf, Merge, Normalize, Quality, Summary, Windows}
+import graft.text.{Dedup, TextAnalysis}
+import graft.vector.Similarity
+import graft.multimodal.BinaryOps
+
+/** The driver oracle contract (SURVEY.md §7.2): every implemented operator
+  * from SURVEY.md §2 — plus the training-data-pipeline extensions (dedup,
+  * similarity, text analysis, multimodal) — expressed over the TPC-H-ish
+  * driver testdata, with a DuckDB-runnable ANSI SQL twin where the
+  * semantics are SQL-expressible.
+  *
+  * Determinism rules (every query must hash-match an independent engine):
+  *  - monetary aggregates go through DECIMAL (order-independent exact sums),
+  *    never raw double accumulation;
+  *  - every window/top-k has a total order (unique tiebreaker);
+  *  - derived doubles are either pure per-row arithmetic on identical
+  *    inputs (bit-equal in both engines) or rounded to 6 places.
+  */
+object Queries {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.table(s, dir, name)
+
+  /** Shares-analog literal dim over nation names (reference
+    * transform.py:193-194 {TSLA:3160, RIVN:920, LCID:1600, default 1000}).
+    */
+  private val NationShares = Map("NATION_1" -> 3160, "NATION_2" -> 920, "NATION_3" -> 1600)
+
+  private val Dec152 = DecimalType(15, 2)
+
+  // ---------------------------------------------------------------- queries
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // ---- 2.4 aggregations -------------------------------------------------
+    // TPC-H-Q1-style pricing summary: decimal sums (order-independent).
+    "q1_agg" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          sum(col("l_quantity").cast(Dec152)).cast(DecimalType(18, 2)).as("sum_qty"),
+          sum(col("l_extendedprice").cast(Dec152)).cast(DecimalType(18, 2)).as("sum_base_price"),
+          count(lit(1)).as("count_order"))
+    }),
+
+    // O-A1 distinct keys (load.py:94).
+    "agg_distinct_tickers" -> ((s, dir) =>
+      t(s, dir, "orders").select(col("o_orderpriority")).distinct()),
+
+    // O-A3 per-group counts (load.py:233-243).
+    "agg_group_count" -> ((s, dir) =>
+      t(s, dir, "orders").groupBy(col("o_orderpriority")).agg(count(lit(1)).as("cnt"))),
+
+    // O-A4 per-group + grand total in one pass via ROLLUP (main.py:128).
+    "agg_rollup_total" -> ((s, dir) =>
+      Summary.countsWithTotal(t(s, dir, "orders").select(col("o_orderstatus")), "o_orderstatus")),
+
+    // CUBE extension (free via Catalyst; SURVEY.md §2.4).
+    "agg_cube" -> ((s, dir) =>
+      t(s, dir, "orders")
+        .cube(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("cnt"))),
+
+    // Exact distinct-count aggregate.
+    "agg_distinct_users" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .groupBy(col("event_type"))
+        .agg(countDistinct(col("user_id")).as("n_users"), count(lit(1)).as("cnt"))),
+
+    // ---- 2.8 scalar functions --------------------------------------------
+    // O-X2 quarter-label derivation (transform.py:31-57).
+    "fn_quarter_label" -> ((s, dir) =>
+      t(s, dir, "orders")
+        .groupBy(Normalize.quarterLabel(col("o_orderdate")).as("quarter_label"))
+        .agg(count(lit(1)).as("cnt"))),
+
+    // O-X1 multi-format lenient date parse (transform.py:141-166): render
+    // each order date in one of 4 formats keyed by o_orderkey, parse back.
+    "fn_parse_date_multi" -> ((s, dir) => {
+      val m = pmod(col("o_orderkey"), lit(4))
+      val raw = when(m === 0, date_format(col("o_orderdate"), "yyyy-MM-dd"))
+        .when(m === 1, date_format(col("o_orderdate"), "yyyy-MM-dd HH:mm:ss"))
+        .when(m === 2, date_format(col("o_orderdate"), "MM/dd/yyyy"))
+        .otherwise(date_format(col("o_orderdate"), "yyyy"))
+      t(s, dir, "orders")
+        .select(col("o_orderkey"), raw.as("raw"))
+        .withColumn("parsed", Normalize.parseDateMulti(col("raw")))
+    }),
+
+    // O-X3 safe decimal coercion (transform.py:168-186): dirty string
+    // variants ($-prefix, trailing space, N/A sentinel) -> cleaned decimal
+    // with the millions heuristic.
+    "fn_safe_decimal" -> ((s, dir) => {
+      val sStr = col("o_totalprice").cast(Dec152).cast(StringType)
+      val m = pmod(col("o_orderkey"), lit(4))
+      val raw = when(m === 0, concat(lit("$"), sStr))
+        .when(m === 1, concat(sStr, lit(" ")))
+        .when(m === 2, lit("N/A"))
+        .otherwise(sStr)
+      t(s, dir, "orders")
+        .select(col("o_orderkey"), raw.as("raw"))
+        .withColumn("val", Normalize.safeDecimal(col("raw")))
+        .select(col("o_orderkey"), col("val"))
+    }),
+
+    // O-X4 + O-J6 EPS estimation over a literal shares map
+    // (transform.py:188-201): per-nation "net income" = exact decimal sum
+    // of customer balances, then the reference's millions-aware division.
+    "fn_estimate_eps" -> ((s, dir) => {
+      val ni = t(s, dir, "customer")
+        .join(t(s, dir, "nation"), col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(sum(col("c_acctbal").cast(Dec152)).cast(DoubleType).as("net_income"))
+        .withColumn("shares", Normalize.sharesFor(col("n_name"), NationShares).cast(LongType))
+      ni.withColumn("eps",
+          Normalize.estimateEps(col("net_income"), col("shares")).cast(DoubleType))
+        .select(col("n_name"), col("net_income"), col("shares"), col("eps"))
+    }),
+
+    // O-X5 tolerance comparison (transform.py:245-259).
+    "fn_tolerance_check" -> ((s, dir) =>
+      t(s, dir, "orders").where(col("o_orderkey") < 50)
+        .select(col("o_orderkey"),
+          Quality.withinTolerance(col("o_totalprice"), lit(150000.0), lit(50000.0))
+            .as("within_tol"))),
+
+    // O-X6 label-format validation (config.py:84).
+    "fn_label_rlike" -> ((s, dir) => {
+      val label = when(pmod(col("o_orderkey"), lit(3)) === 0, lit("bad-label"))
+        .otherwise(Normalize.quarterLabel(col("o_orderdate")))
+      t(s, dir, "orders")
+        .select(label.as("quarter_label"))
+        .groupBy(Quality.labelValid(col("quarter_label")).as("valid"))
+        .agg(count(lit(1)).as("cnt"))
+    }),
+
+    // ---- 2.2 projections / filters ---------------------------------------
+    // O-P1 core projection + derived columns (transform.py:68-100).
+    "project_normalize" -> ((s, dir) =>
+      t(s, dir, "orders").select(
+        col("o_orderkey"),
+        col("o_orderpriority").as("ticker"),
+        col("o_orderdate").cast(DateType).as("quarter_date"),
+        Normalize.quarterLabel(col("o_orderdate")).as("quarter_label"),
+        col("o_totalprice").cast(Dec152).as("revenue"))),
+
+    // O-F1 invalid-date filter (transform.py:77-79): some raw strings are
+    // unparseable; keep only rows with a parseable date.
+    "filter_valid_date" -> ((s, dir) => {
+      val m = pmod(col("o_orderkey"), lit(4))
+      val raw = when(m === 0, date_format(col("o_orderdate"), "yyyy-MM-dd"))
+        .when(m === 1, date_format(col("o_orderdate"), "MM/dd/yyyy"))
+        .when(m === 2, lit("invalid-date"))
+        .otherwise(date_format(col("o_orderdate"), "yyyy-MM-dd"))
+      t(s, dir, "orders")
+        .select(col("o_orderkey"), Normalize.parseDateMulti(raw).as("parsed"))
+        .where(col("parsed").isNotNull)
+    }),
+
+    // O-F4 golden-row lookup (transform.py:236-239).
+    "filter_golden_row" -> ((s, dir) =>
+      t(s, dir, "orders").where(col("o_orderkey") === 100)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))),
+
+    // ---- 2.3 joins --------------------------------------------------------
+    // O-J1 FK resolution: facts ⋈ broadcast dim (load.py:94-116).
+    "join_fk_resolve" -> ((s, dir) =>
+      t(s, dir, "orders")
+        .join(broadcast(t(s, dir, "customer")), col("o_custkey") === col("c_custkey"))
+        .select(col("o_orderkey"), col("o_custkey"), col("c_name"))),
+
+    // O-J2 insert-if-absent probe: dim rows with no facts in the recent
+    // window (load.py:65-74).
+    "join_anti_new" -> ((s, dir) =>
+      t(s, dir, "customer")
+        .join(t(s, dir, "orders").where(col("o_orderdate") >= lit("2000-01-01"))
+          .select(col("o_custkey").as("c_custkey")).distinct(),
+          Seq("c_custkey"), "left_anti")
+        .select(col("c_custkey"), col("c_name"))),
+
+    // O-U2 set-difference form of the same (load.py:70).
+    "except_new_tickers" -> ((s, dir) =>
+      t(s, dir, "customer").select(col("c_custkey"))
+        .except(t(s, dir, "orders").where(col("o_orderdate") >= lit("2000-01-01"))
+          .select(col("o_custkey").as("c_custkey")))),
+
+    // O-J4/O-A3 dim left-joined to per-key fact counts (load.py:229-246).
+    "join_summary" -> ((s, dir) =>
+      Summary.dimFactCounts(t(s, dir, "customer"), t(s, dir, "orders"),
+        "c_custkey", "o_custkey", "order_cnt")),
+
+    // O-J6 literal-map dim lookup with default (transform.py:193-194).
+    "join_shares_lookup" -> ((s, dir) =>
+      t(s, dir, "nation").select(col("n_nationkey"), col("n_name"),
+        Normalize.sharesFor(col("n_name"), NationShares).cast(LongType).as("shares"))),
+
+    // O-F6 unresolved-FK accounting: facts whose key misses a restricted
+    // dim, counted per key (load.py:103-107 skip-and-count).
+    "anti_unresolved" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .join(t(s, dir, "customer").where(col("c_custkey") < 100)
+          .select(col("c_custkey").as("user_id")), Seq("user_id"), "left_anti")
+        .groupBy(col("user_id")).agg(count(lit(1)).as("cnt"))),
+
+    // ---- 2.5 windows / sort / top-k ---------------------------------------
+    // O-L2 top-k per group (extract.py:162): 2 most recent lineitems per order.
+    "window_topk_quarters" -> ((s, dir) =>
+      Windows.topKPerGroup(
+        t(s, dir, "lineitem").select(col("l_orderkey"), col("l_linenumber"), col("l_shipdate")),
+        Seq("l_orderkey"), Seq(col("l_shipdate").desc, col("l_linenumber").asc), 2)),
+
+    // Frame-spec window + lag extension: exact running sum per user.
+    "window_running_total" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      Tables.events(s, dir).select(col("user_id"), col("ts"), col("event_id"), col("value"))
+        .withColumn("running_sum",
+          sum(col("value").cast(DecimalType(18, 6)))
+            .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+            .cast(DecimalType(20, 6)))
+        .withColumn("prev_value", lag(col("value"), 1).over(w))
+    }),
+
+    // O-O1 export sort (transform.py:277).
+    "sort_export" -> ((s, dir) =>
+      t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"), col("o_totalprice"))
+        .orderBy(col("o_custkey").asc, col("o_orderdate").desc, col("o_orderkey").asc)),
+
+    // ---- 2.6 set ops ------------------------------------------------------
+    // O-U1 union of normalized source branches (transform.py:205-230).
+    "union_sources" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      val a = o.where(col("o_orderstatus") === "O").select(col("o_orderkey"), lit("src_o").as("src"))
+      val b = o.where(col("o_orderstatus") =!= "O").select(col("o_orderkey"), lit("src_other").as("src"))
+      a.unionByName(b).groupBy(col("src")).agg(count(lit(1)).as("cnt"))
+    }),
+
+    // ---- 2.7 merge / dedup ------------------------------------------------
+    // O-M1 last-write-wins MERGE on the natural key (load.py:122-154):
+    // even event_ids are current state, odd are the incoming batch.
+    "merge_upsert" -> ((s, dir) => {
+      val ev = Tables.events(s, dir).select(
+        col("user_id"), col("event_type"), col("event_id"), col("ts"), col("value"))
+      val current = ev.where(pmod(col("event_id"), lit(2)) === 0)
+      val incoming = ev.where(pmod(col("event_id"), lit(2)) === 1)
+      Merge.mergeUpsert(current, incoming, Seq("user_id", "event_type"),
+        Seq(col("ts").desc, col("event_id").desc))
+    }),
+
+    // O-M3 deterministic intra-batch dedup (SURVEY.md §7.5.4).
+    "dedupe_batch" -> ((s, dir) =>
+      Merge.lastWriteWins(
+        Tables.events(s, dir).select(col("user_id"), col("event_type"), col("event_id"),
+          col("ts"), col("value")),
+        Seq("user_id", "event_type"), Seq(col("ts").desc, col("event_id").desc))),
+
+    // O-M2 dim insert-if-absent (load.py:65-74): existing rows win.
+    "dedupe_dim" -> ((s, dir) => {
+      val c = t(s, dir, "customer")
+      val existing = c.where(pmod(col("c_custkey"), lit(3)) === 0)
+        .select(col("c_custkey"), col("c_name"), col("c_acctbal"))
+      val incoming = c.select(col("c_custkey"),
+        concat(col("c_name"), lit("_new")).as("c_name"), col("c_acctbal"))
+      Merge.insertIfAbsent(existing, incoming, Seq("c_custkey"))
+    }),
+
+    // Engine-owned uniqueness assertion (SURVEY.md §4): keys violating the
+    // (user_id, event_type) contract, with multiplicity.
+    "assert_unique_key" -> ((s, dir) =>
+      Quality.duplicateKeys(
+        Tables.events(s, dir).select(col("user_id"), col("event_type")),
+        Seq("user_id", "event_type"))),
+
+    // ---- 2.1 sources / sinks ----------------------------------------------
+    // S7+S12 round trip: typed CSV export then schema-declared re-ingest
+    // must be lossless (reference load.py:202-227 loop-closing path).
+    "csv_roundtrip" -> ((s, dir) => {
+      val proj = t(s, dir, "orders").select(
+        col("o_orderkey"),
+        col("o_orderdate").cast(DateType).as("o_date"),
+        col("o_totalprice").cast(Dec152).as("o_price"),
+        col("o_orderstatus"))
+      val tmp = java.nio.file.Files.createTempDirectory("graft_csv_rt").toString
+      proj.write.mode("overwrite").option("header", "true").csv(tmp)
+      s.read.schema(StructType(Seq(
+          StructField("o_orderkey", LongType),
+          StructField("o_date", DateType),
+          StructField("o_price", Dec152),
+          StructField("o_orderstatus", StringType))))
+        .option("header", "true").csv(tmp)
+    }),
+
+    // ---- 2.10 streaming-equivalent batch windowing ------------------------
+    // Tumbling 1-hour aggregate over the events table — the batch twin of
+    // the Structured Streaming path in graft.streaming.
+    "events_tumbling" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("cnt"),
+          sum(col("value").cast(DecimalType(18, 6))).cast(DecimalType(20, 6)).as("sum_value"))
+        .select(col("window.start").as("hour_start"), col("event_type"),
+          col("cnt"), col("sum_value"))),
+
+    // Backward as-of join (SURVEY.md §7.6): each click gets the latest
+    // prior purchase value of the same user. Single-shuffle union+window
+    // form — no range explosion on hot keys.
+    "asof_join" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val clicks = ev.where(col("event_type") === "click")
+      val purchases = ev.where(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"), col("value").as("purchase_value"), col("event_id"))
+      AsOf.asofJoinBackward(clicks, purchases, Seq("user_id"), "ts",
+          Seq("purchase_value"), col("event_id"))
+        .select(col("event_id"), col("user_id"), col("ts"), col("purchase_value"))
+    }),
+
+    // ---- text analysis ----------------------------------------------------
+    "text_stats" -> ((s, dir) =>
+      t(s, dir, "documents").select(col("doc_id"),
+        TextAnalysis.tokenCount(col("text")).cast(LongType).as("n_tokens"),
+        TextAnalysis.subwordCount(col("text")).cast(LongType).as("n_subwords"))),
+
+    "text_langid" -> ((s, dir) =>
+      t(s, dir, "documents").select(col("doc_id"),
+        TextAnalysis.langId(col("text")).as("lang_guess"))),
+
+    "text_quality" -> ((s, dir) =>
+      t(s, dir, "documents").select(col("doc_id"),
+        round(TextAnalysis.qualityScore(col("text")), 6).as("quality"))),
+
+    "text_fingerprint" -> ((s, dir) =>
+      t(s, dir, "documents").select(col("doc_id"),
+        TextAnalysis.exactFingerprint(col("text")).as("fingerprint"),
+        TextAnalysis.rollingFingerprint(col("text")).as("rolling_fp"))),
+
+    // ---- dedup ------------------------------------------------------------
+    "dedup_exact" -> ((s, dir) =>
+      Dedup.exactDuplicates(t(s, dir, "documents"), "doc_id", "text")),
+
+    "dedup_ngram_jaccard" -> ((s, dir) =>
+      Dedup.ngramJaccardPairs(t(s, dir, "documents"), "doc_id", "text",
+        n = 3, threshold = 0.5, maxDocFreq = 100L)),
+
+    // Sketch-based near-dup (xxhash64 has no DuckDB twin -> rows-only check;
+    // exact-verified against the jaccard oracle inside the plan itself).
+    "dedup_minhash_lsh" -> ((s, dir) =>
+      Dedup.minHashLshPairs(t(s, dir, "documents"), "doc_id", "text",
+        n = 3, threshold = 0.5, maxDocFreq = 100L)),
+
+    "dedup_simhash" -> ((s, dir) =>
+      Dedup.simHashPairs(t(s, dir, "documents"), "doc_id", "text", maxHamming = 3)),
+
+    // ---- similarity search ------------------------------------------------
+    "sim_brute_topk" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.bruteForceTopK(emb.where(col("vec_id") < 8), emb, "vec_id", "embedding", 5)
+        .select(col("query_id"), col("rank").cast(LongType).as("rank"),
+          col("neighbor_id"), round(col("sim"), 6).as("sim"))
+    }),
+
+    "sim_ivf_topk" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.ivfTopK(emb.where(col("vec_id") < 8), emb, "vec_id", "embedding",
+          "label", k = 5, nprobe = 3)
+        .select(col("query_id"), col("rank").cast(LongType).as("rank"),
+          col("neighbor_id"), round(col("sim"), 6).as("sim"))
+    }),
+
+    // ---- multimodal -------------------------------------------------------
+    // Binary payload plumbing: utf-8 bytes of the text stand in for an
+    // opaque media payload; fixed-stride frame sampling + per-frame hash.
+    "multimodal_frames" -> ((s, dir) => {
+      val withBin = t(s, dir, "documents")
+        .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+      BinaryOps.sampleFrames(withBin, "doc_id", "payload", frameBytes = 32)
+        .select(col("doc_id"), col("frame_idx").cast(LongType).as("frame_idx"),
+          col("frame_hash"))
+    }),
+
+    // STUB decode via mapPartitions (deterministic fake; rows-only check).
+    "multimodal_decode_meta" -> ((s, dir) => {
+      val withBin = t(s, dir, "documents")
+        .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+      BinaryOps.decodeImageMeta(s, withBin, "doc_id", "payload")
+    })
+  )
+
+  // ------------------------------------------------------------- oracle SQL
+
+  /** DuckDB lambda for per-language stopword hits over a token list. */
+  private def hitsSql(toksExpr: String, words: Seq[String]): String =
+    s"len(list_filter($toksExpr, t -> t IN (${words.map(w => s"'$w'").mkString(", ")})))"
+
+  private val EnWords = TextAnalysis.StopwordLists.head._2
+
+  val oracleSql: Map[String, String] = Map(
+    "q1_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(15,2))) AS DECIMAL(18,2)) AS sum_qty,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(15,2))) AS DECIMAL(18,2)) AS sum_base_price,
+        |  count(*) AS count_order
+        |FROM lineitem GROUP BY 1, 2""".stripMargin,
+
+    "agg_distinct_tickers" -> "SELECT DISTINCT o_orderpriority FROM orders",
+
+    "agg_group_count" ->
+      "SELECT o_orderpriority, count(*) AS cnt FROM orders GROUP BY 1",
+
+    "agg_rollup_total" ->
+      "SELECT o_orderstatus, count(*) AS cnt FROM orders GROUP BY ROLLUP(o_orderstatus)",
+
+    "agg_cube" ->
+      "SELECT o_orderstatus, o_orderpriority, count(*) AS cnt FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)",
+
+    "agg_distinct_users" ->
+      "SELECT event_type, count(DISTINCT user_id) AS n_users, count(*) AS cnt FROM events GROUP BY 1",
+
+    "fn_quarter_label" ->
+      """SELECT CAST(year(o_orderdate) AS VARCHAR) || '-Q' || CAST(quarter(o_orderdate) AS VARCHAR) AS quarter_label,
+        |  count(*) AS cnt
+        |FROM orders GROUP BY 1""".stripMargin,
+
+    "fn_parse_date_multi" ->
+      """WITH b AS (
+        |  SELECT o_orderkey,
+        |    CASE o_orderkey % 4
+        |      WHEN 0 THEN strftime(o_orderdate, '%Y-%m-%d')
+        |      WHEN 1 THEN strftime(o_orderdate, '%Y-%m-%d %H:%M:%S')
+        |      WHEN 2 THEN strftime(o_orderdate, '%m/%d/%Y')
+        |      ELSE strftime(o_orderdate, '%Y') END AS raw
+        |  FROM orders)
+        |SELECT o_orderkey, raw,
+        |  COALESCE(
+        |    CAST(try_strptime(raw, '%Y-%m-%d') AS DATE),
+        |    CAST(try_strptime(raw, '%Y-%m-%d %H:%M:%S') AS DATE),
+        |    CAST(try_strptime(raw, '%m/%d/%Y') AS DATE),
+        |    CASE WHEN regexp_full_match(raw, '\d{4}(\.0+)?')
+        |         THEN make_date(CAST(CAST(raw AS DOUBLE) AS INT), 12, 31) END) AS parsed
+        |FROM b""".stripMargin,
+
+    "fn_safe_decimal" ->
+      """WITH b AS (
+        |  SELECT o_orderkey,
+        |    CASE o_orderkey % 4
+        |      WHEN 0 THEN '$' || CAST(CAST(o_totalprice AS DECIMAL(15,2)) AS VARCHAR)
+        |      WHEN 1 THEN CAST(CAST(o_totalprice AS DECIMAL(15,2)) AS VARCHAR) || ' '
+        |      WHEN 2 THEN 'N/A'
+        |      ELSE CAST(CAST(o_totalprice AS DECIMAL(15,2)) AS VARCHAR) END AS raw
+        |  FROM orders),
+        |c AS (SELECT o_orderkey, regexp_replace(raw, '[,$%\s]', '', 'g') AS cl FROM b),
+        |n AS (SELECT o_orderkey, CASE WHEN cl IN ('', 'N/A', 'n/a', '-') THEN NULL ELSE cl END AS cl2 FROM c),
+        |v AS (SELECT o_orderkey, TRY_CAST(cl2 AS DECIMAL(15,2)) AS v FROM n)
+        |SELECT o_orderkey,
+        |  CASE WHEN v > 0 AND v < 1000000 THEN TRY_CAST(v * 1000000 AS DECIMAL(15,2)) ELSE v END AS val
+        |FROM v""".stripMargin,
+
+    "fn_estimate_eps" ->
+      """WITH ni AS (
+        |  SELECT n_name,
+        |    CAST(SUM(CAST(c_acctbal AS DECIMAL(15,2))) AS DOUBLE) AS net_income,
+        |    CAST(CASE n_name WHEN 'NATION_1' THEN 3160 WHEN 'NATION_2' THEN 920
+        |         WHEN 'NATION_3' THEN 1600 ELSE 1000 END AS BIGINT) AS shares
+        |  FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |  GROUP BY 1)
+        |SELECT n_name, net_income, shares,
+        |  round((CASE WHEN net_income >= 1000000 THEN net_income / 1000000 ELSE net_income END) / shares, 4) AS eps
+        |FROM ni""".stripMargin,
+
+    "fn_tolerance_check" ->
+      """SELECT o_orderkey, abs(o_totalprice - 150000.0) <= 50000.0 AS within_tol
+        |FROM orders WHERE o_orderkey < 50""".stripMargin,
+
+    "fn_label_rlike" ->
+      """WITH b AS (
+        |  SELECT CASE WHEN o_orderkey % 3 = 0 THEN 'bad-label'
+        |    ELSE CAST(year(o_orderdate) AS VARCHAR) || '-Q' || CAST(quarter(o_orderdate) AS VARCHAR) END AS quarter_label
+        |  FROM orders)
+        |SELECT regexp_full_match(quarter_label, '\d{4}-Q[1-4]') AS valid, count(*) AS cnt
+        |FROM b GROUP BY 1""".stripMargin,
+
+    "project_normalize" ->
+      """SELECT o_orderkey, o_orderpriority AS ticker,
+        |  CAST(o_orderdate AS DATE) AS quarter_date,
+        |  CAST(year(o_orderdate) AS VARCHAR) || '-Q' || CAST(quarter(o_orderdate) AS VARCHAR) AS quarter_label,
+        |  CAST(o_totalprice AS DECIMAL(15,2)) AS revenue
+        |FROM orders""".stripMargin,
+
+    "filter_valid_date" ->
+      """WITH b AS (
+        |  SELECT o_orderkey,
+        |    CASE o_orderkey % 4
+        |      WHEN 0 THEN strftime(o_orderdate, '%Y-%m-%d')
+        |      WHEN 1 THEN strftime(o_orderdate, '%m/%d/%Y')
+        |      WHEN 2 THEN 'invalid-date'
+        |      ELSE strftime(o_orderdate, '%Y-%m-%d') END AS raw
+        |  FROM orders),
+        |p AS (
+        |  SELECT o_orderkey,
+        |    COALESCE(
+        |      CAST(try_strptime(raw, '%Y-%m-%d') AS DATE),
+        |      CAST(try_strptime(raw, '%Y-%m-%d %H:%M:%S') AS DATE),
+        |      CAST(try_strptime(raw, '%m/%d/%Y') AS DATE),
+        |      CASE WHEN regexp_full_match(raw, '\d{4}(\.0+)?')
+        |           THEN make_date(CAST(CAST(raw AS DOUBLE) AS INT), 12, 31) END) AS parsed
+        |  FROM b)
+        |SELECT o_orderkey, parsed FROM p WHERE parsed IS NOT NULL""".stripMargin,
+
+    "filter_golden_row" ->
+      "SELECT o_orderkey, o_custkey, o_totalprice FROM orders WHERE o_orderkey = 100",
+
+    "join_fk_resolve" ->
+      "SELECT o_orderkey, o_custkey, c_name FROM orders JOIN customer ON o_custkey = c_custkey",
+
+    "join_anti_new" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE c_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_orderdate >= '2000-01-01')""".stripMargin,
+
+    "except_new_tickers" ->
+      """SELECT c_custkey FROM customer
+        |EXCEPT SELECT o_custkey AS c_custkey FROM orders WHERE o_orderdate >= '2000-01-01'""".stripMargin,
+
+    "join_summary" ->
+      """SELECT c.c_custkey, c.c_name, c.c_nationkey, c.c_acctbal, c.c_mktsegment,
+        |  COALESCE(o.cnt, 0) AS order_cnt
+        |FROM customer c
+        |LEFT JOIN (SELECT o_custkey, count(*) AS cnt FROM orders GROUP BY 1) o
+        |  ON c.c_custkey = o.o_custkey""".stripMargin,
+
+    "join_shares_lookup" ->
+      """SELECT n_nationkey, n_name,
+        |  CAST(CASE n_name WHEN 'NATION_1' THEN 3160 WHEN 'NATION_2' THEN 920
+        |       WHEN 'NATION_3' THEN 1600 ELSE 1000 END AS BIGINT) AS shares
+        |FROM nation""".stripMargin,
+
+    "anti_unresolved" ->
+      """SELECT user_id, count(*) AS cnt FROM events
+        |WHERE user_id NOT IN (SELECT c_custkey FROM customer WHERE c_custkey < 100)
+        |GROUP BY 1""".stripMargin,
+
+    "window_topk_quarters" ->
+      """SELECT l_orderkey, l_linenumber, l_shipdate FROM (
+        |  SELECT l_orderkey, l_linenumber, l_shipdate,
+        |    row_number() OVER (PARTITION BY l_orderkey ORDER BY l_shipdate DESC, l_linenumber) AS rn
+        |  FROM lineitem) WHERE rn <= 2""".stripMargin,
+
+    "window_running_total" ->
+      """SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id, value,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,6))) OVER (
+        |    PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DECIMAL(20,6)) AS running_sum,
+        |  lag(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_value
+        |FROM events""".stripMargin,
+
+    "sort_export" ->
+      """SELECT o_orderkey, o_custkey, o_orderdate, o_totalprice FROM orders
+        |ORDER BY o_custkey, o_orderdate DESC, o_orderkey""".stripMargin,
+
+    "union_sources" ->
+      """SELECT src, count(*) AS cnt FROM (
+        |  SELECT o_orderkey, 'src_o' AS src FROM orders WHERE o_orderstatus = 'O'
+        |  UNION ALL
+        |  SELECT o_orderkey, 'src_other' AS src FROM orders WHERE o_orderstatus <> 'O')
+        |GROUP BY 1""".stripMargin,
+
+    "merge_upsert" ->
+      """WITH tagged AS (
+        |  SELECT user_id, event_type, event_id, ts, value,
+        |    CASE WHEN event_id % 2 = 1 THEN 1 ELSE 0 END AS src
+        |  FROM events),
+        |ranked AS (
+        |  SELECT *, row_number() OVER (
+        |    PARTITION BY user_id, event_type
+        |    ORDER BY src DESC, ts DESC, event_id DESC) AS rn
+        |  FROM tagged)
+        |SELECT user_id, event_type, event_id, CAST(ts AS TIMESTAMP) AS ts, value FROM ranked WHERE rn = 1""".stripMargin,
+
+    "dedupe_batch" ->
+      """SELECT user_id, event_type, event_id, CAST(ts AS TIMESTAMP) AS ts, value FROM (
+        |  SELECT user_id, event_type, event_id, ts, value, row_number() OVER (
+        |    PARTITION BY user_id, event_type ORDER BY ts DESC, event_id DESC) AS rn
+        |  FROM events) WHERE rn = 1""".stripMargin,
+
+    "dedupe_dim" ->
+      """SELECT c_custkey, c_name, c_acctbal FROM customer WHERE c_custkey % 3 = 0
+        |UNION ALL
+        |SELECT c_custkey, c_name || '_new' AS c_name, c_acctbal FROM customer WHERE c_custkey % 3 <> 0""".stripMargin,
+
+    "assert_unique_key" ->
+      """SELECT user_id, event_type, count(*) AS cnt FROM events
+        |GROUP BY 1, 2 HAVING count(*) > 1""".stripMargin,
+
+    "csv_roundtrip" ->
+      """SELECT o_orderkey, CAST(o_orderdate AS DATE) AS o_date,
+        |  CAST(o_totalprice AS DECIMAL(15,2)) AS o_price, o_orderstatus
+        |FROM orders""".stripMargin,
+
+    "events_tumbling" ->
+      """SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour_start, event_type, count(*) AS cnt,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DECIMAL(20,6)) AS sum_value
+        |FROM events GROUP BY 1, 2""".stripMargin,
+
+    "asof_join" ->
+      """SELECT l.event_id, l.user_id, CAST(l.ts AS TIMESTAMP) AS ts,
+        |  (SELECT r.value FROM events r
+        |   WHERE r.event_type = 'purchase' AND r.user_id = l.user_id AND r.ts <= l.ts
+        |   ORDER BY r.ts DESC, r.event_id DESC LIMIT 1) AS purchase_value
+        |FROM events l WHERE l.event_type = 'click'""".stripMargin,
+
+    "text_stats" ->
+      """SELECT doc_id,
+        |  len(regexp_split_to_array(trim(text), '\s+')) AS n_tokens,
+        |  len(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9\s]')) AS n_subwords
+        |FROM documents""".stripMargin,
+
+    "text_langid" -> {
+      val toks = "regexp_split_to_array(trim(text), '\\s+')"
+      val hits = TextAnalysis.StopwordLists.map { case (lang, words) =>
+        s"${hitsSql(toks, words)} AS h_$lang"
+      }.mkString(",\n    ")
+      val langs = TextAnalysis.StopwordLists.map(_._1)
+      val best = s"greatest(${langs.map(l => s"h_$l").mkString(", ")})"
+      val cases = langs.map(l => s"WHEN h_$l = best THEN '$l'").mkString(" ")
+      s"""WITH b AS (
+         |  SELECT doc_id,
+         |    $hits
+         |  FROM documents),
+         |m AS (SELECT doc_id, $best AS best, * FROM b)
+         |SELECT doc_id, CASE WHEN best = 0 THEN 'und' $cases ELSE 'und' END AS lang_guess
+         |FROM m""".stripMargin
+    },
+
+    "text_quality" -> {
+      val toks = "regexp_split_to_array(trim(text), '\\s+')"
+      s"""WITH b AS (
+         |  SELECT doc_id,
+         |    CAST(length(text) AS DOUBLE) AS n_char,
+         |    CAST(len($toks) AS DOUBLE) AS n_tok,
+         |    CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE) AS n_alpha,
+         |    CAST(${hitsSql(toks, EnWords)} AS DOUBLE) AS en_hits
+         |  FROM documents)
+         |SELECT doc_id, round(
+         |    (CASE WHEN n_char > 0 THEN n_alpha / n_char ELSE 0.0 END) * 0.4
+         |  + (CASE WHEN n_tok > 0 THEN en_hits / n_tok ELSE 0.0 END) * 0.3
+         |  + least(n_tok / 100.0, 1.0) * 0.3, 6) AS quality
+         |FROM b""".stripMargin
+    },
+
+    "text_fingerprint" ->
+      """WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks FROM documents),
+        |s AS (SELECT doc_id, toks,
+        |        list_distinct(list_transform(range(1, len(toks) - 1),
+        |          i -> array_to_string(toks[i:i+2], ' '))) AS sh
+        |      FROM t)
+        |SELECT doc_id,
+        |  md5(array_to_string(toks, ' ')) AS fingerprint,
+        |  CASE WHEN len(sh) > 0 THEN list_min(list_transform(sh, x -> md5(x)))
+        |       ELSE md5(array_to_string(toks, ' ')) END AS rolling_fp
+        |FROM s""".stripMargin,
+
+    "dedup_exact" ->
+      """SELECT fingerprint, count(*) AS cnt, min(doc_id) AS keeper FROM (
+        |  SELECT doc_id,
+        |    md5(array_to_string(regexp_split_to_array(trim(text), '\s+'), ' ')) AS fingerprint
+        |  FROM documents)
+        |GROUP BY 1""".stripMargin,
+
+    "dedup_ngram_jaccard" ->
+      """WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks FROM documents),
+        |sh AS (SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(toks) - 1),
+        |         i -> array_to_string(toks[i:i+2], ' ')))) AS shingle
+        |       FROM t),
+        |hot AS (SELECT shingle FROM sh GROUP BY 1 HAVING count(*) > 100),
+        |idx AS (SELECT doc_id, shingle FROM sh WHERE shingle NOT IN (SELECT shingle FROM hot)),
+        |sizes AS (SELECT doc_id, count(*) AS nsh FROM idx GROUP BY 1),
+        |inter AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+        |  FROM idx a JOIN idx b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT doc_a, doc_b,
+        |  CAST(i AS DOUBLE) / (sa.nsh + sb.nsh - i) AS jaccard
+        |FROM inter
+        |JOIN sizes sa ON doc_a = sa.doc_id
+        |JOIN sizes sb ON doc_b = sb.doc_id
+        |WHERE CAST(i AS DOUBLE) / (sa.nsh + sb.nsh - i) >= 0.5""".stripMargin,
+
+    "sim_brute_topk" ->
+      """WITH q AS (SELECT vec_id AS query_id,
+        |             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
+        |           FROM embeddings WHERE vec_id < 8),
+        |c AS (SELECT vec_id AS neighbor_id,
+        |        list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cv
+        |      FROM embeddings),
+        |s AS (SELECT query_id, neighbor_id,
+        |        list_dot_product(qv, cv) AS d,
+        |        sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv)) AS n
+        |      FROM q CROSS JOIN c WHERE query_id <> neighbor_id),
+        |r AS (SELECT query_id, neighbor_id,
+        |        CASE WHEN n > 0 THEN d / n END AS sim,
+        |        row_number() OVER (PARTITION BY query_id
+        |          ORDER BY CASE WHEN n > 0 THEN d / n END DESC, neighbor_id) AS rank
+        |      FROM s)
+        |SELECT query_id, rank, neighbor_id, round(sim, 6) AS sim FROM r WHERE rank <= 5""".stripMargin,
+
+    "multimodal_frames" ->
+      """WITH b AS (SELECT doc_id, text, length(text) AS n FROM documents),
+        |f AS (SELECT doc_id, text, unnest(range(0, n // 32)) AS frame_idx FROM b WHERE n >= 32)
+        |SELECT doc_id, frame_idx,
+        |  md5(substring(text, CAST(frame_idx * 32 + 1 AS INT), 32)) AS frame_hash
+        |FROM f""".stripMargin
+  )
+}

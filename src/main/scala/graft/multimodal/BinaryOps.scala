@@ -1,0 +1,73 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{DataFrame, Encoders, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal-column plumbing: image/audio/video payloads travel as opaque
+  * `binary` columns with typed metadata alongside. The decode step is a
+  * STUB (no codec libraries in this container — deterministic fake
+  * features derived from the bytes), but the Spark-side contract is real:
+  * schema, per-partition batched processing via `mapPartitions`, and
+  * codegen'd byte-slicing for frame sampling.
+  *
+  * At 100 TB the binary column dominates I/O: keep it in its own Parquet
+  * column (never inside a struct with hot columns) so metadata-only
+  * queries prune it at the scan, and size
+  * `spark.sql.files.maxPartitionBytes` for payload width, not row count.
+  */
+object BinaryOps {
+
+  val imageMetaSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType, nullable = false),
+    StructField("width", IntegerType, nullable = false),
+    StructField("height", IntegerType, nullable = false),
+    StructField("format", StringType, nullable = false),
+    StructField("n_bytes", LongType, nullable = false)))
+
+  /** STUB image decode: a real implementation would hand each partition's
+    * byte buffers to a codec (e.g. via a JNI/FFM binding) in batches; here
+    * the "decoded" dimensions are a fixed deterministic function of the
+    * payload so tests and the oracle can verify the plumbing end-to-end.
+    * The mapPartitions shape — iterator in, iterator out, no per-row JVM
+    * object churn beyond the Row — is the part that carries to production.
+    */
+  def decodeImageMeta(spark: SparkSession, withBinary: DataFrame,
+                      idCol: String, binCol: String): DataFrame = {
+    val in = withBinary.select(col(idCol).cast(LongType), col(binCol))
+    val enc = Encoders.row(imageMetaSchema)
+    in.mapPartitions { it =>
+      it.map { r =>
+        val id    = r.getLong(0)
+        val bytes = r.getAs[Array[Byte]](1)
+        val n     = bytes.length.toLong
+        // ??? real codec goes here; deterministic fake below.
+        val width  = (n % 640L).toInt + 1
+        val height = ((n * 7L) % 480L).toInt + 1
+        val format = (n % 3L) match {
+          case 0L => "png"
+          case 1L => "jpeg"
+          case _  => "webp"
+        }
+        Row(id, width, height, format, n)
+      }
+    }(enc)
+  }
+
+  /** Frame sampling: slice a binary payload into fixed-size "frames" and
+    * fingerprint each — pure codegen'd expressions (substr on binary is a
+    * byte slice), exploded to one row per frame. `frameBytes` strides the
+    * payload; payloads shorter than one frame yield no rows.
+    */
+  def sampleFrames(withBinary: DataFrame, idCol: String, binCol: String,
+                   frameBytes: Int): DataFrame = {
+    val n = length(col(binCol))
+    val frames = when(n >= frameBytes,
+        sequence(lit(0), (n / frameBytes).cast(IntegerType) - 1))
+      .otherwise(array().cast(ArrayType(IntegerType)))
+    withBinary.select(col(idCol), col(binCol), explode(frames).as("frame_idx"))
+      .select(col(idCol),
+        col("frame_idx"),
+        md5(substr(col(binCol), col("frame_idx") * frameBytes + 1, lit(frameBytes))).as("frame_hash"))
+  }
+}

@@ -1,0 +1,51 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** MERGE / dedup operators — the reference's most distinctive semantics
+  * (SURVEY.md §2.7): last-write-wins upsert on a natural key
+  * (load.py:122-154), insert-if-absent for dims (load.py:65-74), and
+  * deterministic intra-batch dedup (the reference's is input-order
+  * dependent; we impose an explicit priority, SURVEY.md §7.5.4).
+  *
+  * Scale notes: every operator here is a single hash-shuffle on the merge
+  * key — no driver-side loops, no collect. At 100 TB the state table should
+  * be written bucketed by the key (see [[graft.io.Sinks]]) so repeated
+  * merges co-locate and skip the state-side shuffle.
+  */
+object Merge {
+
+  /** Deterministic last-write-wins: keep exactly one row per key, the one
+    * ranking first under `precedence` (e.g. source priority desc, event
+    * time desc, then a unique tiebreaker). One window shuffle on `keys`.
+    */
+  def lastWriteWins(df: DataFrame, keys: Seq[String], precedence: Seq[Column]): DataFrame = {
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(precedence: _*)
+    df.withColumn("_rn", row_number().over(w)).where(col("_rn") === 1).drop("_rn")
+  }
+
+  /** MERGE (upsert) of `incoming` into `current` on a natural key
+    * (reference load.py:122-154 + schema.sql:30): incoming beats current on
+    * key collision; within each side the caller's `precedence` breaks ties.
+    * Equivalent to SQL `MERGE ... WHEN MATCHED UPDATE WHEN NOT MATCHED
+    * INSERT` with last-write-wins. Returns the merged state.
+    */
+  def mergeUpsert(current: DataFrame, incoming: DataFrame, keys: Seq[String],
+                  precedence: Seq[Column] = Seq.empty): DataFrame = {
+    val tagged = current.withColumn("_src", lit(0))
+      .unionByName(incoming.withColumn("_src", lit(1)))
+    lastWriteWins(tagged, keys, col("_src").desc +: precedence).drop("_src")
+  }
+
+  /** Insert-if-absent (reference load.py:65-74, `ON CONFLICT DO NOTHING`
+    * schema.sql:59): rows of `incoming` whose key is absent from `existing`
+    * are appended; existing rows win unchanged. Anti-join + union — at
+    * scale, if `existing` is a large state table, AQE converts the
+    * anti-join to broadcast when `incoming` is small.
+    */
+  def insertIfAbsent(existing: DataFrame, incoming: DataFrame, keys: Seq[String]): DataFrame =
+    existing.unionByName(
+      incoming.join(existing.select(keys.map(col): _*).distinct(), keys, "left_anti"))
+}

@@ -1,0 +1,104 @@
+package graft.ops
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Normalization column-functions: the reference's type-coercion layer
+  * re-expressed as pure Catalyst expressions (no UDFs — everything stays
+  * inside whole-stage codegen and survives predicate pushdown).
+  *
+  * Semantics derive from the reference (read-only at /root/reference):
+  *  - multi-format date parse        (transform.py:141-166)
+  *  - quarter-label derivation       (transform.py:31-57)
+  *  - safe decimal coercion + the millions-scaling heuristic
+  *                                   (transform.py:168-186, config.py:89-97)
+  *  - EPS estimation from net income (transform.py:188-201)
+  *  - Python-truthiness key coalesce (transform.py:82)
+  *
+  * All functions are ANSI-mode safe (Spark 4 default): parse/cast failures
+  * yield null via `try_*`, never a task failure — mirroring the reference's
+  * row-level tolerance (transform.py:98-100).
+  */
+object Normalize {
+
+  /** Multi-format lenient date parse (reference transform.py:141-166).
+    * Tries `yyyy-MM-dd`, `yyyy-MM-dd HH:mm:ss`, `MM/dd/yyyy`, then the
+    * bare-year rule (int/float year -> Dec 31 of that year); anything else
+    * is null. Pure built-ins; each `try_to_date` is codegen'd.
+    */
+  def parseDateMulti(c: Column): Column = {
+    val s = c.cast(StringType)
+    coalesce(
+      try_to_date(s, "yyyy-MM-dd"),
+      try_to_date(s, "yyyy-MM-dd HH:mm:ss"),
+      try_to_date(s, "MM/dd/yyyy"),
+      when(s.rlike("^\\d{4}(\\.0+)?$"),
+        make_date(s.cast(DoubleType).cast(IntegerType), lit(12), lit(31)))
+    )
+  }
+
+  /** `"YYYY-QN"` quarter label (reference transform.py:51-53; month->quarter
+    * mapping is exactly Spark's `quarter()`). Null date -> null label.
+    */
+  def quarterLabel(d: Column): Column =
+    concat(year(d).cast(StringType), lit("-Q"), quarter(d).cast(StringType))
+
+  /** Strings treated as missing after cleanup (reference transform.py:175-178). */
+  private val MissingTokens = Seq("", "N/A", "n/a", "-")
+
+  /** Safe decimal coercion (reference transform.py:168-186): strip
+    * `[,$%\s]`, map sentinel strings to null, cast (invalid -> null via
+    * try_cast), then the millions heuristic: `0 < v < 1e6  =>  v * 1e6`.
+    */
+  def safeDecimal(c: Column, precision: Int = 15, scale: Int = 2): Column = {
+    val cleaned = regexp_replace(c.cast(StringType), "[,$%\\s]", "")
+    val nulled  = when(cleaned.isin(MissingTokens: _*), lit(null)).otherwise(cleaned)
+    val v       = nulled.try_cast(DecimalType(precision, scale))
+    val scaled  = when(v > 0 && v < 1000000L, v * 1000000L).otherwise(v)
+    scaled.try_cast(DecimalType(precision, scale))
+  }
+
+  /** The Pydantic validator's *second* millions heuristic
+    * (reference config.py:89-97): scales ANY value `< 1e6` — including
+    * negatives — by 1e6. Applied after [[safeDecimal]] only to
+    * revenue/gross_profit fields; the composition is the canonical
+    * semantics (SURVEY.md §7.5.1).
+    */
+  def millionsValidator(v: Column, precision: Int = 15, scale: Int = 2): Column =
+    when(v.isNotNull && v < 1000000L, v * 1000000L)
+      .otherwise(v)
+      .try_cast(DecimalType(precision, scale))
+
+  /** EPS estimation (reference transform.py:188-201):
+    * `eps = (net_income/1e6)/shares if net_income >= 1e6 else net_income/shares`,
+    * rounded to 4 places. `shares` comes from the share-count lookup
+    * ([[sharesFor]]). Double math; final exact DECIMAL(10,4).
+    */
+  def estimateEps(netIncome: Column, shares: Column): Column = {
+    val ni  = netIncome.cast(DoubleType)
+    val adj = when(ni >= 1000000d, ni / 1000000d).otherwise(ni)
+    round(adj / shares.cast(DoubleType), 4).try_cast(DecimalType(10, 4))
+  }
+
+  /** Share-count lookup with default (reference transform.py:193-194:
+    * {TSLA:3160, RIVN:920, LCID:1600, else 1000}). Takes the literal map as
+    * pairs so test-table analogs can rebind keys. Broadcast-free: a literal
+    * map beats a join for a 3-entry dim.
+    */
+  def sharesFor(key: Column, shares: Map[String, Int], default: Int = 1000): Column = {
+    val m = map(shares.toSeq.flatMap { case (k, v) => Seq(lit(k), lit(v)) }: _*)
+    coalesce(element_at(m, key), lit(default))
+  }
+
+  /** Python-truthiness key coalesce (reference transform.py:82:
+    * `record.get('eps') or record.get('netIncomePerShare')` — `or` skips
+    * null AND zero). Faithful form; see [[coalesceKey]] for the null-only
+    * variant (decision documented in SURVEY.md §7.5.2).
+    */
+  def coalesceKeyTruthy(a: Column, b: Column): Column =
+    when(a.isNull || a === 0, b).otherwise(a)
+
+  /** Null-only coalesce — the cleaner semantics the engine defaults to. */
+  def coalesceKey(a: Column, b: Column): Column = coalesce(a, b)
+}

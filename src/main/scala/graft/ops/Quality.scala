@@ -1,0 +1,44 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Data-quality operators: validation predicates, golden-row tolerance
+  * checks, and the uniqueness assertion Spark must own because (unlike the
+  * reference's Postgres, schema.sql:30/46) no storage-level unique
+  * constraint exists over Parquet. All plain Catalyst expressions.
+  */
+object Quality {
+
+  /** Quarter-label format check (reference config.py:84): `^\d{4}-Q[1-4]$`. */
+  def labelValid(label: Column): Column = label.rlike("^\\d{4}-Q[1-4]$")
+
+  /** Ticker length check (reference config.py:82): 1..10 chars. */
+  def tickerValid(ticker: Column): Column = length(ticker).between(1, 10)
+
+  /** Tolerance comparison (reference transform.py:245-259):
+    * `abs(actual - expected) <= tol`. Null actual -> false (reference skips
+    * null metrics, load.py:272).
+    */
+  def withinTolerance(actual: Column, expected: Column, tol: Column): Column =
+    coalesce(abs(actual - expected) <= tol, lit(false))
+
+  /** Rows violating a natural-key uniqueness contract: the engine-level
+    * replacement for the reference's DB unique constraint (SURVEY.md §4).
+    * Empty result == contract holds. One hash-aggregate; map-side partial
+    * aggregation keeps the shuffle proportional to the number of distinct
+    * keys, not rows.
+    */
+  def duplicateKeys(df: DataFrame, keys: Seq[String]): DataFrame =
+    df.groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as("cnt"))
+      .where(col("cnt") > 1)
+
+  /** Split a frame into (clean, quarantine) on a validity predicate —
+    * the engine's version of the reference's skip-row-and-warn tolerance
+    * (transform.py:98-100): bad rows are counted and kept inspectable,
+    * never dropped silently and never a task failure.
+    */
+  def quarantine(df: DataFrame, valid: Column): (DataFrame, DataFrame) =
+    (df.where(valid), df.where(!coalesce(valid, lit(false))))
+}

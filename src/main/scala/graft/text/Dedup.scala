@@ -1,0 +1,184 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Document deduplication at corpus scale: exact (hash-groupBy), n-gram
+  * Jaccard (shingle inverted index), MinHash + LSH banding, and SimHash
+  * with Hamming banding. Everything is expressed as DataFrame plans —
+  * shuffles are on shingle / band / key columns, so each stage partitions
+  * cleanly across a cluster; nothing is pairwise over the full corpus.
+  *
+  * Scale analysis (the reason for each shape):
+  *  - exact:       one hash-aggregate, O(corpus).
+  *  - jaccard:     inverted index on shingles; candidate generation is
+  *                 bounded per-shingle (hot-shingle cap) so worst-case
+  *                 skew can't go quadratic.
+  *  - minhash-lsh: signature is a fixed-width aggregate per doc; banding
+  *                 turns near-dup search into an equi-join on (band, sig)
+  *                 — the only all-pairs-free sublinear candidate scheme.
+  *  - simhash:     64-bit fingerprint; Hamming<=3 via 4x16-bit band
+  *                 pigeonhole, candidates verified exactly with xor+popcnt.
+  */
+object Dedup {
+
+  private def docTokens(docs: DataFrame, idCol: String, textCol: String) = {
+    import TextAnalysis._
+    docs.select(col(idCol).as("doc_id"), tokens(col(textCol)).as("toks"))
+  }
+
+  /** Exact duplicate groups: md5 over normalized text -> (hash, cnt,
+    * keeper=min id). Reference-analog of the natural-key dedup (O-M3) on
+    * content instead of key.
+    */
+  def exactDuplicates(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(col(idCol).as("doc_id"),
+        TextAnalysis.exactFingerprint(col(textCol)).as("fingerprint"))
+      .groupBy("fingerprint")
+      .agg(count(lit(1)).as("cnt"), min(col("doc_id")).as("keeper"))
+
+  /** (doc_id, shingle) inverted-index edge list, shingles distinct per doc,
+    * with a hot-shingle cap: shingles occurring in more than `maxDocFreq`
+    * docs generate no candidate pairs (standard skew guard — a stopword
+    * shingle would otherwise create |docs|^2 pairs).
+    */
+  def shingleIndex(docs: DataFrame, idCol: String, textCol: String, n: Int,
+                   maxDocFreq: Long): DataFrame = {
+    val sh = docs.select(col(idCol).as("doc_id"),
+        explode(TextAnalysis.shingles(col(textCol), n)).as("shingle"))
+    val hot = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
+      .where(col("df") > maxDocFreq).select("shingle")
+    sh.join(hot, Seq("shingle"), "left_anti")
+  }
+
+  /** Pairwise n-gram Jaccard similarity >= `threshold` via inverted-index
+    * self-join (candidates share >=1 shingle). Output: (doc_a < doc_b,
+    * jaccard). Exact — this is also the verifier behind the sketch-based
+    * paths.
+    */
+  def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
+                        n: Int = 3, threshold: Double = 0.8,
+                        maxDocFreq: Long = 1000L): DataFrame = {
+    val idx = shingleIndex(docs, idCol, textCol, n, maxDocFreq)
+    val sizes = idx.groupBy("doc_id").agg(count(lit(1)).as("nsh"))
+    val a = idx.select(col("doc_id").as("doc_a"), col("shingle"))
+    val b = idx.select(col("doc_id").as("doc_b"), col("shingle"))
+    val inter = a.join(b, Seq("shingle"))
+      .where(col("doc_a") < col("doc_b"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("nsh", "na"), Seq("doc_a"))
+      .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("nsh", "nb"), Seq("doc_b"))
+      .withColumn("jaccard",
+        col("inter").cast(DoubleType) / (col("na") + col("nb") - col("inter")).cast(DoubleType))
+      .where(col("jaccard") >= threshold)
+      .select("doc_a", "doc_b", "jaccard")
+  }
+
+  /** MinHash parameters: `numPerm` permutations split into `bands` bands.
+    * Universal-hash family h_i(x) = (a_i * x + b_i) mod p over the reduced
+    * 64-bit shingle hash; constants are fixed (seeded) for determinism.
+    */
+  final case class MinHashParams(numPerm: Int = 32, bands: Int = 8) {
+    require(numPerm % bands == 0, "bands must divide numPerm")
+    val rowsPerBand: Int = numPerm / bands
+    val prime: Long = 2147483647L // 2^31 - 1; keeps a*x + b within Long
+    // Deterministic LCG-generated coefficients (no Random at plan time).
+    private def lcg(seed: Long): LazyList[Long] =
+      LazyList.iterate(seed)(s => (s * 6364136223846793005L + 1442695040888963407L))
+    val as: Seq[Long] = lcg(42L).map(s => Math.floorMod(s, prime - 1) + 1).take(numPerm).toList
+    val bs: Seq[Long] = lcg(7L).map(s => Math.floorMod(s, prime)).take(numPerm).toList
+  }
+
+  /** Per-doc MinHash signature: one aggregate over the shingle index,
+    * producing `numPerm` min-hash columns in a single shuffle.
+    */
+  def minHashSignatures(idx: DataFrame, p: MinHashParams): DataFrame = {
+    // Reduce the 64-bit shingle hash into [0, prime) once, then apply all
+    // permutations to the reduced value — keeps every product in Long range
+    // (ANSI-safe: no silent or throwing overflow).
+    val hm = pmod(xxhash64(col("shingle")), lit(p.prime))
+    val aggs = (0 until p.numPerm).map { i =>
+      min(pmod(hm * lit(p.as(i)) + lit(p.bs(i)), lit(p.prime))).as(s"mh_$i")
+    }
+    idx.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** LSH banding: explode each signature into (band_idx, band_key) and
+    * self-join — docs sharing any band are candidates. Verified exactly
+    * against n-gram Jaccard before reporting.
+    */
+  def minHashLshPairs(docs: DataFrame, idCol: String, textCol: String,
+                      n: Int = 3, threshold: Double = 0.8,
+                      p: MinHashParams = MinHashParams(),
+                      maxDocFreq: Long = 1000L): DataFrame = {
+    val idx = shingleIndex(docs, idCol, textCol, n, maxDocFreq)
+    val sig = minHashSignatures(idx, p)
+    val bandCols = (0 until p.bands).map { b =>
+      val ks = (0 until p.rowsPerBand).map(r => col(s"mh_${b * p.rowsPerBand + r}").cast(StringType))
+      struct(lit(b).as("band"), concat_ws(":", ks: _*).as("key"))
+    }
+    val buckets = sig.select(col("doc_id"), explode(array(bandCols: _*)).as("bk"))
+      .select(col("doc_id"), col("bk.band").as("band"), col("bk.key").as("key"))
+    val cand = buckets.as("x").join(buckets.as("y"), Seq("band", "key"))
+      .where(col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .distinct()
+    // Exact verification of candidates only (candidate set << all pairs).
+    val sizes = idx.groupBy("doc_id").agg(count(lit(1)).as("nsh"))
+    val inter = cand
+      .join(idx.select(col("doc_id").as("doc_a"), col("shingle")), Seq("doc_a"))
+      .join(idx.select(col("doc_id").as("doc_b"), col("shingle").as("shingle_b")), Seq("doc_b"))
+      .where(col("shingle") === col("shingle_b"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("nsh", "na"), Seq("doc_a"))
+      .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("nsh", "nb"), Seq("doc_b"))
+      .withColumn("jaccard",
+        col("inter").cast(DoubleType) / (col("na") + col("nb") - col("inter")).cast(DoubleType))
+      .where(col("jaccard") >= threshold)
+      .select("doc_a", "doc_b", "jaccard")
+  }
+
+  /** 64-bit SimHash per doc: sign-vote of token hashes bit by bit.
+    * Expressed as an aggregate over exploded tokens: per bit, sum(+1/-1)
+    * votes; bit set iff vote > 0. Fixed 64 sum-aggregates in one shuffle.
+    */
+  def simHash(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = docTokens(docs, idCol, textCol)
+      .select(col("doc_id"), explode_outer(array_distinct(col("toks"))).as("tok"))
+    val h = xxhash64(col("tok"))
+    val votes = (0 until 64).map { b =>
+      sum(when(h.isNull, 0).otherwise(
+        when(shiftright(h, b).bitwiseAND(1) === 1, 1).otherwise(-1))).as(s"v_$b")
+    }
+    val voted = toks.groupBy("doc_id").agg(votes.head, votes.tail: _*)
+    val bits = (0 until 64).map { b =>
+      when(col(s"v_$b") > 0, shiftleft(lit(1L), b)).otherwise(lit(0L))
+    }
+    voted.select(col("doc_id"), bits.reduce((a, c) => a.bitwiseOR(c)).as("simhash"))
+  }
+
+  /** Near-dup pairs with Hamming(simhash) <= maxHamming, candidates via
+    * 16-bit band pigeonhole (4 bands: any pair within Hamming 3 must agree
+    * on >= 1 band), verified with xor + bit_count.
+    */
+  def simHashPairs(docs: DataFrame, idCol: String, textCol: String,
+                   maxHamming: Int = 3): DataFrame = {
+    val sig = simHash(docs, idCol, textCol)
+    val bandCols = (0 until 4).map { b =>
+      struct(lit(b).as("band"),
+        shiftright(col("simhash"), b * 16).bitwiseAND(0xFFFFL).as("key"))
+    }
+    val buckets = sig.select(col("doc_id"), col("simhash"),
+        explode(array(bandCols: _*)).as("bk"))
+      .select(col("doc_id"), col("simhash"), col("bk.band").as("band"), col("bk.key").as("key"))
+    buckets.as("x").join(buckets.as("y"), Seq("band", "key"))
+      .where(col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+        bit_count(col("x.simhash").bitwiseXOR(col("y.simhash"))).as("hamming"))
+      .distinct()
+      .where(col("hamming") <= maxHamming)
+  }
+}

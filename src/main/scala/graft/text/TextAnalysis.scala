@@ -1,0 +1,102 @@
+package graft.text
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Text-analysis column-functions for large-scale training-data pipelines:
+  * tokenization, token counting, n-gram heuristic language ID, quality
+  * scoring, and document fingerprinting. All pure Catalyst expressions
+  * (array higher-order functions) — codegen-friendly, no UDFs, so a 100 TB
+  * corpus scan stays in one whole-stage-codegen pass over the Parquet scan.
+  */
+object TextAnalysis {
+
+  /** Whitespace tokenization; empty/blank text -> empty array. */
+  def tokens(text: Column): Column =
+    when(trim(text) === "", array().cast(ArrayType(StringType)))
+      .otherwise(split(trim(text), "\\s+"))
+
+  /** Token count (whitespace segmentation). */
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** BPE-ish subword-unit count: alphanumeric runs and individual
+    * punctuation marks each count as one unit — a deterministic proxy for
+    * tokenizer-cost estimation without a vocab file.
+    */
+  def subwordCount(text: Column): Column =
+    size(regexp_extract_all(text, lit("[A-Za-z0-9]+|[^A-Za-z0-9\\s]"), lit(0)))
+
+  /** Stopword vote for one language: how many tokens are in `stopwords`. */
+  def stopwordHits(toks: Column, stopwords: Seq[String]): Column =
+    size(filter(toks, t => t.isin(stopwords: _*)))
+
+  /** Tiny per-language stopword lists for the n-gram/stopword language-ID
+    * heuristic. Deliberately small and literal: language ID at corpus scale
+    * is a scan-side expression, not a model call.
+    */
+  val StopwordLists: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "and", "to", "in", "is"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "ein"),
+    "es" -> Seq("el", "la", "de", "que", "y", "en"),
+    "fr" -> Seq("le", "la", "les", "et", "un", "est"),
+    "zh" -> Seq("的", "是", "了", "在", "和", "有")
+  )
+
+  /** Heuristic language ID: argmax of stopword hits, ties broken by list
+    * order above; no hits at all -> "und" (undetermined).
+    */
+  def langId(text: Column): Column = {
+    val toks = tokens(text)
+    val hits = StopwordLists.map { case (lang, words) => lang -> stopwordHits(toks, words) }
+    val best = hits.map(_._2).reduce((a, b) => greatest(a, b))
+    // foldRight makes earlier langs win ties: en beats de beats es ...
+    hits.foldRight(lit("und")) { case ((lang, h), acc) =>
+      when(h === best && best > 0, lit(lang)).otherwise(acc)
+    }
+  }
+
+  /** Quality score in [0,1]: weighted blend of alpha ratio, stopword ratio,
+    * and a saturating length factor (reference-free; the standard
+    * length/punct/stopword heuristics of web-scale corpus filtering).
+    */
+  def qualityScore(text: Column): Column = {
+    val toks     = tokens(text)
+    val nTok     = size(toks).cast(DoubleType)
+    val nChar    = length(text).cast(DoubleType)
+    val alpha    = length(regexp_replace(text, "[^A-Za-z]", "")).cast(DoubleType)
+    val alphaRatio = when(nChar > 0, alpha / nChar).otherwise(lit(0.0))
+    val enHits   = stopwordHits(toks, StopwordLists.head._2).cast(DoubleType)
+    val stopRatio = when(nTok > 0, enHits / nTok).otherwise(lit(0.0))
+    val lenFactor = least(nTok / 100.0, lit(1.0))
+    alphaRatio * 0.4 + stopRatio * 0.3 + lenFactor * 0.3
+  }
+
+  /** Word n-gram shingles as strings (distinct), the unit of Jaccard /
+    * MinHash dedup. `n >= 1`; texts with fewer than n tokens yield an
+    * empty array.
+    */
+  def shingles(text: Column, n: Int): Column = {
+    val toks = tokens(text)
+    val cnt  = size(toks)
+    when(cnt >= n,
+      array_distinct(transform(sequence(lit(1), cnt - (n - 1)),
+        i => concat_ws(" ", slice(toks, i, lit(n))))))
+      .otherwise(array().cast(ArrayType(StringType)))
+  }
+
+  /** Exact-duplicate fingerprint: md5 of the whitespace-normalized text. */
+  def exactFingerprint(text: Column): Column =
+    md5(concat_ws(" ", tokens(text)))
+
+  /** Rolling-hash document fingerprint: the minimum md5 over 3-token
+    * shingles (a 1-permutation MinHash) — stable under small edits, unlike
+    * [[exactFingerprint]]. Texts under 3 tokens fall back to the exact
+    * fingerprint.
+    */
+  def rollingFingerprint(text: Column): Column = {
+    val sh = shingles(text, 3)
+    when(size(sh) > 0, array_min(transform(sh, s => md5(s))))
+      .otherwise(exactFingerprint(text))
+  }
+}

@@ -1,0 +1,112 @@
+package graft.vector
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Vector similarity over `array<float>` embedding columns: codegen'd
+  * cosine via array higher-order functions (no UDF), brute-force top-k as
+  * the exact baseline, and an IVF (inverted-file) variant as the scale
+  * path — centroid assignment turns ANN into an equi-join on a cluster id,
+  * which partitions cleanly across a 1000-executor cluster; brute force is
+  * O(|queries| x |corpus|) and is only the small-|queries| baseline.
+  */
+object Similarity {
+
+  /** Dot product of two numeric arrays, accumulated in double. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast(DoubleType) * y.cast(DoubleType)),
+      lit(0.0), (acc, v) => acc + v)
+
+  /** L2 norm. */
+  def l2Norm(a: Column): Column = sqrt(dot(a, a))
+
+  /** Cosine similarity; zero-norm vectors yield null (not an error). */
+  def cosine(a: Column, b: Column): Column = {
+    val d = dot(a, b)
+    val n = l2Norm(a) * l2Norm(b)
+    when(n > 0, d / n)
+  }
+
+  /** Exact brute-force top-k neighbors for each query vector.
+    * Input frames must expose (idCol, vecCol). Excludes self-matches by id.
+    * Output: (query_id, rank, neighbor_id, sim). The small side (queries)
+    * is broadcast, so the corpus is scanned once, partition-parallel, with
+    * no shuffle until the final per-query top-k window on |q| x |corpus|
+    * scored rows.
+    */
+  def bruteForceTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
+                     vecCol: String, k: Int): DataFrame = {
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qvec"))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cvec"))
+    val scored = c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
+      .withColumn("sim", cosine(col("qvec"), col("cvec")))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("sim").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("sim"))
+  }
+
+  /** Centroids from a labeled corpus: per-label mean vector, computed by
+    * positional explode + per-(label, pos) average — one shuffle keyed on
+    * (label, pos), then re-assembled into arrays. At corpus scale this is
+    * the map-side-combinable form (a partial sum per partition per label).
+    */
+  def centroids(corpus: DataFrame, labelCol: String, vecCol: String): DataFrame = {
+    val exploded = corpus.select(col(labelCol).as("centroid_id"),
+        posexplode(col(vecCol)).as(Seq("pos", "v")))
+    exploded.groupBy("centroid_id", "pos").agg(avg(col("v").cast(DoubleType)).as("m"))
+      .groupBy("centroid_id")
+      .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
+      .select(col("centroid_id"), transform(col("pm"), x => x.getField("m")).as("cvec"))
+  }
+
+  /** IVF approximate top-k: assign every query to its `nprobe` nearest
+    * centroids (broadcast — centroid count is tiny), then search only
+    * corpus vectors whose label falls in the probed cells. Same output
+    * shape as [[bruteForceTopK]]; recall < 1 by construction.
+    */
+  def ivfTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
+              vecCol: String, labelCol: String, k: Int, nprobe: Int): DataFrame = {
+    val cents = centroids(corpus, labelCol, vecCol)
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qvec"))
+    val probeW = Window.partitionBy(col("query_id"))
+      .orderBy(col("csim").desc, col("centroid_id").asc)
+    val probes = q.join(broadcast(cents), lit(true))
+      .withColumn("csim", cosine(col("qvec"), col("cvec")))
+      .withColumn("crank", row_number().over(probeW))
+      .where(col("crank") <= nprobe)
+      .select(col("query_id"), col("qvec"), col("centroid_id"))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("nvec"),
+      col(labelCol).as("centroid_id"))
+    val scored = c.join(broadcast(probes), Seq("centroid_id"))
+      .where(col("query_id") =!= col("neighbor_id"))
+      .withColumn("sim", cosine(col("qvec"), col("nvec")))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("sim").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("sim"))
+  }
+
+  /** Random-hyperplane LSH bucket id (`nbits` sign bits from fixed seeded
+    * hyperplanes): vectors in the same bucket are ANN candidates. The
+    * hyperplanes are derived deterministically from (seed, bit, pos) via a
+    * splitmix-style integer mix, expressed inline so the whole assignment
+    * is one codegen'd projection.
+    */
+  def lshBucket(vec: Column, dim: Int, nbits: Int = 8, seed: Long = 42L): Column = {
+    def mix(b: Int, p: Int): Double = {
+      var z = seed + b.toLong * 0x9E3779B97F4A7C15L + p.toLong * 0xBF58476D1CE4E5B9L
+      z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+      z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+      z = z ^ (z >>> 31)
+      // map to [-1, 1)
+      (z >>> 11).toDouble / (1L << 52).toDouble - 1.0
+    }
+    val bits = (0 until nbits).map { b =>
+      val proj = (0 until dim).map(p => element_at(vec, p + 1).cast(DoubleType) * lit(mix(b, p)))
+        .reduce(_ + _)
+      when(proj > 0, shiftleft(lit(1L), b)).otherwise(lit(0L))
+    }
+    bits.reduce((a, c) => a.bitwiseOR(c))
+  }
+}
