@@ -25,6 +25,11 @@ object Sinks {
     if (fs.exists(target)) fs.rename(target, oldP)
     fs.rename(new Path(tmp), target)
     fs.delete(oldP, true)
+    // Invalidate cached file listings so subsequent reads see the new
+    // generation. (DataFrames created BEFORE the swap hold the old file
+    // list and will fail — swap semantics, same as any non-ACID overwrite;
+    // collect or re-read after merging.)
+    spark.catalog.refreshByPath(tablePath)
   }
 
   /** Ordered CSV export (reference S7+O-O1): global sort, then a single

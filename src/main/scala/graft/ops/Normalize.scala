@@ -93,11 +93,16 @@ object Normalize {
 
   /** Python-truthiness key coalesce (reference transform.py:82:
     * `record.get('eps') or record.get('netIncomePerShare')` — `or` skips
-    * null AND zero). Faithful form; see [[coalesceKey]] for the null-only
-    * variant (decision documented in SURVEY.md §7.5.2).
+    * null, empty string AND zero). Faithful form; see [[coalesceKey]] for
+    * the null-only variant (decision documented in SURVEY.md §7.5.2).
+    * The zero test goes through `try_cast` so string-typed inputs never
+    * raise under ANSI mode: a non-numeric string is truthy (kept).
     */
-  def coalesceKeyTruthy(a: Column, b: Column): Column =
-    when(a.isNull || a === 0, b).otherwise(a)
+  def coalesceKeyTruthy(a: Column, b: Column): Column = {
+    val falsy = a.isNull || a.cast(StringType) === "" ||
+      coalesce(a.try_cast(DoubleType) === 0, lit(false))
+    when(falsy, b).otherwise(a)
+  }
 
   /** Null-only coalesce — the cleaner semantics the engine defaults to. */
   def coalesceKey(a: Column, b: Column): Column = coalesce(a, b)

@@ -1,0 +1,87 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import graft.io.Sinks
+import graft.model.Schemas
+
+/** End-to-end flagship DAG (reference main.py:38-75): bronze JSON ->
+  * normalize -> quarantine -> merge into Parquet state -> golden check,
+  * plus merge idempotence and the CSV export/re-ingest round trip
+  * (load.py:202-227).
+  */
+class PipelineSpec extends SparkSpec {
+  import spark.implicits._
+
+  // FIXTURES.md §1 golden rows + edge variants (test_edge_cases.py:131-206).
+  private val bronzeJson = Seq(
+    """{"date": "2025-06-30", "symbol": "TSLA", "revenue": 22500000000, "eps": 0.40, "grossProfit": 5000000000}""",
+    """{"date": "2025-03-31", "symbol": "TSLA", "revenue": 20000000000, "eps": 0.35, "grossProfit": 4500000000}""",
+    """{"date": "2025-06-30", "symbol": "RIVN", "revenue": 1500000000, "eps": -0.50, "grossProfit": 300000000}""",
+    """{"date": "invalid-date", "symbol": "LCID", "revenue": 800000000, "eps": -0.30, "grossProfit": 100000000}""",
+    """{"date": "2025-06-30", "symbol": "BADTICKER99X", "revenue": "N/A", "eps": "null", "grossProfit": "TBD"}""")
+
+  private def writeBronze(): String = {
+    val dir = Files.createTempDirectory("graft_bronze").toString
+    Files.write(java.nio.file.Paths.get(dir, "income.json"),
+      bronzeJson.mkString("\n").getBytes)
+    dir
+  }
+
+  test("full pipeline: bronze -> state table with golden Tesla row; invalid rows quarantined") {
+    val bronzeDir = writeBronze()
+    val statePath = Files.createTempDirectory("graft_state").toString + "/financials"
+    val (state, quarantined) = Pipeline.run(spark, bronzeDir, statePath)
+
+    // golden check (transform.py:232-262): TSLA 2025-Q2 revenue 22.5e9 ± 0.1%, eps 0.40 ± 0.01
+    val golden = Pipeline.goldenCheck(state, "TSLA", "2025-Q2",
+      BigDecimal("22500000000"), BigDecimal("0.40")).collect()
+    assert(golden.length == 1)
+    assert(golden.head.getAs[Boolean]("revenue_ok"))
+    assert(golden.head.getAs[Boolean]("eps_ok"))
+
+    // invalid-date LCID row and over-length ticker row are quarantined
+    val badTickers = quarantined.select("ticker").collect().map(_.getString(0)).toSet
+    assert(badTickers == Set("LCID", "BADTICKER99X"))
+    val firstRows = state.collect().toSet // materialize before the next swap
+    assert(firstRows.size == 3)
+
+    // re-running the same batch is a no-op (merge idempotence)
+    val (state2, _) = Pipeline.run(spark, bronzeDir, statePath)
+    assert(state2.collect().toSet == firstRows)
+  }
+
+  test("CSV export -> re-ingest round trip preserves the state table (load.py:202-227)") {
+    val bronzeDir = writeBronze()
+    val statePath = Files.createTempDirectory("graft_state2").toString + "/financials"
+    val (state, _) = Pipeline.run(spark, bronzeDir, statePath)
+
+    val csvDir = Files.createTempDirectory("graft_csv").toString + "/export"
+    Sinks.exportCsv(state, csvDir, Seq(col("ticker").asc, col("quarter_date").desc))
+    val back = spark.read.schema(Schemas.processedCsv)
+      .option("header", "true").csv(csvDir)
+
+    val a = state.select("ticker", "quarter_date", "quarter_label", "revenue", "eps", "gross_profit")
+      .collect().map(_.toSeq).toSet
+    val b = back.collect().map(_.toSeq).toSet
+    assert(a == b)
+  }
+
+  test("atomic swap write never leaves a missing table") {
+    val path = Files.createTempDirectory("graft_swap").toString + "/t"
+    Sinks.atomicSwapWrite(spark, Seq((1, "a")).toDF("k", "v"), path)
+    assert(spark.read.parquet(path).count() == 1)
+    Sinks.atomicSwapWrite(spark, Seq((1, "a"), (2, "b")).toDF("k", "v"), path)
+    assert(spark.read.parquet(path).count() == 2)
+  }
+
+  test("normalizeIncome derives eps from net income when eps is absent (O-P3+O-X4)") {
+    val df = Seq(
+      """{"date": "2025-06-30", "symbol": "TSLA", "revenue": 22500000000, "netIncome": 1000000000, "grossProfit": 5000000000}""")
+      .toDF("value")
+    val bronze = spark.read.schema(Schemas.fmpIncome).json(df.as[String])
+    val got = Pipeline.normalizeIncome(bronze).collect().head
+    // (1e9/1e6)/3160 shares = 0.3165
+    assert(BigDecimal(got.getAs[java.math.BigDecimal]("eps")) == BigDecimal("0.3165"))
+  }
+}

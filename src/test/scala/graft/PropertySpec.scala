@@ -1,0 +1,54 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import graft.ops.Normalize
+
+/** Property-based invariants (SURVEY.md §5 test plan item 2), using
+  * ScalaCheck generators directly: each property evaluates a batch of
+  * generated inputs through the actual Catalyst expressions (one local
+  * job per property, not per sample).
+  */
+class PropertySpec extends SparkSpec {
+  import spark.implicits._
+
+  test("quarter label always matches ^\\d{4}-Q[1-4]$ and agrees with the month") {
+    val dates = (0 until 200).flatMap(_ => Gen.choose(0L, 365L * 60).sample)
+      .map(d => java.sql.Date.valueOf(java.time.LocalDate.of(1980, 1, 1).plusDays(d)))
+    val rows = dates.toDF("d")
+      .select(col("d"), Normalize.quarterLabel(col("d")).as("label"))
+      .collect()
+    rows.foreach { r =>
+      val d = r.getDate(0).toLocalDate
+      val label = r.getString(1)
+      assert(label.matches("^\\d{4}-Q[1-4]$"), s"$d -> $label")
+      val expectedQ = (d.getMonthValue - 1) / 3 + 1
+      assert(label == s"${d.getYear}-Q$expectedQ", s"$d -> $label")
+    }
+  }
+
+  test("safe decimal heuristic is idempotent for values >= 1e6") {
+    val vals = (0 until 200).flatMap(_ =>
+      Gen.choose(1000000.0, 9.99e11).sample).map(v => BigDecimal(v).setScale(2, BigDecimal.RoundingMode.HALF_UP))
+    val df = vals.map(_.toString).toDF("raw")
+    val once = df.select(Normalize.safeDecimal(col("raw")).as("v"))
+    val twice = once.select(Normalize.safeDecimal(col("v").cast("string")).as("v"))
+    assert(once.collect().map(_.getDecimal(0)).toSeq ==
+      twice.collect().map(_.getDecimal(0)).toSeq)
+  }
+
+  test("parseDateMulti round-trips any date rendered in any supported format") {
+    val fmts = Seq("yyyy-MM-dd", "yyyy-MM-dd HH:mm:ss", "MM/dd/yyyy")
+    val dates = (0 until 100).flatMap(_ => Gen.choose(0L, 365L * 60).sample)
+      .map(d => java.time.LocalDate.of(1980, 1, 1).plusDays(d))
+    val inputs = dates.zipWithIndex.map { case (d, i) =>
+      val f = fmts(i % fmts.size)
+      val rendered = d.atStartOfDay.format(java.time.format.DateTimeFormatter.ofPattern(f))
+      (rendered, java.sql.Date.valueOf(d))
+    }
+    val got = inputs.toDF("raw", "expected")
+      .select(Normalize.parseDateMulti(col("raw")).as("parsed"), col("expected"))
+      .collect()
+    got.foreach(r => assert(r.getDate(0) == r.getDate(1)))
+  }
+}

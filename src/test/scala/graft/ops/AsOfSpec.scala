@@ -1,0 +1,42 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+class AsOfSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = java.sql.Timestamp.valueOf(s)
+
+  test("backward as-of join: latest prior right value, inclusive at equal ts") {
+    val left = Seq(
+      (1L, ts("2024-01-01 10:00:00"), "l1"),
+      (1L, ts("2024-01-01 12:00:00"), "l2"),
+      (2L, ts("2024-01-01 09:00:00"), "l3")) // no prior right row -> null
+      .toDF("user_id", "ts", "tag")
+    val right = Seq(
+      (1L, ts("2024-01-01 09:00:00"), 10.0, 100L),
+      (1L, ts("2024-01-01 12:00:00"), 20.0, 101L), // equal ts: included
+      (3L, ts("2024-01-01 08:00:00"), 99.0, 102L))
+      .toDF("user_id", "ts", "px", "rid")
+
+    val got = AsOf.asofJoinBackward(left, right, Seq("user_id"), "ts",
+        Seq("px"), col("rid"))
+      .select(col("tag"), col("px"))
+      .collect().map(r => r.getString(0) -> Option(r.get(1)).map(_.asInstanceOf[Double]))
+      .toMap
+    assert(got("l1").contains(10.0))
+    assert(got("l2").contains(20.0)) // inclusive <=
+    assert(got("l3").isEmpty)        // no prior purchase
+  }
+
+  test("tiebreak: simultaneous right rows resolved by highest tiebreaker") {
+    val left = Seq((1L, ts("2024-01-01 10:00:00"), "l")).toDF("user_id", "ts", "tag")
+    val right = Seq(
+      (1L, ts("2024-01-01 10:00:00"), 1.0, 1L),
+      (1L, ts("2024-01-01 10:00:00"), 2.0, 2L)).toDF("user_id", "ts", "px", "rid")
+    val got = AsOf.asofJoinBackward(left, right, Seq("user_id"), "ts", Seq("px"), col("rid"))
+      .select(col("px")).collect()
+    assert(got.head.getDouble(0) == 2.0)
+  }
+}

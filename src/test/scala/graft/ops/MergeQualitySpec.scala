@@ -1,0 +1,103 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+class MergeQualitySpec extends SparkSpec {
+  import spark.implicits._
+
+  private def batch(rows: (String, String, Double, Int)*) =
+    rows.toDF("ticker", "quarter", "revenue", "prio")
+
+  test("lastWriteWins keeps exactly one deterministic row per key") {
+    val df = batch(("TSLA", "2025-Q1", 1.0, 1), ("TSLA", "2025-Q1", 2.0, 2),
+      ("RIVN", "2025-Q1", 3.0, 1))
+    val got = Merge.lastWriteWins(df, Seq("ticker", "quarter"), Seq(col("prio").desc))
+      .collect().map(r => (r.getString(0), r.getDouble(2))).toSet
+    assert(got == Set(("TSLA", 2.0), ("RIVN", 3.0)))
+  }
+
+  test("mergeUpsert: incoming beats current on key collision; union otherwise") {
+    val current = batch(("TSLA", "2025-Q1", 1.0, 1), ("LCID", "2025-Q1", 5.0, 1))
+    val incoming = batch(("TSLA", "2025-Q1", 9.0, 1), ("RIVN", "2025-Q1", 3.0, 1))
+    val merged = Merge.mergeUpsert(current, incoming, Seq("ticker", "quarter"))
+    val got = merged.collect().map(r => (r.getString(0), r.getDouble(2))).toMap
+    assert(got == Map("TSLA" -> 9.0, "LCID" -> 5.0, "RIVN" -> 3.0))
+  }
+
+  test("mergeUpsert idempotence: merge(merge(s,b),b) == merge(s,b)") {
+    val current = batch(("TSLA", "2025-Q1", 1.0, 1))
+    val b = batch(("TSLA", "2025-Q1", 9.0, 2), ("RIVN", "2025-Q1", 3.0, 1))
+    val once = Merge.mergeUpsert(current, b, Seq("ticker", "quarter"), Seq(col("prio").desc))
+    val twice = Merge.mergeUpsert(once, b, Seq("ticker", "quarter"), Seq(col("prio").desc))
+    assert(once.collect().toSet == twice.collect().toSet)
+  }
+
+  test("insertIfAbsent: existing rows win unchanged (ON CONFLICT DO NOTHING)") {
+    val existing = batch(("TSLA", "2025-Q1", 1.0, 1))
+    val incoming = batch(("TSLA", "2025-Q1", 9.0, 1), ("RIVN", "2025-Q1", 3.0, 1))
+    val got = Merge.insertIfAbsent(existing, incoming, Seq("ticker"))
+      .collect().map(r => (r.getString(0), r.getDouble(2))).toMap
+    assert(got == Map("TSLA" -> 1.0, "RIVN" -> 3.0))
+  }
+
+  test("tolerance check edges (reference test_edge_cases.py:320-348)") {
+    // revenue 22500000000.01 passes at tol 22500000 (0.1% of 22.5e9)
+    val got = Seq(22500000000.01, 22522500000.01, 0.399999999)
+      .toDF("v")
+      .select(
+        Quality.withinTolerance(col("v"), lit(22500000000.0), lit(22500000.0)).as("rev_ok"),
+        Quality.withinTolerance(col("v"), lit(0.40), lit(0.01)).as("eps_ok"))
+      .collect()
+    assert(got(0).getBoolean(0))      // within 0.1%
+    assert(!got(1).getBoolean(0))     // just past tolerance
+    assert(got(2).getBoolean(1))      // 0.399999999 within 0.01 of 0.40
+  }
+
+  test("withinTolerance is false (not null) for null actuals (load.py:272)") {
+    val got = Seq[java.lang.Double](null).toDF("v")
+      .select(Quality.withinTolerance(col("v"), lit(1.0), lit(0.1)).as("ok"))
+      .collect()
+    assert(!got(0).getBoolean(0))
+  }
+
+  test("label and ticker validation (config.py:82-84)") {
+    val got = Seq(("2025-Q1", "TSLA"), ("2025-Q5", "TSLA"), ("25-Q1", ""),
+      ("2025-Q4", "ABCDEFGHIJK"))
+      .toDF("label", "ticker")
+      .select(Quality.labelValid(col("label")).as("lv"),
+        Quality.tickerValid(col("ticker")).as("tv"))
+      .collect().map(r => (r.getBoolean(0), r.getBoolean(1)))
+    assert(got.toSeq == Seq((true, true), (false, true), (false, false), (true, false)))
+  }
+
+  test("duplicateKeys finds only violated keys") {
+    val df = batch(("TSLA", "2025-Q1", 1.0, 1), ("TSLA", "2025-Q1", 2.0, 2),
+      ("RIVN", "2025-Q1", 3.0, 1))
+    val dups = Quality.duplicateKeys(df, Seq("ticker", "quarter")).collect()
+    assert(dups.length == 1 && dups(0).getString(0) == "TSLA" && dups(0).getLong(2) == 2L)
+  }
+
+  test("quarantine splits without losing rows; null predicate goes to quarantine") {
+    val df = Seq(("a", java.lang.Double.valueOf(1.0)), ("b", null),
+      ("c", java.lang.Double.valueOf(-1.0))).toDF("k", "v")
+    val (clean, bad) = Quality.quarantine(df, col("v") > 0)
+    assert(clean.collect().map(_.getString(0)).toSet == Set("a"))
+    assert(bad.collect().map(_.getString(0)).toSet == Set("b", "c"))
+  }
+
+  test("topKPerGroup keeps k rows per group in order") {
+    val df = Seq(("a", 1), ("a", 3), ("a", 2), ("b", 9)).toDF("g", "v")
+    val got = Windows.topKPerGroup(df, Seq("g"), Seq(col("v").desc), 2)
+      .collect().map(r => (r.getString(0), r.getInt(1))).toSet
+    assert(got == Set(("a", 3), ("a", 2), ("b", 9)))
+  }
+
+  test("dimFactCounts keeps zero-fact dims (load.py:236-241)") {
+    val dim = Seq((1, "x"), (2, "y")).toDF("id", "name")
+    val facts = Seq((1, "f1"), (1, "f2")).toDF("fid", "payload")
+    val got = Summary.dimFactCounts(dim, facts, "id", "fid", "cnt")
+      .collect().map(r => (r.getInt(0), r.getLong(2))).toMap
+    assert(got == Map(1 -> 2L, 2 -> 0L))
+  }
+}

@@ -1,0 +1,99 @@
+package graft.text
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+class TextDedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val docs = Seq(
+    (0L, "the quick brown fox jumps over the lazy dog near the river bank today"),
+    (1L, "the quick brown fox jumps over the lazy dog near the river bank tonight"), // near-dup of 0
+    (2L, "completely different content about spark query engines and columnar execution"),
+    (3L, "the quick brown fox jumps over the lazy dog near the river bank today"),   // exact dup of 0
+    (4L, "el la de que y en palabras espanolas aqui")).toDF("doc_id", "text")
+
+  test("token and subword counts") {
+    val got = Seq("hello, world!  two  spaces", "").toDF("t")
+      .select(TextAnalysis.tokenCount(col("t")).as("n"),
+        TextAnalysis.subwordCount(col("t")).as("sw"))
+      .collect().map(r => (r.getInt(0), r.getInt(1)))
+    assert(got(0) == ((4, 6))) // [hello, ,, world, !] runs + puncts = hello , world ! two spaces
+    assert(got(1) == ((0, 0)))
+  }
+
+  test("language ID: stopword-vote heuristic") {
+    val got = docs.select(col("doc_id"), TextAnalysis.langId(col("text")).as("l"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got(0) == "en")
+    assert(got(4) == "es")
+  }
+
+  test("language ID: no hits -> und") {
+    val got = Seq("xyzzy plugh 42").toDF("t")
+      .select(TextAnalysis.langId(col("t"))).collect()
+    assert(got.head.getString(0) == "und")
+  }
+
+  test("quality score is in [0,1] and higher for clean English prose") {
+    val got = docs.select(col("doc_id"),
+        TextAnalysis.qualityScore(col("text")).as("q")).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    got.values.foreach(q => assert(q >= 0.0 && q <= 1.0))
+    assert(got(0) > got(4)) // English stopword-rich beats Spanish under en-weighted score
+  }
+
+  test("exact fingerprint: whitespace-insensitive, content-sensitive") {
+    val got = Seq("a  b   c", "a b c", "a b d").toDF("t")
+      .select(TextAnalysis.exactFingerprint(col("t"))).collect().map(_.getString(0))
+    assert(got(0) == got(1))
+    assert(got(0) != got(2))
+  }
+
+  test("rolling fingerprint is stable under small suffix edits") {
+    // min-over-shingle-hashes: appending one word usually preserves the min
+    val fp = docs.where(col("doc_id").isin(0L, 1L))
+      .select(TextAnalysis.rollingFingerprint(col("text"))).collect().map(_.getString(0))
+    assert(fp(0) == fp(1))
+  }
+
+  test("exactDuplicates groups identical docs") {
+    val groups = Dedup.exactDuplicates(docs, "doc_id", "text")
+      .where(col("cnt") > 1).collect()
+    assert(groups.length == 1)
+    assert(groups.head.getAs[Long]("cnt") == 2L)
+    assert(groups.head.getAs[Long]("keeper") == 0L)
+  }
+
+  test("ngram Jaccard finds the planted near-dup pair") {
+    val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text", n = 3,
+        threshold = 0.5, maxDocFreq = 100L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((0L, 1L)))
+    assert(pairs.contains((0L, 3L)))
+    assert(pairs.contains((1L, 3L)))
+    assert(!pairs.exists(p => p._1 == 2L || p._2 == 2L))
+  }
+
+  test("MinHash LSH recovers the same pairs as exact Jaccard here") {
+    val exact = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.5, 100L)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Dedup.minHashLshPairs(docs, "doc_id", "text", 3, 0.5)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // LSH candidates are verified exactly, so lsh ⊆ exact; exact dup must survive
+    assert(lsh.subsetOf(exact))
+    assert(lsh.contains((0L, 3L)))
+  }
+
+  test("SimHash: identical docs at Hamming 0, near-dups within 3") {
+    val pairs = Dedup.simHashPairs(docs, "doc_id", "text", maxHamming = 3)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getInt(2))).toMap
+    assert(pairs.get((0L, 3L)).contains(0)) // exact dup -> identical simhash
+  }
+
+  test("hot-shingle cap removes high-df shingles from the index") {
+    val repeated = (0L until 20L).map(i => (i, "same same same same text")).toDF("doc_id", "text")
+    val idx = Dedup.shingleIndex(repeated, "doc_id", "text", 3, maxDocFreq = 5L)
+    assert(idx.count() == 0L) // every shingle appears in all 20 docs -> capped out
+  }
+}

@@ -1,0 +1,64 @@
+package graft.vector
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+class SimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  private val vecs = Seq(
+    (0L, Array(1.0f, 0.0f, 0.0f), 0),
+    (1L, Array(0.9f, 0.1f, 0.0f), 0),
+    (2L, Array(0.0f, 1.0f, 0.0f), 1),
+    (3L, Array(0.0f, 0.95f, 0.05f), 1),
+    (4L, Array(0.0f, 0.0f, 1.0f), 2)).toDF("vec_id", "embedding", "label")
+
+  test("cosine: identical=1, orthogonal=0, zero-norm=null") {
+    val df = Seq(
+      (Array(1.0, 2.0), Array(1.0, 2.0)),
+      (Array(1.0, 0.0), Array(0.0, 1.0)),
+      (Array(0.0, 0.0), Array(1.0, 1.0))).toDF("a", "b")
+      .select(Similarity.cosine(col("a"), col("b")).as("c"))
+    val got = df.collect().map(r => Option(r.get(0)).map(_.asInstanceOf[Double]))
+    assert(math.abs(got(0).get - 1.0) < 1e-12)
+    assert(math.abs(got(1).get) < 1e-12)
+    assert(got(2).isEmpty)
+  }
+
+  test("brute-force top-k: nearest neighbor is the geometric one, self excluded") {
+    val got = Similarity.bruteForceTopK(vecs.where(col("vec_id") === 0L), vecs,
+        "vec_id", "embedding", 2)
+      .orderBy(col("rank")).collect()
+    assert(got.map(_.getAs[Long]("neighbor_id")).toSeq == Seq(1L, 2L).take(2).toSeq
+      || got.head.getAs[Long]("neighbor_id") == 1L)
+    assert(!got.map(_.getAs[Long]("neighbor_id")).contains(0L))
+  }
+
+  test("IVF top-k with nprobe=all matches brute force on this small set") {
+    val brute = Similarity.bruteForceTopK(vecs.where(col("vec_id") < 2), vecs,
+        "vec_id", "embedding", 2)
+      .select("query_id", "rank", "neighbor_id")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    val ivf = Similarity.ivfTopK(vecs.where(col("vec_id") < 2), vecs,
+        "vec_id", "embedding", "label", k = 2, nprobe = 3)
+      .select("query_id", "rank", "neighbor_id")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(ivf == brute)
+  }
+
+  test("centroids: per-label mean, assembled in position order") {
+    val cents = Similarity.centroids(vecs, "label", "embedding")
+      .collect().map(r => r.getInt(0) -> r.getSeq[Double](1)).toMap
+    assert(cents(2).toSeq == Seq(0.0, 0.0, 1.0))
+    assert(math.abs(cents(0).head - 0.95) < 1e-6)
+  }
+
+  test("LSH bucket: identical vectors share a bucket, deterministic across runs") {
+    val df = Seq((0L, Array(1.0f, 2.0f, 3.0f)), (1L, Array(1.0f, 2.0f, 3.0f)),
+      (2L, Array(-1.0f, -2.0f, -3.0f))).toDF("id", "v")
+      .select(col("id"), Similarity.lshBucket(col("v"), dim = 3).as("b"))
+    val got = df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got(0L) == got(1L))
+    assert(got(0L) != got(2L)) // opposite vectors flip every sign bit
+  }
+}
