@@ -1,0 +1,131 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery, Trigger}
+import org.apache.spark.sql.types._
+
+import graft.ops.Merge
+import graft.io.Sinks
+
+/** Structured Streaming operators over the events stream (SURVEY.md §2.10
+  * stretch scope): the reference is pure batch, so these are the engine's
+  * forward path — the same MERGE semantics (O-M1) applied incrementally.
+  *
+  * Scale notes: every operator is keyed state over (user_id / window), so
+  * state partitions across executors; watermarks bound state size — an
+  * unbounded-state streaming agg is the 100 TB failure mode these guard
+  * against.
+  */
+object EventStreams {
+
+  /** Typed event row for streaming tests and stateful ops. */
+  final case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
+                         event_type: String, value: Double)
+
+  /** Session summary emitted by [[sessionize]]. */
+  final case class Session(user_id: Long, session_start: java.sql.Timestamp,
+                           session_end: java.sql.Timestamp, n_events: Long,
+                           total_value: Double)
+
+  /** Internal per-key session accumulator (public: encoder codegen needs
+    * constructor/accessor visibility from generated code). */
+  final case class SessionState(start: Long, last: Long, n: Long, total: Double)
+
+  /** Tumbling-window aggregate with a watermark (the streaming twin of the
+    * `events_tumbling` batch query): count + exact decimal sum per
+    * (hour, event_type). Late rows beyond `watermark` are dropped, which
+    * bounds state.
+    */
+  def tumblingAgg(events: DataFrame, watermark: String = "2 hours",
+                  windowLen: String = "1 hour"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), windowLen), col("event_type"))
+      .agg(count(lit(1)).as("cnt"),
+        sum(col("value").cast(DecimalType(18, 6))).cast(DecimalType(20, 6)).as("sum_value"))
+      .select(col("window.start").as("hour_start"), col("event_type"),
+        col("cnt"), col("sum_value"))
+
+  /** Custom-state sessionization via flatMapGroupsWithState: a session is
+    * a run of events per user with gaps < `gapMs`. A session closes either
+    * when a later event of the same user arrives past the gap, or when the
+    * event-time watermark passes session_end + gap (event-time timeout —
+    * data-driven, so tests and backfills settle deterministically; a
+    * processing-time timeout would re-trigger forever). State per key is a
+    * fixed-size summary (start/last/n/total), not the event list — O(keys)
+    * state, never O(events).
+    */
+  def sessionize(events: Dataset[Event], gapMs: Long,
+                 watermark: String = "0 seconds"): Dataset[Session] = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", watermark)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, Session](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (userId: Long, rows: Iterator[Event], state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator.single(Session(userId, new java.sql.Timestamp(s.start),
+              new java.sql.Timestamp(s.last), s.n, s.total))
+          } else {
+            val sorted = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+            var cur = state.getOption
+            val closed = Seq.newBuilder[Session]
+            sorted.foreach { e =>
+              val t = e.ts.getTime
+              cur match {
+                case Some(s) if t - s.last < gapMs =>
+                  cur = Some(s.copy(last = t, n = s.n + 1, total = s.total + e.value))
+                case Some(s) =>
+                  closed += Session(userId, new java.sql.Timestamp(s.start),
+                    new java.sql.Timestamp(s.last), s.n, s.total)
+                  cur = Some(SessionState(t, t, 1, e.value))
+                case None =>
+                  cur = Some(SessionState(t, t, 1, e.value))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              // Timeout must be beyond the current watermark.
+              state.setTimeoutTimestamp(
+                math.max(s.last + gapMs, state.getCurrentWatermarkMs() + 1))
+            }
+            closed.result().iterator
+          }
+      }
+  }
+
+  /** Incremental MERGE sink: each micro-batch is last-write-wins-merged
+    * into the Parquet state table on `keys` (streaming O-M1 —
+    * `readStream -> foreachBatch { merge }`, the seam SURVEY.md §2.10
+    * identified). The winner per key is decided by `precedence` (which
+    * must be a total order, e.g. event time desc + unique id desc) across
+    * state AND batch — NOT by arrival order, so replays/out-of-order
+    * micro-batches converge to the same state as a batch dedup over all
+    * events (exactly-once-equivalent semantics on top of an at-least-once
+    * source).
+    */
+  def mergeSink(stream: DataFrame, statePath: String, keys: Seq[String],
+                precedence: Seq[Column], checkpoint: String): StreamingQuery =
+    stream.writeStream
+      .outputMode(OutputMode.Update())
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val spark = batch.sparkSession
+        val deduped = Merge.lastWriteWins(batch, keys, precedence)
+        val current =
+          try spark.read.parquet(statePath)
+          catch {
+            case _: Exception => spark.createDataFrame(
+              spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], deduped.schema)
+          }
+        val merged = Merge.lastWriteWins(
+          current.unionByName(deduped), keys, precedence)
+        Sinks.atomicSwapWrite(spark, merged, statePath)
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+}
