@@ -337,9 +337,11 @@ object Queries {
         round(TextAnalysis.qualityScore(col("text")), 6).as("quality"))),
 
     "text_fingerprint" -> ((s, dir) =>
-      t(s, dir, "documents").select(col("doc_id"),
-        TextAnalysis.exactFingerprint(col("text")).as("fingerprint"),
-        TextAnalysis.rollingFingerprint(col("text")).as("rolling_fp"))),
+      t(s, dir, "documents")
+        .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("toks"))
+        .select(col("doc_id"),
+          md5(concat_ws(" ", col("toks"))).as("fingerprint"),
+          TextAnalysis.rollingFingerprintFromTokens(col("toks")).as("rolling_fp"))),
 
     // ---- dedup ------------------------------------------------------------
     "dedup_exact" -> ((s, dir) =>

@@ -45,8 +45,12 @@ object Dedup {
     */
   def shingleIndex(docs: DataFrame, idCol: String, textCol: String, n: Int,
                    maxDocFreq: Long): DataFrame = {
-    val sh = docs.select(col(idCol).as("doc_id"),
-        explode(TextAnalysis.shingles(col(textCol), n)).as("shingle"))
+    // Tokenize in its own projection so the shingle lambda references an
+    // attribute — inlining split() here would re-tokenize per shingle.
+    val sh = docs
+      .select(col(idCol).as("doc_id"), TextAnalysis.tokens(col(textCol)).as("toks"))
+      .select(col("doc_id"),
+        explode(TextAnalysis.shinglesFromTokens(col("toks"), n)).as("shingle"))
     val hot = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
       .where(col("df") > maxDocFreq).select("shingle")
     sh.join(hot, Seq("shingle"), "left_anti")

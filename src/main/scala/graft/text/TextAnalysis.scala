@@ -72,27 +72,49 @@ object TextAnalysis {
     alphaRatio * 0.4 + stopRatio * 0.3 + lenFactor * 0.3
   }
 
-  /** Word n-gram shingles as strings (distinct), the unit of Jaccard /
-    * MinHash dedup. `n >= 1`; texts with fewer than n tokens yield an
-    * empty array.
+  /** Word n-gram shingles from a PRE-TOKENIZED array column (distinct),
+    * the unit of Jaccard / MinHash dedup. `n >= 1`; fewer than n tokens
+    * yields an empty array.
+    *
+    * Perf contract: `toks` should be an attribute produced by a separate
+    * projection (`df.select(..., tokens(col).as("toks"))`), not an inline
+    * `tokens(text)` call — the lambda below references `toks` once per
+    * shingle, so an inlined split() would re-tokenize O(tokens) times per
+    * row. Catalyst's CollapseProject keeps the two-projection shape
+    * because the alias is non-cheap and used repeatedly.
     */
-  def shingles(text: Column, n: Int): Column = {
-    val toks = tokens(text)
-    val cnt  = size(toks)
+  def shinglesFromTokens(toks: Column, n: Int): Column = {
+    val cnt = size(toks)
     when(cnt >= n,
       array_distinct(transform(sequence(lit(1), cnt - (n - 1)),
         i => concat_ws(" ", slice(toks, i, lit(n))))))
       .otherwise(array().cast(ArrayType(StringType)))
   }
 
+  /** Word n-gram shingles straight from text — convenience form; prefer
+    * [[shinglesFromTokens]] over an aliased token column in hot paths.
+    */
+  def shingles(text: Column, n: Int): Column =
+    shinglesFromTokens(tokens(text), n)
+
   /** Exact-duplicate fingerprint: md5 of the whitespace-normalized text. */
   def exactFingerprint(text: Column): Column =
     md5(concat_ws(" ", tokens(text)))
 
-  /** Rolling-hash document fingerprint: the minimum md5 over 3-token
-    * shingles (a 1-permutation MinHash) — stable under small edits, unlike
-    * [[exactFingerprint]]. Texts under 3 tokens fall back to the exact
-    * fingerprint.
+  /** Rolling fingerprint from a pre-tokenized array column: the minimum
+    * md5 over 3-token shingles (a 1-permutation MinHash) — stable under
+    * small edits, unlike [[exactFingerprint]]. Under 3 tokens falls back
+    * to the exact fingerprint of the tokens.
+    */
+  def rollingFingerprintFromTokens(toks: Column): Column = {
+    val sh = shinglesFromTokens(toks, 3)
+    when(size(sh) > 0, array_min(transform(sh, s => md5(s))))
+      .otherwise(md5(concat_ws(" ", toks)))
+  }
+
+  /** Rolling fingerprint straight from text — convenience form; prefer
+    * [[rollingFingerprintFromTokens]] in hot paths (see
+    * [[shinglesFromTokens]] perf contract).
     */
   def rollingFingerprint(text: Column): Column = {
     val sh = shingles(text, 3)
