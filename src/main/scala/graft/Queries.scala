@@ -376,6 +376,19 @@ object Queries {
           col("neighbor_id"), round(col("sim"), 6).as("sim"))
     }),
 
+    // Embedding-cosine near-dup: exact O(n^2) tier with a brute-force
+    // DuckDB twin; norms precomputed per vector, not per pair.
+    "dedup_embedding" -> ((s, dir) =>
+      Similarity.nearDupPairs(t(s, dir, "embeddings"), "vec_id", "embedding", 0.45)
+        .select(col("doc_a"), col("doc_b"), round(col("sim"), 6).as("sim"))),
+
+    // LSH-bucketed variant (candidates = shared hyperplane bucket;
+    // recall < 1, verified exactly -> rows-only check).
+    "dedup_embedding_lsh" -> ((s, dir) =>
+      Similarity.lshNearDupPairs(t(s, dir, "embeddings"), "vec_id", "embedding",
+          dim = 64, threshold = 0.45, nbits = 4)
+        .select(col("doc_a"), col("doc_b"), round(col("sim"), 6).as("sim"))),
+
     // ---- multimodal -------------------------------------------------------
     // Binary payload plumbing: utf-8 bytes of the text stand in for an
     // opaque media payload; fixed-stride frame sampling + per-frame hash.
@@ -710,6 +723,15 @@ object Queries {
         |          ORDER BY CASE WHEN n > 0 THEN d / n END DESC, neighbor_id) AS rank
         |      FROM s)
         |SELECT query_id, rank, neighbor_id, round(sim, 6) AS sim FROM r WHERE rank <= 5""".stripMargin,
+
+    "dedup_embedding" ->
+      """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |           FROM embeddings),
+        |n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
+        |p AS (SELECT a.vec_id AS doc_a, b.vec_id AS doc_b,
+        |        list_dot_product(a.v, b.v) / (a.nrm * b.nrm) AS sim
+        |      FROM n a JOIN n b ON a.vec_id < b.vec_id)
+        |SELECT doc_a, doc_b, round(sim, 6) AS sim FROM p WHERE sim >= 0.45""".stripMargin,
 
     "multimodal_frames" ->
       """WITH b AS (SELECT doc_id, text, length(text) AS n FROM documents),

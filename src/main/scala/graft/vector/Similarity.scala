@@ -87,6 +87,44 @@ object Similarity {
       .select(col("query_id"), col("rank"), col("neighbor_id"), col("sim"))
   }
 
+  /** Exact embedding-cosine near-duplicate pairs: all (a < b) with
+    * cosine >= threshold. Norms are precomputed once per vector in their
+    * own projection (not once per pair). O(n^2) compare — this is the
+    * exact tier for modest corpora and the verifier behind
+    * [[lshNearDupPairs]]; at 100 TB use the LSH form for candidates.
+    */
+  def nearDupPairs(corpus: DataFrame, idCol: String, vecCol: String,
+                   threshold: Double): DataFrame = {
+    val a = corpus.select(col(idCol).as("doc_a"), col(vecCol).as("va"))
+      .withColumn("na", l2Norm(col("va")))
+    val b = corpus.select(col(idCol).as("doc_b"), col(vecCol).as("vb"))
+      .withColumn("nb", l2Norm(col("vb")))
+    a.join(b, col("doc_a") < col("doc_b"))
+      .withColumn("sim", dot(col("va"), col("vb")) / (col("na") * col("nb")))
+      .where(col("sim") >= threshold)
+      .select(col("doc_a"), col("doc_b"), col("sim"))
+  }
+
+  /** LSH-bucketed embedding near-dup: candidates share a random-hyperplane
+    * bucket (equi-join on the bucket id — partitions cleanly at corpus
+    * scale), then exact cosine verification. Recall < 1 by construction
+    * (pairs split across buckets are missed); raise recall by lowering
+    * `nbits` or unioning several seeds.
+    */
+  def lshNearDupPairs(corpus: DataFrame, idCol: String, vecCol: String,
+                      dim: Int, threshold: Double, nbits: Int = 8,
+                      seed: Long = 42L): DataFrame = {
+    val bucketed = corpus.select(col(idCol).as("id"), col(vecCol).as("v"),
+      lshBucket(col(vecCol), dim, nbits, seed).as("bucket"))
+    val a = bucketed.select(col("id").as("doc_a"), col("v").as("va"), col("bucket"))
+    val b = bucketed.select(col("id").as("doc_b"), col("v").as("vb"), col("bucket"))
+    a.join(b, Seq("bucket"))
+      .where(col("doc_a") < col("doc_b"))
+      .withColumn("sim", cosine(col("va"), col("vb")))
+      .where(col("sim") >= threshold)
+      .select(col("doc_a"), col("doc_b"), col("sim"))
+  }
+
   /** Random-hyperplane LSH bucket id (`nbits` sign bits from fixed seeded
     * hyperplanes): vectors in the same bucket are ANN candidates. The
     * hyperplanes are derived deterministically from (seed, bit, pos) via a

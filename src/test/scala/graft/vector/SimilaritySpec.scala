@@ -53,6 +53,23 @@ class SimilaritySpec extends SparkSpec {
     assert(math.abs(cents(0).head - 0.95) < 1e-6)
   }
 
+  test("nearDupPairs: finds the near-identical pair, orders ids, excludes self") {
+    val pairs = Similarity.nearDupPairs(vecs, "vec_id", "embedding", 0.95)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((0L, 1L))) // cos ~ 0.994
+    assert(pairs.contains((2L, 3L)))
+    assert(!pairs.exists(p => p._1 >= p._2))
+  }
+
+  test("lshNearDupPairs is a verified subset of the exact pairs") {
+    val exact = Similarity.nearDupPairs(vecs, "vec_id", "embedding", 0.95)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Similarity.lshNearDupPairs(vecs, "vec_id", "embedding",
+        dim = 3, threshold = 0.95, nbits = 2)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lsh.subsetOf(exact))
+  }
+
   test("LSH bucket: identical vectors share a bucket, deterministic across runs") {
     val df = Seq((0L, Array(1.0f, 2.0f, 3.0f)), (1L, Array(1.0f, 2.0f, 3.0f)),
       (2L, Array(-1.0f, -2.0f, -3.0f))).toDF("id", "v")
