@@ -1,0 +1,117 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.GraftShims
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types._
+
+/** Custom Catalyst expressions for vector math — the one place the
+  * built-in surface genuinely can't express the computation efficiently
+  * (SURVEY.md §7.4 preference order: compose > custom Expression > custom
+  * plan > mapPartitions):
+  *
+  *  - array higher-order functions (`aggregate`/`zip_with`) are
+  *    CodegenFallback: interpreted, one lambda dispatch + array allocation
+  *    per call — measured ~13 us per 64-dim dot on the O(n^2) near-dup
+  *    join;
+  *  - a statically unrolled `element_at` chain IS codegen'd but produces
+  *    a giant expression whose generated method blows past the JIT's
+  *    HugeMethodLimit, so it runs as interpreted bytecode — measured 3x
+  *    WORSE than the HOF form.
+  *
+  * [[DotProduct]] emits a compact loop over the two `ArrayData` buffers:
+  * small JIT-friendly bytecode, no allocation, no dispatch.
+  */
+object VectorExpressions {
+
+  /** `dot(a, b)` over two numeric arrays, accumulated in double.
+    * Null array or null element -> null (matches the HOF
+    * `aggregate(zip_with(...))` semantics). Arrays of different lengths
+    * dot over the common prefix.
+    */
+  case class DotProduct(left: Expression, right: Expression)
+      extends BinaryExpression {
+
+    override def dataType: DataType = DoubleType
+
+    override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+      (left.dataType, right.dataType) match {
+        case (ArrayType(l: NumericType, _), ArrayType(r: NumericType, _)) =>
+          org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+        case _ =>
+          org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+            s"dot requires two numeric arrays, got ${left.dataType} and ${right.dataType}")
+      }
+    }
+
+    private def elemType(e: Expression): NumericType =
+      e.dataType.asInstanceOf[ArrayType].elementType.asInstanceOf[NumericType]
+
+    override def nullSafeEval(a: Any, b: Any): Any = {
+      val (la, ra) = (a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+      val n = math.min(la.numElements(), ra.numElements())
+      val (lt, rt) = (elemType(left), elemType(right))
+      var acc = 0.0
+      var i = 0
+      while (i < n) {
+        if (la.isNullAt(i) || ra.isNullAt(i)) return null
+        acc += numeric(la, i, lt) * numeric(ra, i, rt)
+        i += 1
+      }
+      acc
+    }
+
+    private def numeric(ad: ArrayData, i: Int, t: NumericType): Double = t match {
+      case FloatType => ad.getFloat(i).toDouble
+      case DoubleType => ad.getDouble(i)
+      case IntegerType => ad.getInt(i).toDouble
+      case LongType => ad.getLong(i).toDouble
+      case ShortType => ad.getShort(i).toDouble
+      case ByteType => ad.getByte(i).toDouble
+      case d: DecimalType => ad.getDecimal(i, d.precision, d.scale).toDouble
+    }
+
+    private def getterFor(t: NumericType, buf: String, idx: String): String = t match {
+      case FloatType => s"(double) $buf.getFloat($idx)"
+      case DoubleType => s"$buf.getDouble($idx)"
+      case IntegerType => s"(double) $buf.getInt($idx)"
+      case LongType => s"(double) $buf.getLong($idx)"
+      case ShortType => s"(double) $buf.getShort($idx)"
+      case ByteType => s"(double) $buf.getByte($idx)"
+      case d: DecimalType => s"$buf.getDecimal($idx, ${d.precision}, ${d.scale}).toDouble()"
+    }
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val (lt, rt) = (elemType(left), elemType(right))
+      nullSafeCodeGen(ctx, ev, (a, b) => {
+        val i = ctx.freshName("i")
+        val n = ctx.freshName("n")
+        val acc = ctx.freshName("acc")
+        s"""
+           |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+           |double $acc = 0.0;
+           |for (int $i = 0; $i < $n; $i++) {
+           |  if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
+           |  $acc += (${getterFor(lt, a, i)}) * (${getterFor(rt, b, i)});
+           |}
+           |${ev.value} = $acc;
+         """.stripMargin
+      })
+    }
+
+    override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
+      copy(left = newLeft, right = newRight)
+
+    override def prettyName: String = "graft_dot"
+  }
+
+  /** Column-level fast dot product (codegen'd loop, see [[DotProduct]]).
+    * Bit-identical to the HOF form (same left-to-right accumulation).
+    */
+  def dotFast(a: Column, b: Column): Column =
+    GraftShims.column(DotProduct(
+      GraftShims.expression(a), GraftShims.expression(b)))
+}

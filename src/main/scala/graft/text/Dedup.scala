@@ -96,7 +96,9 @@ object Dedup {
   }
 
   /** Per-doc MinHash signature: one aggregate over the shingle index,
-    * producing `numPerm` min-hash columns in a single shuffle.
+    * producing `numPerm` min-hash columns in a single shuffle. Prefer
+    * [[minHashSignaturesFromShingles]] (shuffle-free) when the per-doc
+    * shingle arrays are at hand.
     */
   def minHashSignatures(idx: DataFrame, p: MinHashParams): DataFrame = {
     // Reduce the 64-bit shingle hash into [0, prime) once, then apply all
@@ -107,6 +109,25 @@ object Dedup {
       min(pmod(hm * lit(p.as(i)) + lit(p.bs(i)), lit(p.prime))).as(s"mh_$i")
     }
     idx.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** Shuffle-free MinHash signatures from per-doc shingle arrays: each
+    * permutation is an `array_min(transform(...))` per-row expression —
+    * zero exchanges. MEASURED SLOWER locally than [[minHashSignatures]]
+    * (array higher-order functions are CodegenFallback/interpreted, while
+    * the explode+groupBy min-aggregate is whole-stage-codegen'd); kept as
+    * the zero-shuffle alternative for shuffle-constrained clusters where
+    * exchange volume, not CPU, is the bottleneck. Input: (doc_id,
+    * sh: array<string>). Empty shingle arrays yield null signatures.
+    */
+  def minHashSignaturesFromShingles(docsWithShingles: DataFrame, p: MinHashParams): DataFrame = {
+    val withHashes = docsWithShingles.select(col("doc_id"),
+      transform(col("sh"), s => pmod(xxhash64(s), lit(p.prime))).as("hm"))
+    val sigCols = (0 until p.numPerm).map { i =>
+      array_min(transform(col("hm"), h => pmod(h * lit(p.as(i)) + lit(p.bs(i)), lit(p.prime))))
+        .as(s"mh_$i")
+    }
+    withHashes.select(col("doc_id") +: sigCols: _*)
   }
 
   /** LSH banding: explode each signature into (band_idx, band_key) and
@@ -147,7 +168,9 @@ object Dedup {
 
   /** 64-bit SimHash per doc: sign-vote of token hashes bit by bit.
     * Expressed as an aggregate over exploded tokens: per bit, sum(+1/-1)
-    * votes; bit set iff vote > 0. Fixed 64 sum-aggregates in one shuffle.
+    * votes; bit set iff vote > 0. Fixed 64 sum-aggregates in one shuffle —
+    * the codegen'd hash-aggregate form beats a zero-shuffle array-HOF
+    * rewrite locally because HOFs are interpreted (CodegenFallback).
     */
   def simHash(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val toks = docTokens(docs, idCol, textCol)

@@ -14,10 +14,16 @@ import org.apache.spark.sql.types._
   */
 object Similarity {
 
-  /** Dot product of two numeric arrays, accumulated in double. */
+  /** Dot product via the custom codegen'd loop expression
+    * ([[graft.functions.VectorExpressions.DotProduct]]). The pure-built-in
+    * alternatives both lose: array higher-order functions are
+    * CodegenFallback (interpreted lambda + allocation per call), and a
+    * statically unrolled element_at chain generates a method past the
+    * JIT's HugeMethodLimit (measured 3x slower than even the HOF form on
+    * the O(n^2) near-dup join). Left-to-right accumulation in double.
+    */
   def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x.cast(DoubleType) * y.cast(DoubleType)),
-      lit(0.0), (acc, v) => acc + v)
+    graft.functions.VectorExpressions.dotFast(a, b)
 
   /** L2 norm. */
   def l2Norm(a: Column): Column = sqrt(dot(a, a))
@@ -96,9 +102,9 @@ object Similarity {
   def nearDupPairs(corpus: DataFrame, idCol: String, vecCol: String,
                    threshold: Double): DataFrame = {
     val a = corpus.select(col(idCol).as("doc_a"), col(vecCol).as("va"))
-      .withColumn("na", l2Norm(col("va")))
+      .withColumn("na", sqrt(dot(col("va"), col("va"))))
     val b = corpus.select(col(idCol).as("doc_b"), col(vecCol).as("vb"))
-      .withColumn("nb", l2Norm(col("vb")))
+      .withColumn("nb", sqrt(dot(col("vb"), col("vb"))))
     a.join(b, col("doc_a") < col("doc_b"))
       .withColumn("sim", dot(col("va"), col("vb")) / (col("na") * col("nb")))
       .where(col("sim") >= threshold)
@@ -116,11 +122,14 @@ object Similarity {
                       seed: Long = 42L): DataFrame = {
     val bucketed = corpus.select(col(idCol).as("id"), col(vecCol).as("v"),
       lshBucket(col(vecCol), dim, nbits, seed).as("bucket"))
-    val a = bucketed.select(col("id").as("doc_a"), col("v").as("va"), col("bucket"))
-    val b = bucketed.select(col("id").as("doc_b"), col("v").as("vb"), col("bucket"))
+      .withColumn("nrm", sqrt(dot(col("v"), col("v"))))
+    val a = bucketed.select(col("id").as("doc_a"), col("v").as("va"),
+      col("nrm").as("na"), col("bucket"))
+    val b = bucketed.select(col("id").as("doc_b"), col("v").as("vb"),
+      col("nrm").as("nb"), col("bucket"))
     a.join(b, Seq("bucket"))
       .where(col("doc_a") < col("doc_b"))
-      .withColumn("sim", cosine(col("va"), col("vb")))
+      .withColumn("sim", dot(col("va"), col("vb")) / (col("na") * col("nb")))
       .where(col("sim") >= threshold)
       .select(col("doc_a"), col("doc_b"), col("sim"))
   }
