@@ -61,6 +61,32 @@ object Pipeline {
         withinTolerance(col("eps"), lit(expectedEps), lit(BigDecimal("0.01"))).as("eps_ok"))
   }
 
+  /** Normalize bronze analyst-estimates JSON (reference extract.py:113-127,
+    * EstimateData config.py:100-108): same parse/label path as income, plus
+    * the non-negative analyst-count constraint (negative -> null).
+    */
+  def normalizeEstimates(bronze: DataFrame): DataFrame = {
+    import Normalize._
+    val cnt = col("numberAnalystsEstimatedRevenue").try_cast(IntegerType)
+    bronze
+      .withColumn("quarter_date", parseDateMulti(col("date")))
+      .withColumn("quarter_label", quarterLabel(col("quarter_date")))
+      .withColumn("estimated_revenue", millionsValidator(safeDecimal(col("estimatedRevenueAvg"))))
+      .withColumn("estimated_eps", col("estimatedEpsAvg").try_cast(DecimalType(10, 4)))
+      .withColumn("analyst_count", when(cnt >= 0, cnt))
+      .select(col("symbol").as("ticker"), col("quarter_date"), col("quarter_label"),
+        col("estimated_revenue"), col("estimated_eps"), col("analyst_count"))
+  }
+
+  /** Health-check / summary query (reference load.py:229-246 +
+    * main.py:140-154): per-ticker fact counts over the state table,
+    * keeping zero-fact tickers from the dim side.
+    */
+  def healthCheck(companies: DataFrame, state: DataFrame): DataFrame =
+    graft.ops.Summary.dimFactCounts(companies,
+      state.select(col("ticker").as("fact_ticker")),
+      "ticker", "fact_ticker", "financial_records")
+
   /** Run the full pipeline: normalize bronze, quarantine invalid rows,
     * merge into the Parquet state table (last-write-wins on the natural
     * key), and return (loadedState, quarantined).

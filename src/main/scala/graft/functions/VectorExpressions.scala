@@ -37,6 +37,19 @@ object VectorExpressions {
 
     override def dataType: DataType = DoubleType
 
+    /** Null when either array is null OR either array may CONTAIN nulls
+      * (a null element nulls the dot). Without the containsNull term,
+      * codegen hard-wires isNull=false and the element-null branch is
+      * dead code.
+      */
+    override def nullable: Boolean = {
+      def elemNullable(e: Expression): Boolean = e.dataType match {
+        case ArrayType(_, cn) => cn
+        case _ => true
+      }
+      left.nullable || right.nullable || elemNullable(left) || elemNullable(right)
+    }
+
     override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
       (left.dataType, right.dataType) match {
         case (ArrayType(l: NumericType, _), ArrayType(r: NumericType, _)) =>

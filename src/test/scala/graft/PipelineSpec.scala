@@ -75,6 +75,32 @@ class PipelineSpec extends SparkSpec {
     assert(spark.read.parquet(path).count() == 2)
   }
 
+  test("normalizeEstimates: estimate shape with non-negative analyst count") {
+    val df = Seq(
+      """{"date": "2025-09-30", "symbol": "TSLA", "estimatedRevenueAvg": 26000000000, "estimatedEpsAvg": 0.45, "numberAnalystsEstimatedRevenue": 24}""",
+      """{"date": "2025-09-30", "symbol": "RIVN", "estimatedRevenueAvg": "N/A", "estimatedEpsAvg": -0.40, "numberAnalystsEstimatedRevenue": -3}""")
+      .toDF("value")
+    val bronze = spark.read.schema(Schemas.fmpEstimates).json(df.as[String])
+    val got = Pipeline.normalizeEstimates(bronze).collect()
+      .map(r => r.getAs[String]("ticker") -> r).toMap
+    val tsla = got("TSLA")
+    assert(tsla.getAs[String]("quarter_label") == "2025-Q3")
+    assert(BigDecimal(tsla.getAs[java.math.BigDecimal]("estimated_revenue")) == BigDecimal("26000000000.00"))
+    assert(tsla.getAs[Int]("analyst_count") == 24)
+    val rivn = got("RIVN")
+    assert(rivn.getAs[java.math.BigDecimal]("estimated_revenue") == null)
+    assert(rivn.isNullAt(rivn.fieldIndex("analyst_count"))) // negative -> null
+  }
+
+  test("healthCheck: per-ticker fact counts keep zero-fact companies") {
+    val companies = Seq(("TSLA", "Tesla Inc", "EV"), ("LCID", "Lucid Inc", "EV"))
+      .toDF("ticker", "name", "sector")
+    val state = Seq(("TSLA", "2025-Q1"), ("TSLA", "2025-Q2")).toDF("ticker", "quarter_label")
+    val got = Pipeline.healthCheck(companies, state)
+      .collect().map(r => r.getAs[String]("ticker") -> r.getAs[Long]("financial_records")).toMap
+    assert(got == Map("TSLA" -> 2L, "LCID" -> 0L))
+  }
+
   test("normalizeIncome derives eps from net income when eps is absent (O-P3+O-X4)") {
     val df = Seq(
       """{"date": "2025-06-30", "symbol": "TSLA", "revenue": 22500000000, "netIncome": 1000000000, "grossProfit": 5000000000}""")

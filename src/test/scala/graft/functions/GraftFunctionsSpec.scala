@@ -1,0 +1,36 @@
+package graft.functions
+
+import graft.SparkSpec
+
+class GraftFunctionsSpec extends SparkSpec {
+
+  test("graft_dot resolves in SQL after runtime registration") {
+    GraftFunctions.register(spark)
+    val got = spark.sql(
+      "SELECT graft_dot(array(1.0D, 2.0D, 3.0D), array(4.0D, 5.0D, 6.0D)) AS d")
+      .collect().head.getDouble(0)
+    assert(got == 32.0)
+  }
+
+  test("graft_dot: null element and float arrays") {
+    GraftFunctions.register(spark)
+    val rows = spark.sql(
+      """SELECT graft_dot(array(CAST(1.5 AS FLOAT)), array(CAST(2.0 AS FLOAT))) AS f,
+        |       graft_dot(array(1.0D, NULL), array(1.0D, 1.0D)) AS n""".stripMargin)
+      .collect().head
+    assert(rows.getDouble(0) == 3.0)
+    assert(rows.isNullAt(1))
+  }
+
+  test("extensions class injects the function builder") {
+    val ext = new org.apache.spark.sql.SparkSessionExtensions
+    new GraftExtensions().apply(ext) // must not throw; builder wiring smoke
+  }
+
+  test("graft_dot rejects non-array inputs at analysis") {
+    GraftFunctions.register(spark)
+    val e = intercept[Exception](spark.sql("SELECT graft_dot(1, 2)").collect())
+    assert(e.getMessage.toLowerCase.contains("dot") ||
+      e.getMessage.toLowerCase.contains("type"))
+  }
+}
