@@ -322,6 +322,45 @@ object Queries {
         .select(col("event_id"), col("user_id"), col("ts"), col("purchase_value"))
     }),
 
+    // Batch sessionization (the batch twin of streaming/EventStreams
+    // .sessionize): gap > 30 min starts a session; lag + running sum of
+    // start flags assigns session ids in two window passes over ONE
+    // shuffle (same partitioning), then one aggregate.
+    "events_sessionize" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val gapMs = 30L * 60 * 1000
+      val withFlag = Tables.events(s, dir)
+        .select(col("user_id"), col("ts"), col("event_id"), col("value"))
+        .withColumn("prev_ts", lag(col("ts"), 1).over(w))
+        .withColumn("new_session",
+          when(col("prev_ts").isNull ||
+            (unix_millis(col("ts")) - unix_millis(col("prev_ts"))) >= gapMs, 1L)
+            .otherwise(0L))
+        .withColumn("session_seq",
+          sum(col("new_session")).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      withFlag.groupBy(col("user_id"), col("session_seq"))
+        .agg(min(col("ts")).as("session_start"), max(col("ts")).as("session_end"),
+          count(lit(1)).as("n_events"),
+          sum(col("value").cast(DecimalType(18, 6))).cast(DecimalType(20, 6)).as("total_value"))
+    }),
+
+    // SQL-surface parity: the same engine running `spark.sql` over temp
+    // views (per-nation revenue by quarter — the flagship shape in SQL).
+    "sql_revenue_rollup" -> ((s, dir) => {
+      t(s, dir, "orders").createOrReplaceTempView("orders_v")
+      t(s, dir, "customer").createOrReplaceTempView("customer_v")
+      t(s, dir, "nation").createOrReplaceTempView("nation_v")
+      s.sql(
+        """SELECT n_name,
+          |  CAST(year(o_orderdate) AS STRING) || '-Q' || CAST(quarter(o_orderdate) AS STRING) AS quarter_label,
+          |  CAST(SUM(CAST(o_totalprice AS DECIMAL(15,2))) AS DECIMAL(18,2)) AS revenue,
+          |  count(*) AS order_cnt
+          |FROM orders_v
+          |JOIN customer_v ON o_custkey = c_custkey
+          |JOIN nation_v ON c_nationkey = n_nationkey
+          |GROUP BY 1, 2""".stripMargin)
+    }),
+
     // ---- text analysis ----------------------------------------------------
     "text_stats" -> ((s, dir) =>
       t(s, dir, "documents").select(col("doc_id"),
@@ -628,6 +667,38 @@ object Queries {
         |   WHERE r.event_type = 'purchase' AND r.user_id = l.user_id AND r.ts <= l.ts
         |   ORDER BY r.ts DESC, r.event_id DESC LIMIT 1) AS purchase_value
         |FROM events l WHERE l.event_type = 'click'""".stripMargin,
+
+    "events_sessionize" ->
+      """WITH f AS (
+        |  SELECT user_id, ts, event_id, value,
+        |    lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+        |  FROM events),
+        |g AS (
+        |  SELECT user_id, ts, event_id, value,
+        |    CASE WHEN prev_ts IS NULL
+        |           OR epoch_ms(ts) - epoch_ms(prev_ts) >= 1800000 THEN 1 ELSE 0 END AS new_session
+        |  FROM f),
+        |h AS (
+        |  SELECT user_id, ts, event_id, value,
+        |    SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+        |  FROM g)
+        |SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq,
+        |  CAST(MIN(ts) AS TIMESTAMP) AS session_start,
+        |  CAST(MAX(ts) AS TIMESTAMP) AS session_end,
+        |  count(*) AS n_events,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DECIMAL(20,6)) AS total_value
+        |FROM h GROUP BY 1, 2""".stripMargin,
+
+    "sql_revenue_rollup" ->
+      """SELECT n_name,
+        |  CAST(year(o_orderdate) AS VARCHAR) || '-Q' || CAST(quarter(o_orderdate) AS VARCHAR) AS quarter_label,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(15,2))) AS DECIMAL(18,2)) AS revenue,
+        |  count(*) AS order_cnt
+        |FROM orders
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY 1, 2""".stripMargin,
 
     "text_stats" ->
       """SELECT doc_id,
