@@ -38,10 +38,14 @@ object Dedup {
       .groupBy("fingerprint")
       .agg(count(lit(1)).as("cnt"), min(col("doc_id")).as("keeper"))
 
-  /** (doc_id, shingle) inverted-index edge list, shingles distinct per doc,
-    * with a hot-shingle cap: shingles occurring in more than `maxDocFreq`
-    * docs generate no candidate pairs (standard skew guard — a stopword
-    * shingle would otherwise create |docs|^2 pairs).
+  /** (doc_id, shingle) inverted-index edge list — `shingle` is the
+    * xxhash64 of the n-gram (shuffling/joining 8-byte longs, not 15-20
+    * byte strings; 64-bit collisions are negligible at any real corpus
+    * size and only perturb candidate generation, which is exactly
+    * verified). Shingles are distinct per doc, with a hot-shingle cap:
+    * shingles occurring in more than `maxDocFreq` docs generate no
+    * candidate pairs (standard skew guard — a stopword shingle would
+    * otherwise create |docs|^2 pairs).
     */
   def shingleIndex(docs: DataFrame, idCol: String, textCol: String, n: Int,
                    maxDocFreq: Long): DataFrame = {
@@ -50,7 +54,8 @@ object Dedup {
     val sh = docs
       .select(col(idCol).as("doc_id"), TextAnalysis.tokens(col(textCol)).as("toks"))
       .select(col("doc_id"),
-        explode(TextAnalysis.shinglesFromTokens(col("toks"), n)).as("shingle"))
+        explode(TextAnalysis.shinglesFromTokens(col("toks"), n)).as("shingle_s"))
+      .select(col("doc_id"), xxhash64(col("shingle_s")).as("shingle"))
     val hot = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
       .where(col("df") > maxDocFreq).select("shingle")
     sh.join(hot, Seq("shingle"), "left_anti")
@@ -101,10 +106,10 @@ object Dedup {
     * shingle arrays are at hand.
     */
   def minHashSignatures(idx: DataFrame, p: MinHashParams): DataFrame = {
-    // Reduce the 64-bit shingle hash into [0, prime) once, then apply all
-    // permutations to the reduced value — keeps every product in Long range
-    // (ANSI-safe: no silent or throwing overflow).
-    val hm = pmod(xxhash64(col("shingle")), lit(p.prime))
+    // Reduce the 64-bit shingle hash (already hashed by shingleIndex) into
+    // [0, prime) once, then apply all permutations to the reduced value —
+    // keeps every product in Long range (ANSI-safe: no overflow).
+    val hm = pmod(col("shingle"), lit(p.prime))
     val aggs = (0 until p.numPerm).map { i =>
       min(pmod(hm * lit(p.as(i)) + lit(p.bs(i)), lit(p.prime))).as(s"mh_$i")
     }
