@@ -298,6 +298,20 @@ object Queries {
         .option("header", "true").csv(tmp)
     }),
 
+    // Partition-pruned state layout (SURVEY.md §4 "partition-by layout ->
+    // partition pruning"): write a hive-partitioned Parquet state table,
+    // read back one partition — the scan lists only that directory.
+    "partitioned_state_prune" -> ((s, dir) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_part").toString + "/state"
+      t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"),
+          col("o_totalprice").cast(Dec152).as("o_price"), col("o_orderstatus"))
+        .write.mode("overwrite").partitionBy("o_orderstatus").parquet(tmp)
+      s.read.parquet(tmp)
+        .where(col("o_orderstatus") === "O")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_price"), col("o_orderstatus"))
+    }),
+
     // ---- 2.10 streaming-equivalent batch windowing ------------------------
     // Tumbling 1-hour aggregate over the events table — the batch twin of
     // the Structured Streaming path in graft.streaming.
@@ -655,6 +669,10 @@ object Queries {
       """SELECT o_orderkey, CAST(o_orderdate AS DATE) AS o_date,
         |  CAST(o_totalprice AS DECIMAL(15,2)) AS o_price, o_orderstatus
         |FROM orders""".stripMargin,
+
+    "partitioned_state_prune" ->
+      """SELECT o_orderkey, o_custkey, CAST(o_totalprice AS DECIMAL(15,2)) AS o_price, o_orderstatus
+        |FROM orders WHERE o_orderstatus = 'O'""".stripMargin,
 
     "events_tumbling" ->
       """SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour_start, event_type, count(*) AS cnt,
