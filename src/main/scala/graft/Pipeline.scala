@@ -87,25 +87,45 @@ object Pipeline {
       state.select(col("ticker").as("fact_ticker")),
       "ticker", "fact_ticker", "financial_records")
 
-  /** Run the full pipeline: normalize bronze, quarantine invalid rows,
-    * merge into the Parquet state table (last-write-wins on the natural
-    * key), and return (loadedState, quarantined).
-    */
-  def run(spark: SparkSession, bronzeIncomeDir: String, statePath: String): (DataFrame, DataFrame) = {
-    val bronze = spark.read.schema(Schemas.fmpIncome).json(bronzeIncomeDir)
-    val normalized = normalizeIncome(bronze)
-    val (clean, bad) = Quality.quarantine(normalized,
-      col("quarter_date").isNotNull && Quality.labelValid(col("quarter_label")) &&
-        Quality.tickerValid(col("ticker")))
-    val deduped = Merge.lastWriteWins(clean, Seq("ticker", "quarter_date"),
-      Seq(col("revenue").desc_nulls_last))
+  /** Quarantine predicate shared by both fact flows (reference Pydantic
+    * gate, config.py:79-108). */
+  private def validRow: Column =
+    col("quarter_date").isNotNull && Quality.labelValid(col("quarter_label")) &&
+      Quality.tickerValid(col("ticker"))
+
+  /** Merge a clean batch into the Parquet state table on the natural key
+    * (last-write-wins, deterministic intra-batch winner). */
+  private def mergeToState(spark: SparkSession, clean: DataFrame, statePath: String,
+                           precedence: Seq[Column]): DataFrame = {
+    val keys = Seq("ticker", "quarter_date")
+    val deduped = Merge.lastWriteWins(clean, keys, precedence)
     val current =
       try spark.read.parquet(statePath)
       catch { case _: Exception => spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], deduped.schema) }
-    val merged = Merge.mergeUpsert(current, deduped, Seq("ticker", "quarter_date"))
-      .withColumn("updated_at", current_timestamp())
-    Sinks.atomicSwapWrite(spark, merged.drop("updated_at"), statePath)
-    (spark.read.parquet(statePath), bad)
+    val merged = Merge.mergeUpsert(current, deduped, keys)
+    Sinks.atomicSwapWrite(spark, merged, statePath)
+    spark.read.parquet(statePath)
+  }
+
+  /** Run the full income pipeline: normalize bronze, quarantine invalid
+    * rows, merge into the Parquet state table (last-write-wins on the
+    * natural key), and return (loadedState, quarantined).
+    */
+  def run(spark: SparkSession, bronzeIncomeDir: String, statePath: String): (DataFrame, DataFrame) = {
+    val bronze = spark.read.schema(Schemas.fmpIncome).json(bronzeIncomeDir)
+    val (clean, bad) = Quality.quarantine(normalizeIncome(bronze), validRow)
+    (mergeToState(spark, clean, statePath, Seq(col("revenue").desc_nulls_last)), bad)
+  }
+
+  /** Run the analyst-estimates flow (reference S3+S11, load.py:163-200):
+    * same shape as [[run]] over the estimates schema and state table.
+    */
+  def runEstimates(spark: SparkSession, bronzeEstimatesDir: String,
+                   statePath: String): (DataFrame, DataFrame) = {
+    val bronze = spark.read.schema(Schemas.fmpEstimates).json(bronzeEstimatesDir)
+    val (clean, bad) = Quality.quarantine(normalizeEstimates(bronze), validRow)
+    (mergeToState(spark, clean, statePath,
+      Seq(col("estimated_revenue").desc_nulls_last)), bad)
   }
 }

@@ -75,6 +75,22 @@ class PipelineSpec extends SparkSpec {
     assert(spark.read.parquet(path).count() == 2)
   }
 
+  test("runEstimates: estimates flow merges into its own state table") {
+    val dir = Files.createTempDirectory("graft_est").toString
+    Files.write(java.nio.file.Paths.get(dir, "est.json"),
+      Seq(
+        """{"date": "2025-09-30", "symbol": "TSLA", "estimatedRevenueAvg": 26000000000, "estimatedEpsAvg": 0.45, "numberAnalystsEstimatedRevenue": 24}""",
+        """{"date": "bad-date", "symbol": "TSLA", "estimatedRevenueAvg": 1, "estimatedEpsAvg": 1, "numberAnalystsEstimatedRevenue": 1}""")
+        .mkString("\n").getBytes)
+    val statePath = Files.createTempDirectory("graft_est_state").toString + "/estimates"
+    val (state, bad) = Pipeline.runEstimates(spark, dir, statePath)
+    assert(state.count() == 1)
+    assert(bad.count() == 1)
+    val row = state.collect().head
+    assert(row.getAs[String]("quarter_label") == "2025-Q3")
+    assert(row.getAs[Int]("analyst_count") == 24)
+  }
+
   test("normalizeEstimates: estimate shape with non-negative analyst count") {
     val df = Seq(
       """{"date": "2025-09-30", "symbol": "TSLA", "estimatedRevenueAvg": 26000000000, "estimatedEpsAvg": 0.45, "numberAnalystsEstimatedRevenue": 24}""",
