@@ -69,20 +69,28 @@ object Dedup {
   def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
                         n: Int = 3, threshold: Double = 0.8,
                         maxDocFreq: Long = 1000L): DataFrame = {
-    val idx = shingleIndex(docs, idCol, textCol, n, maxDocFreq)
-    val sizes = idx.groupBy("doc_id").agg(count(lit(1)).as("nsh"))
-    val a = idx.select(col("doc_id").as("doc_a"), col("shingle"))
-    val b = idx.select(col("doc_id").as("doc_b"), col("shingle"))
-    val inter = a.join(b, Seq("shingle"))
+    // Per-doc shingle counts ride along via a window over the index (one
+    // extra shuffle on doc_id) instead of two post-aggregation joins —
+    // the index subtree is evaluated twice (a/b), not four times.
+    val idx = withShingleCounts(shingleIndex(docs, idCol, textCol, n, maxDocFreq))
+    val a = idx.select(col("doc_id").as("doc_a"), col("nsh").as("na"), col("shingle"))
+    val b = idx.select(col("doc_id").as("doc_b"), col("nsh").as("nb"), col("shingle"))
+    a.join(b, Seq("shingle"))
       .where(col("doc_a") < col("doc_b"))
-      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("inter"))
-    inter
-      .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("nsh", "na"), Seq("doc_a"))
-      .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("nsh", "nb"), Seq("doc_b"))
+      .groupBy("doc_a", "doc_b", "na", "nb").agg(count(lit(1)).as("inter"))
       .withColumn("jaccard",
         col("inter").cast(DoubleType) / (col("na") + col("nb") - col("inter")).cast(DoubleType))
       .where(col("jaccard") >= threshold)
       .select("doc_a", "doc_b", "jaccard")
+  }
+
+  /** Attach each doc's shingle count to every index edge (window count —
+    * keys with one hot doc are bounded by the per-doc shingle count, not
+    * the corpus). */
+  private def withShingleCounts(idx: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    idx.withColumn("nsh",
+      count(lit(1)).over(Window.partitionBy(col("doc_id"))))
   }
 
   /** MinHash parameters: `numPerm` permutations split into `bands` bands.
@@ -155,16 +163,16 @@ object Dedup {
       .where(col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
       .distinct()
-    // Exact verification of candidates only (candidate set << all pairs).
-    val sizes = idx.groupBy("doc_id").agg(count(lit(1)).as("nsh"))
-    val inter = cand
-      .join(idx.select(col("doc_id").as("doc_a"), col("shingle")), Seq("doc_a"))
-      .join(idx.select(col("doc_id").as("doc_b"), col("shingle").as("shingle_b")), Seq("doc_b"))
+    // Exact verification of candidates only (candidate set << all pairs);
+    // per-doc sizes ride along on the index edges (window) instead of two
+    // extra size joins.
+    val idxN = withShingleCounts(idx)
+    cand
+      .join(idxN.select(col("doc_id").as("doc_a"), col("nsh").as("na"), col("shingle")), Seq("doc_a"))
+      .join(idxN.select(col("doc_id").as("doc_b"), col("nsh").as("nb"),
+        col("shingle").as("shingle_b")), Seq("doc_b"))
       .where(col("shingle") === col("shingle_b"))
-      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("inter"))
-    inter
-      .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("nsh", "na"), Seq("doc_a"))
-      .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("nsh", "nb"), Seq("doc_b"))
+      .groupBy("doc_a", "doc_b", "na", "nb").agg(count(lit(1)).as("inter"))
       .withColumn("jaccard",
         col("inter").cast(DoubleType) / (col("na") + col("nb") - col("inter")).cast(DoubleType))
       .where(col("jaccard") >= threshold)

@@ -61,7 +61,11 @@ object Similarity {
   def centroids(corpus: DataFrame, labelCol: String, vecCol: String): DataFrame = {
     val exploded = corpus.select(col(labelCol).as("centroid_id"),
         posexplode(col(vecCol)).as(Seq("pos", "v")))
-    exploded.groupBy("centroid_id", "pos").agg(avg(col("v").cast(DoubleType)).as("m"))
+    // DECIMAL mean: partition-order-independent (a double sum across a
+    // shuffled group is not), so centroids — and every IVF ranking built
+    // on them — are deterministic run to run.
+    exploded.groupBy("centroid_id", "pos")
+      .agg(avg(col("v").cast(DecimalType(27, 12))).cast(DoubleType).as("m"))
       .groupBy("centroid_id")
       .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
       .select(col("centroid_id"), transform(col("pm"), x => x.getField("m")).as("cvec"))
