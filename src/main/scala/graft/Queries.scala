@@ -396,6 +396,36 @@ object Queries {
           md5(concat_ws(" ", col("toks"))).as("fingerprint"),
           TextAnalysis.rollingFingerprintFromTokens(col("toks")).as("rolling_fp"))),
 
+    // Exact top-k most frequent tokens (training-data vocabulary view):
+    // explode -> count -> global top-k with deterministic tiebreak.
+    "text_top_tokens" -> ((s, dir) => {
+      val counts = t(s, dir, "documents")
+        .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("toks"))
+        .select(explode(col("toks")).as("token"))
+        .groupBy(col("token")).agg(count(lit(1)).as("cnt"))
+      val w = Window.orderBy(col("cnt").desc, col("token").asc)
+      counts.withColumn("rank", row_number().over(w).cast(LongType))
+        .where(col("rank") <= 20)
+    }),
+
+    // Per-token document frequency + IDF (ln(N/df), rounded).
+    "text_idf" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val n = docs.count() // tiny driver-side scalar: corpus cardinality
+      docs.select(col("doc_id"), TextAnalysis.tokens(col("text")).as("toks"))
+        .select(col("doc_id"), explode(array_distinct(col("toks"))).as("token"))
+        .groupBy(col("token")).agg(count(lit(1)).as("df"))
+        .withColumn("idf", round(log(lit(n.toDouble) / col("df")), 6))
+    }),
+
+    // Approximate distinct (the 2%-error 100 TB variant of
+    // agg_distinct_users; HLL sketches differ across engines -> rows-only).
+    "agg_approx_distinct" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .groupBy(col("event_type"))
+        .agg(approx_count_distinct(col("user_id")).as("approx_users"),
+          countDistinct(col("user_id")).as("exact_users"))),
+
     // ---- dedup ------------------------------------------------------------
     "dedup_exact" -> ((s, dir) =>
       Dedup.exactDuplicates(t(s, dir, "documents"), "doc_id", "text")),
@@ -458,6 +488,18 @@ object Queries {
       val withBin = t(s, dir, "documents")
         .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
       BinaryOps.decodeImageMeta(s, withBin, "doc_id", "payload")
+    }),
+
+    // STUB feature-extract + resize plumbing (rows-only): binary ->
+    // fixed-width float vector; binary -> stride-sampled binary.
+    "multimodal_features" -> ((s, dir) => {
+      val withBin = t(s, dir, "documents")
+        .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+      val feats = BinaryOps.extractFeatures(withBin, "doc_id", "payload", dim = 8)
+      val resized = BinaryOps.resizePayload(withBin, "doc_id", "payload", stride = 4)
+      feats.join(resized, "doc_id")
+        .select(col("doc_id"), col("features"), col("orig_bytes"),
+          length(col("resized")).cast(LongType).as("resized_bytes"))
     })
   )
 
@@ -768,6 +810,22 @@ object Queries {
         |  CASE WHEN len(sh) > 0 THEN list_min(list_transform(sh, x -> md5(x)))
         |       ELSE md5(array_to_string(toks, ' ')) END AS rolling_fp
         |FROM s""".stripMargin,
+
+    "text_top_tokens" ->
+      """WITH c AS (
+        |  SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS token FROM documents),
+        |g AS (SELECT token, count(*) AS cnt FROM c GROUP BY 1),
+        |r AS (SELECT token, cnt, row_number() OVER (ORDER BY cnt DESC, token) AS rank FROM g)
+        |SELECT token, cnt, rank FROM r WHERE rank <= 20""".stripMargin,
+
+    "text_idf" ->
+      """WITH d AS (
+        |  SELECT doc_id, unnest(list_distinct(regexp_split_to_array(trim(text), '\s+'))) AS token
+        |  FROM documents),
+        |g AS (SELECT token, count(*) AS df FROM d GROUP BY 1)
+        |SELECT token, df,
+        |  round(ln((SELECT CAST(count(*) AS DOUBLE) FROM documents) / df), 6) AS idf
+        |FROM g""".stripMargin,
 
     "dedup_exact" ->
       """SELECT fingerprint, count(*) AS cnt, min(doc_id) AS keeper FROM (

@@ -54,6 +54,59 @@ object BinaryOps {
     }(enc)
   }
 
+  /** STUB feature extraction: a real build hands each partition's payload
+    * batch to a model/codec runtime; here each payload maps to a
+    * deterministic `dim`-float vector (rolling-hash features) so the
+    * Spark-side contract — binary in, fixed-width float vector out,
+    * iterator-batched per partition — is real and testable end-to-end.
+    */
+  def extractFeatures(withBinary: DataFrame, idCol: String, binCol: String,
+                      dim: Int): DataFrame = {
+    val in = withBinary.select(col(idCol).cast(LongType), col(binCol))
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType, nullable = false),
+      StructField("features", ArrayType(FloatType, containsNull = false), nullable = false)))
+    val enc = Encoders.row(schema)
+    in.mapPartitions { it =>
+      it.map { r =>
+        val id = r.getLong(0)
+        val bytes = r.getAs[Array[Byte]](1)
+        // ??? model inference goes here; deterministic rolling-hash fake.
+        val feats = new Array[Float](dim)
+        var h = 1125899906842597L
+        var i = 0
+        while (i < bytes.length) {
+          h = h * 31 + bytes(i)
+          feats(math.floorMod(i, dim)) += (math.floorMod(h, 1000L) / 1000.0f)
+          i += 1
+        }
+        Row(id, feats.toSeq)
+      }
+    }(enc)
+  }
+
+  /** STUB resize: stride-samples every `stride`-th byte of the payload —
+    * a real build would decode + rescale; the contract (binary -> smaller
+    * binary, metadata preserved) is the tested part.
+    */
+  def resizePayload(withBinary: DataFrame, idCol: String, binCol: String,
+                    stride: Int): DataFrame = {
+    val in = withBinary.select(col(idCol).cast(LongType), col(binCol))
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType, nullable = false),
+      StructField("resized", BinaryType, nullable = false),
+      StructField("orig_bytes", LongType, nullable = false)))
+    val enc = Encoders.row(schema)
+    in.mapPartitions { it =>
+      it.map { r =>
+        val id = r.getLong(0)
+        val bytes = r.getAs[Array[Byte]](1)
+        val out = Array.range(0, bytes.length, stride).map(bytes(_))
+        Row(id, out, bytes.length.toLong)
+      }
+    }(enc)
+  }
+
   /** Frame sampling: slice a binary payload into fixed-size "frames" and
     * fingerprint each — pure codegen'd expressions (substr on binary is a
     * byte slice), exploded to one row per frame. `frameBytes` strides the
