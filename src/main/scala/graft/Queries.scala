@@ -451,6 +451,16 @@ object Queries {
           col("neighbor_id"), round(col("sim"), 6).as("sim"))
     }),
 
+    // Same semantics through the bounded-heap TypedImperativeAggregate:
+    // map-side partial top-k, exchange carries k pairs per query instead
+    // of the whole scored corpus. Shares sim_brute_topk's oracle.
+    "sim_brute_topk_agg" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.bruteForceTopKAgg(emb.where(col("vec_id") < 8), emb, "vec_id", "embedding", 5)
+        .select(col("query_id"), col("rank").cast(LongType).as("rank"),
+          col("neighbor_id"), round(col("sim"), 6).as("sim"))
+    }),
+
     "sim_ivf_topk" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
       Similarity.ivfTopK(emb.where(col("vec_id") < 8), emb, "vec_id", "embedding",
@@ -854,6 +864,24 @@ object Queries {
         |WHERE CAST(i AS DOUBLE) / (sa.nsh + sb.nsh - i) >= 0.5""".stripMargin,
 
     "sim_brute_topk" ->
+      """WITH q AS (SELECT vec_id AS query_id,
+        |             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
+        |           FROM embeddings WHERE vec_id < 8),
+        |c AS (SELECT vec_id AS neighbor_id,
+        |        list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cv
+        |      FROM embeddings),
+        |s AS (SELECT query_id, neighbor_id,
+        |        list_dot_product(qv, cv) AS d,
+        |        sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv)) AS n
+        |      FROM q CROSS JOIN c WHERE query_id <> neighbor_id),
+        |r AS (SELECT query_id, neighbor_id,
+        |        CASE WHEN n > 0 THEN d / n END AS sim,
+        |        row_number() OVER (PARTITION BY query_id
+        |          ORDER BY CASE WHEN n > 0 THEN d / n END DESC, neighbor_id) AS rank
+        |      FROM s)
+        |SELECT query_id, rank, neighbor_id, round(sim, 6) AS sim FROM r WHERE rank <= 5""".stripMargin,
+
+    "sim_brute_topk_agg" ->
       """WITH q AS (SELECT vec_id AS query_id,
         |             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
         |           FROM embeddings WHERE vec_id < 8),

@@ -53,6 +53,26 @@ object Similarity {
       .select(col("query_id"), col("rank"), col("neighbor_id"), col("sim"))
   }
 
+  /** Brute-force top-k via the bounded-heap aggregate
+    * ([[graft.functions.TopKAggregate]]): same output as
+    * [[bruteForceTopK]], but each map partition reduces to k pairs per
+    * query BEFORE the shuffle — exchange volume O(k x partitions) per
+    * query instead of O(|corpus|). The form that survives a 100 TB corpus.
+    */
+  def bruteForceTopKAgg(queries: DataFrame, corpus: DataFrame, idCol: String,
+                        vecCol: String, k: Int): DataFrame = {
+    import graft.functions.TopKAggregate.topKByScore
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qvec"))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cvec"))
+    val scored = c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
+      .withColumn("sim", cosine(col("qvec"), col("cvec")))
+    scored.groupBy(col("query_id"))
+      .agg(topKByScore(col("sim"), col("neighbor_id"), k).as("topk"))
+      .select(col("query_id"), posexplode(col("topk")).as(Seq("pos", "pair")))
+      .select(col("query_id"), (col("pos") + 1).as("rank"),
+        col("pair.id").as("neighbor_id"), col("pair.score").as("sim"))
+  }
+
   /** Centroids from a labeled corpus: per-label mean vector, computed by
     * positional explode + per-(label, pos) average — one shuffle keyed on
     * (label, pos), then re-assembled into arrays. At corpus scale this is

@@ -53,6 +53,29 @@ class SimilaritySpec extends SparkSpec {
     assert(math.abs(cents(0).head - 0.95) < 1e-6)
   }
 
+  test("bruteForceTopKAgg (heap aggregate) == window-based bruteForceTopK") {
+    val win = Similarity.bruteForceTopK(vecs.where(col("vec_id") < 3), vecs,
+        "vec_id", "embedding", 3)
+      .select(col("query_id"), col("rank").cast("long").as("rank"), col("neighbor_id"), col("sim"))
+      .collect().map(_.toSeq).toSet
+    val agg = Similarity.bruteForceTopKAgg(vecs.where(col("vec_id") < 3), vecs,
+        "vec_id", "embedding", 3)
+      .select(col("query_id"), col("rank").cast("long").as("rank"), col("neighbor_id"), col("sim"))
+      .collect().map(_.toSeq).toSet
+    assert(agg == win)
+  }
+
+  test("topKByScore: heap keeps highest scores, ties break to smaller id") {
+    import graft.functions.TopKAggregate.topKByScore
+    val df = Seq((1L, 5.0, 10L), (1L, 5.0, 9L), (1L, 7.0, 3L), (1L, 1.0, 1L),
+      (2L, 2.0, 2L)).toDF("g", "s", "id")
+    val got = df.groupBy(col("g")).agg(topKByScore(col("s"), col("id"), 2).as("tk"))
+      .collect().map(r => r.getLong(0) ->
+        r.getSeq[org.apache.spark.sql.Row](1).map(p => (p.getLong(0), p.getDouble(1)))).toMap
+    assert(got(1L) == Seq((3L, 7.0), (9L, 5.0))) // 9 beats 10 on the tie
+    assert(got(2L) == Seq((2L, 2.0)))
+  }
+
   test("nearDupPairs: finds the near-identical pair, orders ids, excludes self") {
     val pairs = Similarity.nearDupPairs(vecs, "vec_id", "embedding", 0.95)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
