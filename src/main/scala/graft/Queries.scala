@@ -426,6 +426,22 @@ object Queries {
         .agg(approx_count_distinct(col("user_id")).as("approx_users"),
           countDistinct(col("user_id")).as("exact_users"))),
 
+    // One-scan column profiling (ops/Profile): null/distinct/min/max per
+    // column. Input pre-cast to decimal so min/max strings render
+    // identically in both engines.
+    "profile_orders" -> ((s, dir) =>
+      graft.ops.Profile.columnProfile(
+        t(s, dir, "orders").select(col("o_custkey"),
+          col("o_totalprice").cast(Dec152).as("o_price"), col("o_orderstatus")),
+        Seq("o_custkey", "o_price", "o_orderstatus"))),
+
+    // The composed training-data cleaning flow (text/CorpusPipeline):
+    // language filter -> quality filter -> exact-dedup keeper ->
+    // near-dup keeper, one lazy plan.
+    "corpus_clean" -> ((s, dir) =>
+      graft.text.CorpusPipeline.clean(t(s, dir, "documents"), "doc_id", "text",
+        lang = "en", minQuality = 0.45, jaccardThreshold = 0.5, maxDocFreq = 100L)),
+
     // ---- dedup ------------------------------------------------------------
     "dedup_exact" -> ((s, dir) =>
       Dedup.exactDuplicates(t(s, dir, "documents"), "doc_id", "text")),
@@ -820,6 +836,71 @@ object Queries {
         |  CASE WHEN len(sh) > 0 THEN list_min(list_transform(sh, x -> md5(x)))
         |       ELSE md5(array_to_string(toks, ' ')) END AS rolling_fp
         |FROM s""".stripMargin,
+
+    "profile_orders" ->
+      """WITH b AS (SELECT o_custkey, CAST(o_totalprice AS DECIMAL(15,2)) AS o_price, o_orderstatus FROM orders)
+        |SELECT 'o_custkey' AS "column", count(*) AS n_rows,
+        |  sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS n_null,
+        |  count(DISTINCT o_custkey) AS n_distinct,
+        |  CAST(min(o_custkey) AS VARCHAR) AS min_str, CAST(max(o_custkey) AS VARCHAR) AS max_str FROM b
+        |UNION ALL
+        |SELECT 'o_price', count(*),
+        |  sum(CASE WHEN o_price IS NULL THEN 1 ELSE 0 END),
+        |  count(DISTINCT o_price),
+        |  CAST(min(o_price) AS VARCHAR), CAST(max(o_price) AS VARCHAR) FROM b
+        |UNION ALL
+        |SELECT 'o_orderstatus', count(*),
+        |  sum(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END),
+        |  count(DISTINCT o_orderstatus),
+        |  CAST(min(o_orderstatus) AS VARCHAR), CAST(max(o_orderstatus) AS VARCHAR) FROM b""".stripMargin,
+
+    "corpus_clean" -> {
+      val toks = "regexp_split_to_array(trim(text), '\\s+')"
+      val hits = TextAnalysis.StopwordLists.map { case (lang, words) =>
+        s"${hitsSql(toks, words)} AS h_$lang"
+      }.mkString(", ")
+      val langs = TextAnalysis.StopwordLists.map(_._1)
+      val best = s"greatest(${langs.map(l => s"h_$l").mkString(", ")})"
+      val cases = langs.map(l => s"WHEN h_$l = $best THEN '$l'").mkString(" ")
+      s"""WITH h AS (
+         |  SELECT doc_id, text,
+         |    CAST(length(text) AS DOUBLE) AS n_char,
+         |    CAST(len($toks) AS DOUBLE) AS n_tok,
+         |    CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE) AS n_alpha,
+         |    CAST(${hitsSql(toks, EnWords)} AS DOUBLE) AS en_hits,
+         |    $hits
+         |  FROM documents),
+         |scored AS (
+         |  SELECT doc_id, text,
+         |    CASE WHEN $best = 0 THEN 'und' $cases ELSE 'und' END AS lang_guess,
+         |    round(
+         |        (CASE WHEN n_char > 0 THEN n_alpha / n_char ELSE 0.0 END) * 0.4
+         |      + (CASE WHEN n_tok > 0 THEN en_hits / n_tok ELSE 0.0 END) * 0.3
+         |      + least(n_tok / 100.0, 1.0) * 0.3, 6) AS quality
+         |  FROM h),
+         |kept AS (SELECT * FROM scored WHERE lang_guess = 'en' AND quality >= 0.45),
+         |fp AS (SELECT doc_id, text, lang_guess, quality,
+         |         md5(array_to_string($toks, ' ')) AS fp FROM kept),
+         |keepers AS (SELECT fp, min(doc_id) AS keeper FROM fp GROUP BY 1),
+         |ae AS (SELECT f.doc_id, f.text, f.lang_guess, f.quality
+         |       FROM fp f JOIN keepers k ON f.fp = k.fp WHERE f.doc_id = k.keeper),
+         |t2 AS (SELECT doc_id, $toks AS toks FROM ae),
+         |sh AS (SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(toks) - 1),
+         |         i -> array_to_string(toks[i:i+2], ' ')))) AS shingle FROM t2),
+         |hot AS (SELECT shingle FROM sh GROUP BY 1 HAVING count(*) > 100),
+         |idx AS (SELECT doc_id, shingle FROM sh WHERE shingle NOT IN (SELECT shingle FROM hot)),
+         |sizes AS (SELECT doc_id, count(*) AS nsh FROM idx GROUP BY 1),
+         |pairs AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS i
+         |          FROM idx a JOIN idx b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+         |          GROUP BY 1, 2),
+         |near_losers AS (
+         |  SELECT DISTINCT db AS doc_id FROM pairs
+         |  JOIN sizes sa ON da = sa.doc_id
+         |  JOIN sizes sb ON db = sb.doc_id
+         |  WHERE CAST(i AS DOUBLE) / (sa.nsh + sb.nsh - i) >= 0.5)
+         |SELECT doc_id, lang_guess, quality FROM ae
+         |WHERE doc_id NOT IN (SELECT doc_id FROM near_losers)""".stripMargin
+    },
 
     "text_top_tokens" ->
       """WITH c AS (

@@ -112,9 +112,13 @@ object Similarity {
     val scored = c.join(broadcast(probes), Seq("centroid_id"))
       .where(col("query_id") =!= col("neighbor_id"))
       .withColumn("sim", cosine(col("qvec"), col("nvec")))
-    val w = Window.partitionBy(col("query_id")).orderBy(col("sim").desc, col("neighbor_id").asc)
-    scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
-      .select(col("query_id"), col("rank"), col("neighbor_id"), col("sim"))
+    // Map-side partial top-k (bounded heap) — the exchange carries k pairs
+    // per query per partition, not every scored row in the probed cells.
+    scored.groupBy(col("query_id"))
+      .agg(graft.functions.TopKAggregate.topKByScore(col("sim"), col("neighbor_id"), k).as("topk"))
+      .select(col("query_id"), posexplode(col("topk")).as(Seq("pos", "pair")))
+      .select(col("query_id"), (col("pos") + 1).as("rank"),
+        col("pair.id").as("neighbor_id"), col("pair.score").as("sim"))
   }
 
   /** Exact embedding-cosine near-duplicate pairs: all (a < b) with
