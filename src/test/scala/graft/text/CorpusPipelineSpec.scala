@@ -1,0 +1,32 @@
+package graft.text
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+import graft.ops.Profile
+
+class CorpusPipelineSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("clean: filters language/quality, drops exact and near dups deterministically") {
+    val docs = Seq(
+      (0L, "the quick brown fox jumps over the lazy dog near the river bank today and then it runs off to the hills"),
+      (1L, "the quick brown fox jumps over the lazy dog near the river bank today and then it runs off to the hills"), // exact dup -> dropped
+      (2L, "the quick brown fox jumps over the lazy dog near the river bank tonight and then it runs off to the hills"), // near dup of 0 -> dropped
+      (3L, "el la de que y en palabras espanolas aqui y alli"), // not en -> dropped
+      (4L, "a completely different english document about the engine and all of the things it is doing today in the tests"))
+      .toDF("doc_id", "text")
+    val got = CorpusPipeline.clean(docs, "doc_id", "text",
+        lang = "en", minQuality = 0.1, jaccardThreshold = 0.5, maxDocFreq = 100L)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(got == Set(0L, 4L))
+  }
+
+  test("columnProfile: one row per column with null/distinct/min/max") {
+    val df = Seq((Some(1), "a"), (None, "b"), (Some(3), "a")).toDF("x", "y")
+    val got = Profile.columnProfile(df, Seq("x", "y"))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4), r.getString(5))).toMap
+    assert(got("x") == ((3L, 1L, 2L, "1", "3")))
+    assert(got("y") == ((3L, 0L, 2L, "a", "b")))
+  }
+}
