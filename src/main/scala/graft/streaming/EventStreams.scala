@@ -98,6 +98,35 @@ object EventStreams {
       }
   }
 
+  /** Watermarked streaming dedup on the natural key: exactly-once output
+    * per (user_id, event_type, event_id) with state bounded by the
+    * watermark (the unbounded-state dedup is the 100 TB failure mode).
+    */
+  def dedupStream(events: DataFrame, watermark: String = "2 hours"): DataFrame =
+    events.withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark("user_id", "event_type", "event_id")
+
+  /** Stream-stream interval join: each click joins purchases of the same
+    * user within [-1h, 0] event time — both sides watermarked so join
+    * state is bounded; the streaming form of the as-of window
+    * (SURVEY.md §2.10).
+    */
+  def clickPurchaseJoin(events: DataFrame, watermark: String = "2 hours"): DataFrame = {
+    val clicks = events.where(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id"), col("ts").as("click_ts"))
+      .withWatermark("click_ts", watermark)
+    val purchases = events.where(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id").as("p_user_id"),
+        col("ts").as("purchase_ts"), col("value").as("purchase_value"))
+      .withWatermark("purchase_ts", watermark)
+    clicks.join(purchases,
+      col("user_id") === col("p_user_id") &&
+        col("purchase_ts") <= col("click_ts") &&
+        col("purchase_ts") >= col("click_ts") - expr("INTERVAL 1 HOUR"))
+      .select(col("click_id"), col("user_id"), col("click_ts"),
+        col("purchase_id"), col("purchase_ts"), col("purchase_value"))
+  }
+
   /** Incremental MERGE sink: each micro-batch is last-write-wins-merged
     * into the Parquet state table on `keys` (streaming O-M1 —
     * `readStream -> foreachBatch { merge }`, the seam SURVEY.md §2.10

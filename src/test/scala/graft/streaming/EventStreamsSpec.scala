@@ -69,6 +69,40 @@ class EventStreamsSpec extends SparkSpec {
     assert(got.head.session_end == ts("2024-01-01 10:01:00"))
   }
 
+  test("dedupStream: duplicate keys within the watermark emit once") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    input.addData(
+      event(1, "2024-01-01 10:00:00", 1, "click", 1.0),
+      event(1, "2024-01-01 10:00:00", 1, "click", 1.0), // exact duplicate
+      event(2, "2024-01-01 10:01:00", 1, "click", 2.0))
+    val q = EventStreams.dedupStream(input.toDF())
+      .writeStream.format("memory").queryName("dedup_stream_test")
+      .outputMode(OutputMode.Append()).start()
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("dedup_stream_test").collect()
+    assert(got.length == 2)
+  }
+
+  test("clickPurchaseJoin: interval-bounded stream-stream join") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    input.addData(
+      event(1, "2024-01-01 09:30:00", 1, "purchase", 50.0), // within 1h of click
+      event(2, "2024-01-01 08:00:00", 1, "purchase", 99.0), // too old
+      event(3, "2024-01-01 10:00:00", 1, "click", 0.0),
+      event(4, "2024-01-01 10:00:00", 2, "click", 0.0))     // no purchase
+    val q = EventStreams.clickPurchaseJoin(input.toDF())
+      .writeStream.format("memory").queryName("cpjoin_test")
+      .outputMode(OutputMode.Append()).start()
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("cpjoin_test").collect()
+      .map(r => (r.getAs[Long]("click_id"), r.getAs[Long]("purchase_id"))).toSet
+    assert(got == Set((3L, 1L)))
+  }
+
   test("mergeSink: micro-batches merge incrementally with last-write-wins") {
     import org.apache.spark.sql.functions.col
     implicit val sqlCtx = spark.sqlContext
