@@ -37,6 +37,25 @@ class PropertySpec extends SparkSpec {
       twice.collect().map(_.getDecimal(0)).toSeq)
   }
 
+  test("TopKBuffer: random inserts + merges agree with sort-based reference") {
+    import graft.functions.TopKAggregate.TopKBuffer
+    val rng = new scala.util.Random(42)
+    for (_ <- 0 until 50) {
+      val k = rng.nextInt(8) + 1
+      val n = rng.nextInt(200)
+      val pairs = (0 until n).map(_ => (rng.nextInt(20).toDouble, rng.nextLong(1000)))
+      // split into two buffers, merge — mirrors partial aggregation
+      val (p1, p2) = pairs.splitAt(pairs.length / 2)
+      val b1 = new TopKBuffer(k); p1.foreach { case (s, i) => b1.insert(s, i) }
+      val b2 = new TopKBuffer(k); p2.foreach { case (s, i) => b2.insert(s, i) }
+      // merge b2 into b1 the way the aggregate does
+      (0 until b2.size).foreach(i => b1.insert(b2.scores(i), b2.ids(i)))
+      val got = b1.sortedPairs.toSeq
+      val expected = pairs.sortBy { case (s, i) => (-s, i) }.take(k)
+      assert(got == expected, s"k=$k n=$n")
+    }
+  }
+
   test("parseDateMulti round-trips any date rendered in any supported format") {
     val fmts = Seq("yyyy-MM-dd", "yyyy-MM-dd HH:mm:ss", "MM/dd/yyyy")
     val dates = (0 until 100).flatMap(_ => Gen.choose(0L, 365L * 60).sample)
