@@ -31,6 +31,10 @@ object Tables {
     * the conversion is lossless.
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
+    // Self-sufficient on sessions built without the legacy conf (it is
+    // runtime-mutable): without it the read below throws
+    // PARQUET_TYPE_ILLEGAL before any conversion could run.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val df = table(spark, dir, "events")
     df.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType =>

@@ -1,0 +1,47 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Manual scale probe (`sbt 'Test/runMain graft.ScaleProbe'`): replicates
+  * the sf0.1 documents corpus 4x (with id offsets, so every doc gains 3
+  * exact duplicates) and runs the dedup/cleaning path at 20k docs —
+  * checks wall time and that pair counts stay bounded (the hot-shingle
+  * cap and banding doing their job at growing scale).
+  */
+object ScaleProbe {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[8]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val docs0 = spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
+    val n0 = docs0.count()
+    val docs = (0 until 4).map(i =>
+        docs0.select((col("doc_id") + lit(i * 1000000)).as("doc_id"), col("text")))
+      .reduce(_ unionByName _)
+    docs.cache(); val n = docs.count()
+
+    def time[T](name: String)(f: => T): T = {
+      val t0 = System.nanoTime(); val r = f
+      println(f"PROBE $name%-22s ${(System.nanoTime() - t0) / 1e9}%.2f s"); r
+    }
+
+    val exact = time("exact_dups") {
+      text.Dedup.exactDuplicates(docs, "doc_id", "text").where(col("cnt") > 1).count()
+    }
+    val jac = time("ngram_jaccard") {
+      text.Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.5, 100L).count()
+    }
+    val mh = time("minhash_lsh") {
+      text.Dedup.minHashLshPairs(docs, "doc_id", "text", 3, 0.5, maxDocFreq = 100L).count()
+    }
+    val clean = time("corpus_clean") {
+      text.CorpusPipeline.clean(docs, "doc_id", "text", minQuality = 0.45).count()
+    }
+    println(s"PROBE docs=$n (x4 of $n0) exact_groups=$exact jaccard_pairs=$jac " +
+      s"minhash_pairs=$mh survivors=$clean")
+    spark.stop()
+  }
+}
