@@ -375,6 +375,19 @@ object Queries {
           |GROUP BY 1, 2""".stripMargin)
     }),
 
+    // Semi-structured JSON column (O-X11): parse events.props with a
+    // declared schema (never schema inference at scale), aggregate on the
+    // extracted field.
+    "json_props_extract" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .withColumn("p", from_json(col("props"),
+          StructType(Seq(StructField("k", LongType)))))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("cnt"),
+          sum(col("p.k")).as("sum_k"),
+          min(col("p.k")).as("min_k"),
+          max(col("p.k")).as("max_k"))),
+
     // ---- text analysis ----------------------------------------------------
     "text_stats" -> ((s, dir) =>
       t(s, dir, "documents").select(col("doc_id"),
@@ -753,6 +766,13 @@ object Queries {
         |   WHERE r.event_type = 'purchase' AND r.user_id = l.user_id AND r.ts <= l.ts
         |   ORDER BY r.ts DESC, r.event_id DESC LIMIT 1) AS purchase_value
         |FROM events l WHERE l.event_type = 'click'""".stripMargin,
+
+    "json_props_extract" ->
+      """SELECT event_type, count(*) AS cnt,
+        |  SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS sum_k,
+        |  MIN(CAST(json_extract(props, '$.k') AS BIGINT)) AS min_k,
+        |  MAX(CAST(json_extract(props, '$.k') AS BIGINT)) AS max_k
+        |FROM events GROUP BY 1""".stripMargin,
 
     "events_sessionize" ->
       """WITH f AS (

@@ -23,13 +23,32 @@ object GraftFunctions {
     VectorExpressions.DotProduct(children.head, children(1))
   }
 
+  private val topkInfo = new ExpressionInfo(
+    TopKAggregate.TopKByScore.getClass.getCanonicalName, null, "graft_topk",
+    "graft_topk(score, id, k) - top-k (id, score) pairs by score, ties to smaller id.",
+    "")
+
+  private def topkBuilder(children: Seq[Expression]): Expression = {
+    require(children.length == 3, s"graft_topk expects 3 arguments, got ${children.length}")
+    val k = children(2) match {
+      case org.apache.spark.sql.catalyst.expressions.Literal(v: Number, _) => v.intValue()
+      case other => throw new IllegalArgumentException(
+        s"graft_topk k must be an integer literal, got $other")
+    }
+    TopKAggregate.TopKByScore(children.head, children(1), k)
+  }
+
   /** Inject into an extensions hook (builder-time path). */
-  def inject(extensions: SparkSessionExtensions): Unit =
+  def inject(extensions: SparkSessionExtensions): Unit = {
     extensions.injectFunction((FunctionIdentifier("graft_dot"), dotInfo, dotBuilder))
+    extensions.injectFunction((FunctionIdentifier("graft_topk"), topkInfo, topkBuilder))
+  }
 
   /** Register on a live session (runtime path). */
-  def register(spark: SparkSession): Unit =
+  def register(spark: SparkSession): Unit = {
     org.apache.spark.sql.GraftShims.registerFunction(spark, "graft_dot", dotBuilder)
+    org.apache.spark.sql.GraftShims.registerFunction(spark, "graft_topk", topkBuilder)
+  }
 }
 
 /** `spark.sql.extensions` entry point. */

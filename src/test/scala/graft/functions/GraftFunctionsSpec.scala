@@ -22,6 +22,16 @@ class GraftFunctionsSpec extends SparkSpec {
     assert(rows.isNullAt(1))
   }
 
+  test("graft_topk aggregate resolves in SQL") {
+    GraftFunctions.register(spark)
+    val got = spark.sql(
+      """SELECT g, graft_topk(s, id, 2) AS tk
+        |FROM VALUES (1, 5.0D, 10L), (1, 7.0D, 3L), (1, 1.0D, 1L), (2, 2.0D, 2L) AS t(g, s, id)
+        |GROUP BY g ORDER BY g""".stripMargin).collect()
+    val g1 = got(0).getSeq[org.apache.spark.sql.Row](1).map(p => (p.getLong(0), p.getDouble(1)))
+    assert(g1 == Seq((3L, 7.0), (10L, 5.0)))
+  }
+
   test("extensions class injects the function builder") {
     val ext = new org.apache.spark.sql.SparkSessionExtensions
     new GraftExtensions().apply(ext) // must not throw; builder wiring smoke
