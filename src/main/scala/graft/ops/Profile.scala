@@ -16,6 +16,7 @@ object Profile {
     * heterogeneous column types stack into one frame.
     */
   def columnProfile(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "columnProfile needs at least one column")
     val aggs = cols.flatMap { c =>
       Seq(
         count(lit(1)).as(s"${c}__rows"),

@@ -26,6 +26,8 @@ object Skew {
   def saltedJoin(probe: DataFrame, build: DataFrame, keys: Seq[String],
                  buckets: Int, joinType: String = "inner"): DataFrame = {
     require(buckets > 0, "buckets must be positive")
+    require(joinType == "inner" || joinType == "left",
+      s"saltedJoin replicates the build side; only inner/left keep join semantics (got $joinType)")
     val salted = probe.withColumn("_salt",
       pmod(xxhash64(probe.columns.map(col): _*), lit(buckets)).cast("int"))
     val replicated = build.withColumn("_salt",

@@ -24,6 +24,17 @@ class LayoutSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     assert(spark.read.parquet(tmp).where(col("part") === "A").count() == 50)
   }
 
+  test("metadata-only query never reads the binary payload column (SCALE.md multimodal claim)") {
+    val tmp = Files.createTempDirectory("layout_bin").toString + "/t"
+    Seq((1L, "png", Array[Byte](1, 2, 3)), (2L, "jpeg", Array[Byte](4, 5)))
+      .toDF("id", "format", "payload").write.mode("overwrite").parquet(tmp)
+    val plan = spark.read.parquet(tmp).groupBy("format").count()
+      .queryExecution.executedPlan
+    val scan = collectLeaves(plan).map(_.toString).mkString("\n")
+    assert(scan.contains("format") && !scan.contains("payload"),
+      s"payload column should be pruned from the scan:\n$scan")
+  }
+
   test("bucketed state tables join without a shuffle on the bucket key") {
     val wh = Files.createTempDirectory("layout_bucket").toString
     val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
