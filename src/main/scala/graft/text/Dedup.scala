@@ -68,11 +68,14 @@ object Dedup {
     */
   def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
                         n: Int = 3, threshold: Double = 0.8,
-                        maxDocFreq: Long = 1000L): DataFrame = {
+                        maxDocFreq: Long = 1000L,
+                        persistIntermediate: Boolean = true): DataFrame = {
     // Per-doc shingle counts ride along via a window over the index (one
-    // extra shuffle on doc_id) instead of two post-aggregation joins —
-    // the index subtree is evaluated twice (a/b), not four times.
-    val idx = withShingleCounts(shingleIndex(docs, idCol, textCol, n, maxDocFreq))
+    // extra shuffle on doc_id) instead of two post-aggregation joins; the
+    // counted index feeds both self-join sides, so it is persisted by
+    // default (tokenize+explode+hot-cap would otherwise run twice).
+    val idx0 = withShingleCounts(shingleIndex(docs, idCol, textCol, n, maxDocFreq))
+    val idx = if (persistIntermediate) idx0.persist() else idx0
     val a = idx.select(col("doc_id").as("doc_a"), col("nsh").as("na"), col("shingle"))
     val b = idx.select(col("doc_id").as("doc_b"), col("nsh").as("nb"), col("shingle"))
     a.join(b, Seq("shingle"))
@@ -150,8 +153,12 @@ object Dedup {
   def minHashLshPairs(docs: DataFrame, idCol: String, textCol: String,
                       n: Int = 3, threshold: Double = 0.8,
                       p: MinHashParams = MinHashParams(),
-                      maxDocFreq: Long = 1000L): DataFrame = {
-    val idx = shingleIndex(docs, idCol, textCol, n, maxDocFreq)
+                      maxDocFreq: Long = 1000L,
+                      persistIntermediate: Boolean = true): DataFrame = {
+    // The index feeds the signature aggregate AND both verify-join sides
+    // (3 evaluations of tokenize+explode+hot-cap without the cache).
+    val idx0 = shingleIndex(docs, idCol, textCol, n, maxDocFreq)
+    val idx = if (persistIntermediate) idx0.persist() else idx0
     val sig = minHashSignatures(idx, p)
     val bandCols = (0 until p.bands).map { b =>
       val ks = (0 until p.rowsPerBand).map(r => col(s"mh_${b * p.rowsPerBand + r}").cast(StringType))
