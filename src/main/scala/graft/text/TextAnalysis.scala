@@ -7,7 +7,8 @@ import org.apache.spark.sql.types._
 /** Text-analysis column-functions for large-scale training-data pipelines:
   * tokenization, token counting, n-gram heuristic language ID, quality
   * scoring, and document fingerprinting. All pure Catalyst expressions
-  * (array higher-order functions) — codegen-friendly, no UDFs, so a 100 TB
+  * (array higher-order functions where per-row, plain expressions
+  * elsewhere) — no UDFs, so a 100 TB
   * corpus scan stays in one whole-stage-codegen pass over the Parquet scan.
   */
 object TextAnalysis {

@@ -5,11 +5,13 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
-/** Vector similarity over `array<float>` embedding columns: codegen'd
-  * cosine via array higher-order functions (no UDF), brute-force top-k as
-  * the exact baseline, and an IVF (inverted-file) variant as the scale
-  * path — centroid assignment turns ANN into an equi-join on a cluster id,
-  * which partitions cleanly across a 1000-executor cluster; brute force is
+/** Vector similarity over `array<float>` embedding columns: cosine via
+  * the custom codegen'd DotProduct expression (array higher-order
+  * functions are interpreted — see [[dot]]), brute-force top-k as the
+  * exact baseline (window and bounded-heap-aggregate forms), and IVF /
+  * random-hyperplane-LSH variants as the scale path — centroid or bucket
+  * assignment turns ANN into an equi-join on a cell id, which partitions
+  * cleanly across a 1000-executor cluster; brute force is
   * O(|queries| x |corpus|) and is only the small-|queries| baseline.
   */
 object Similarity {
