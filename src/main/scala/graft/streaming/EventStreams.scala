@@ -29,8 +29,20 @@ object EventStreams {
                            total_value: Double)
 
   /** Internal per-key session accumulator (public: encoder codegen needs
-    * constructor/accessor visibility from generated code). */
+    * constructor/accessor visibility from generated code). Times are
+    * epoch MICROseconds — `Timestamp.getTime` is millis and silently
+    * drops the sub-millisecond part of micro-precision event times.
+    */
   final case class SessionState(start: Long, last: Long, n: Long, total: Double)
+
+  private def tsMicros(t: java.sql.Timestamp): Long =
+    t.getTime / 1000 * 1000000L + t.getNanos / 1000L
+
+  private def microsTs(us: Long): java.sql.Timestamp = {
+    val t = new java.sql.Timestamp(Math.floorDiv(us, 1000000L) * 1000L)
+    t.setNanos((Math.floorMod(us, 1000000L) * 1000L).toInt)
+    t
+  }
 
   /** Tumbling-window aggregate with a watermark (the streaming twin of the
     * `events_tumbling` batch query): count + exact decimal sum per
@@ -65,23 +77,22 @@ object EventStreams {
       .flatMapGroupsWithState[SessionState, Session](
         OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
         (userId: Long, rows: Iterator[Event], state: GroupState[SessionState]) =>
+          val gapUs = gapMs * 1000L
           if (state.hasTimedOut) {
             val s = state.get
             state.remove()
-            Iterator.single(Session(userId, new java.sql.Timestamp(s.start),
-              new java.sql.Timestamp(s.last), s.n, s.total))
+            Iterator.single(Session(userId, microsTs(s.start), microsTs(s.last), s.n, s.total))
           } else {
-            val sorted = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+            val sorted = rows.toSeq.sortBy(e => (tsMicros(e.ts), e.event_id))
             var cur = state.getOption
             val closed = Seq.newBuilder[Session]
             sorted.foreach { e =>
-              val t = e.ts.getTime
+              val t = tsMicros(e.ts)
               cur match {
-                case Some(s) if t - s.last < gapMs =>
+                case Some(s) if t - s.last < gapUs =>
                   cur = Some(s.copy(last = t, n = s.n + 1, total = s.total + e.value))
                 case Some(s) =>
-                  closed += Session(userId, new java.sql.Timestamp(s.start),
-                    new java.sql.Timestamp(s.last), s.n, s.total)
+                  closed += Session(userId, microsTs(s.start), microsTs(s.last), s.n, s.total)
                   cur = Some(SessionState(t, t, 1, e.value))
                 case None =>
                   cur = Some(SessionState(t, t, 1, e.value))
@@ -89,9 +100,9 @@ object EventStreams {
             }
             cur.foreach { s =>
               state.update(s)
-              // Timeout must be beyond the current watermark.
+              // Timeout must be beyond the current watermark (millis API).
               state.setTimeoutTimestamp(
-                math.max(s.last + gapMs, state.getCurrentWatermarkMs() + 1))
+                math.max(s.last / 1000 + gapMs, state.getCurrentWatermarkMs() + 1))
             }
             closed.result().iterator
           }
