@@ -39,6 +39,47 @@ object Merge {
     lastWriteWins(tagged, keys, col("_src").desc +: precedence).drop("_src")
   }
 
+  /** Partition-scoped MERGE into a hive-partitioned Parquet state table:
+    * only partitions PRESENT IN THE BATCH are read (partition-pruned
+    * scan), merged, and rewritten (dynamic partition overwrite) — merge
+    * cost is proportional to touched partitions, not table size. The
+    * full-table swap ([[graft.io.Sinks.atomicSwapWrite]]) is the fallback
+    * for unpartitioned state; THIS is the form that holds at 100 TB,
+    * where a daily batch touches a handful of date partitions.
+    *
+    * `partitionCol` must be part of every row (it need not be part of
+    * `keys`, but keys must not straddle partitions — the natural key
+    * determines the partition in a sane layout).
+    */
+  def mergeIntoPartitionedState(spark: org.apache.spark.sql.SparkSession,
+                                statePath: String, incoming: DataFrame,
+                                keys: Seq[String], precedence: Seq[Column],
+                                partitionCol: String): DataFrame = {
+    val touched = incoming.select(partitionCol).distinct()
+      .collect().map(_.get(0)).toSeq
+    val current =
+      try spark.read.parquet(statePath)
+        .where(col(partitionCol).isin(touched: _*)) // partition-pruned
+        .select(incoming.columns.map(col): _*)
+      catch {
+        case _: Exception => spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], incoming.schema)
+      }
+    val merged = lastWriteWins(
+      current.withColumn("_src", lit(0))
+        .unionByName(incoming.withColumn("_src", lit(1))),
+      keys, col("_src").desc +: precedence).drop("_src")
+    val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try merged.write.mode("overwrite").partitionBy(partitionCol).parquet(statePath)
+    finally prev match {
+      case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+      case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+    }
+    spark.catalog.refreshByPath(statePath)
+    spark.read.parquet(statePath)
+  }
+
   /** Insert-if-absent (reference load.py:65-74, `ON CONFLICT DO NOTHING`
     * schema.sql:59): rows of `incoming` whose key is absent from `existing`
     * are appended; existing rows win unchanged. Anti-join + union — at

@@ -41,6 +41,29 @@ class MergeQualitySpec extends SparkSpec {
     assert(got == Map("TSLA" -> 1.0, "RIVN" -> 3.0))
   }
 
+  test("mergeIntoPartitionedState rewrites only touched partitions") {
+    val statePath = java.nio.file.Files.createTempDirectory("pmerge").toString + "/state"
+    val seed = Seq((1L, "A", 10.0), (2L, "B", 20.0), (3L, "C", 30.0))
+      .toDF("k", "part", "v")
+    seed.write.partitionBy("part").parquet(statePath)
+    val filesBefore = {
+      val dirA = new java.io.File(s"$statePath/part=A")
+      dirA.listFiles().map(f => f.getName -> f.lastModified()).toMap
+    }
+    val batch = Seq((2L, "B", 99.0), (4L, "B", 40.0)).toDF("k", "part", "v")
+    val merged = Merge.mergeIntoPartitionedState(spark, statePath, batch,
+      Seq("k"), Seq(col("v").desc), "part")
+    val got = merged.select("k", "part", "v").collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getDouble(2))).toMap
+    assert(got == Map(1L -> (("A", 10.0)), 2L -> (("B", 99.0)),
+      3L -> (("C", 30.0)), 4L -> (("B", 40.0))))
+    val filesAfter = {
+      val dirA = new java.io.File(s"$statePath/part=A")
+      dirA.listFiles().map(f => f.getName -> f.lastModified()).toMap
+    }
+    assert(filesBefore == filesAfter, "untouched partition files must not be rewritten")
+  }
+
   test("tolerance check edges (reference test_edge_cases.py:320-348)") {
     // revenue 22500000000.01 passes at tol 22500000 (0.1% of 22.5e9)
     val got = Seq(22500000000.01, 22522500000.01, 0.399999999)
