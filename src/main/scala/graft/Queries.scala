@@ -272,6 +272,26 @@ object Queries {
       Merge.insertIfAbsent(existing, incoming, Seq("c_custkey"))
     }),
 
+    // Partition-scoped MERGE (the 100 TB state-table path): seed a state
+    // partitioned by event_type with clicks+views, merge the purchases
+    // batch — only that partition is read+rewritten. Final state equals a
+    // global last-write-wins (same oracle as dedupe_batch restricted to
+    // the three types).
+    "merge_partitioned" -> ((s, dir) => {
+      val ev = Tables.events(s, dir).select(
+        col("user_id"), col("event_type"), col("event_id"), col("ts"), col("value"))
+        .where(col("event_type").isin("click", "view", "purchase"))
+      val prec = Seq(col("ts").desc, col("event_id").desc)
+      val statePath = java.nio.file.Files.createTempDirectory("graft_pmerge").toString + "/state"
+      Merge.lastWriteWins(ev.where(col("event_type").isin("click", "view")),
+          Seq("user_id", "event_type"), prec)
+        .write.partitionBy("event_type").parquet(statePath)
+      Merge.mergeIntoPartitionedState(s, statePath,
+          ev.where(col("event_type") === "purchase"),
+          Seq("user_id", "event_type"), prec, "event_type")
+        .select(col("user_id"), col("event_type"), col("event_id"), col("ts"), col("value"))
+    }),
+
     // Engine-owned uniqueness assertion (SURVEY.md §4): keys violating the
     // (user_id, event_type) contract, with multiplicity.
     "assert_unique_key" -> ((s, dir) =>
@@ -741,6 +761,12 @@ object Queries {
       """SELECT c_custkey, c_name, c_acctbal FROM customer WHERE c_custkey % 3 = 0
         |UNION ALL
         |SELECT c_custkey, c_name || '_new' AS c_name, c_acctbal FROM customer WHERE c_custkey % 3 <> 0""".stripMargin,
+
+    "merge_partitioned" ->
+      """SELECT user_id, event_type, event_id, CAST(ts AS TIMESTAMP) AS ts, value FROM (
+        |  SELECT user_id, event_type, event_id, ts, value, row_number() OVER (
+        |    PARTITION BY user_id, event_type ORDER BY ts DESC, event_id DESC) AS rn
+        |  FROM events WHERE event_type IN ('click', 'view', 'purchase')) WHERE rn = 1""".stripMargin,
 
     "assert_unique_key" ->
       """SELECT user_id, event_type, count(*) AS cnt FROM events

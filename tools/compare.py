@@ -61,10 +61,16 @@ def main():
         except Exception as e:
             results[name] = f"ORACLE-SQL-FAIL {str(e)[:200]}"
             continue
+        sp_types = dict(zip(sp_cols, [d[1] for d in sp.description]))
+        du_types = dict(zip(du_cols, [d[1] for d in du.description]))
         sc, sr = frame_to_rows(sp_cols, sp_rows)
         dc, dr = frame_to_rows(du_cols, du_rows)
+        type_diff = {c: (sp_types.get(c), du_types.get(c)) for c in sc
+                     if c in du_types and sp_types.get(c) != du_types.get(c)}
         if sc != dc:
             results[name] = f"SCHEMA-MISMATCH spark={sc} duck={dc}"
+        elif type_diff:
+            results[name] = f"TYPE-MISMATCH {type_diff}"
         elif len(sr) != len(dr):
             results[name] = f"ROWCOUNT-MISMATCH spark={len(sr)} duck={len(dr)}"
         elif sr != dr:
