@@ -343,6 +343,16 @@ object Queries {
         .select(col("window.start").as("hour_start"), col("event_type"),
           col("cnt"), col("sum_value"))),
 
+    // Sliding 2-hour windows on a 1-hour slide: each event lands in two
+    // overlapping windows (streaming-compatible semantics in batch).
+    "events_sliding" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .groupBy(window(col("ts"), "2 hours", "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("cnt"),
+          sum(col("value").cast(DecimalType(18, 6))).cast(DecimalType(20, 6)).as("sum_value"))
+        .select(col("window.start").as("win_start"), col("event_type"),
+          col("cnt"), col("sum_value"))),
+
     // Backward as-of join (SURVEY.md §7.6): each click gets the latest
     // prior purchase value of the same user. Single-shuffle union+window
     // form — no range explosion on hot keys.
@@ -785,6 +795,16 @@ object Queries {
       """SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour_start, event_type, count(*) AS cnt,
         |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DECIMAL(20,6)) AS sum_value
         |FROM events GROUP BY 1, 2""".stripMargin,
+
+    "events_sliding" ->
+      """SELECT CAST(ws AS TIMESTAMP) AS win_start, event_type, count(*) AS cnt,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DECIMAL(20,6)) AS sum_value
+        |FROM (
+        |  SELECT unnest([date_trunc('hour', ts) - INTERVAL 1 HOUR,
+        |                 date_trunc('hour', ts)]) AS ws,
+        |         event_type, value
+        |  FROM events)
+        |GROUP BY 1, 2""".stripMargin,
 
     "asof_join" ->
       """SELECT l.event_id, l.user_id, CAST(l.ts AS TIMESTAMP) AS ts,
