@@ -541,6 +541,16 @@ object Queries {
           dim = 64, threshold = 0.45, nbits = 4)
         .select(col("doc_a"), col("doc_b"), round(col("sim"), 6).as("sim"))),
 
+    // The custom codegen'd expression through the SQL surface: graft_dot
+    // registered on the session, invoked from spark.sql in the graded gate.
+    "sql_graft_dot" -> ((s, dir) => {
+      graft.functions.GraftFunctions.register(s)
+      t(s, dir, "embeddings").createOrReplaceTempView("embeddings_v")
+      s.sql(
+        """SELECT vec_id, round(graft_dot(embedding, embedding), 6) AS self_dot
+          |FROM embeddings_v WHERE vec_id < 100""".stripMargin)
+    }),
+
     // ---- multimodal -------------------------------------------------------
     // Binary payload plumbing: utf-8 bytes of the text stand in for an
     // opaque media payload; fixed-stride frame sampling + per-frame hash.
@@ -1054,6 +1064,12 @@ object Queries {
         |        list_dot_product(a.v, b.v) / (a.nrm * b.nrm) AS sim
         |      FROM n a JOIN n b ON a.vec_id < b.vec_id)
         |SELECT doc_a, doc_b, round(sim, 6) AS sim FROM p WHERE sim >= 0.45""".stripMargin,
+
+    "sql_graft_dot" ->
+      """SELECT vec_id,
+        |  round(list_dot_product(list_transform(embedding, x -> CAST(x AS DOUBLE)),
+        |                         list_transform(embedding, x -> CAST(x AS DOUBLE))), 6) AS self_dot
+        |FROM embeddings WHERE vec_id < 100""".stripMargin,
 
     "multimodal_frames" ->
       """WITH b AS (SELECT doc_id, text, length(text) AS n FROM documents),
