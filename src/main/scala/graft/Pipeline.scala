@@ -99,10 +99,9 @@ object Pipeline {
                            precedence: Seq[Column]): DataFrame = {
     val keys = Seq("ticker", "quarter_date")
     val deduped = Merge.lastWriteWins(clean, keys, precedence)
-    val current =
-      try spark.read.parquet(statePath)
-      catch { case _: Exception => spark.createDataFrame(
-        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], deduped.schema) }
+    // Missing path = first run; any OTHER read failure rethrows (an empty
+    // bootstrap on a transient error would overwrite real state).
+    val current = Merge.readStateOrEmpty(spark, statePath, deduped.schema)
     val merged = Merge.mergeUpsert(current, deduped, keys)
     Sinks.atomicSwapWrite(spark, merged, statePath)
     spark.read.parquet(statePath)

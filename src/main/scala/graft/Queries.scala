@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 import graft.io.Tables
-import graft.ops.{AsOf, Merge, Normalize, Quality, Summary, Windows}
+import graft.ops.{AsOf, Merge, Normalize, Quality, Reshape, Summary, Windows}
 import graft.text.{Dedup, TextAnalysis}
 import graft.vector.Similarity
 import graft.multimodal.BinaryOps
@@ -46,8 +46,11 @@ object Queries {
       t(s, dir, "lineitem")
         .groupBy(col("l_returnflag"), col("l_linestatus"))
         .agg(
-          sum(col("l_quantity").cast(Dec152)).cast(DecimalType(18, 2)).as("sum_qty"),
-          sum(col("l_extendedprice").cast(Dec152)).cast(DecimalType(18, 2)).as("sum_base_price"),
+          // Decimal sum internally (order-independent exact), DOUBLE at the
+          // surface: both engines convert the same decimal value via IEEE
+          // nearest, so the driver's pandas dtype-sensitive hash matches.
+          sum(col("l_quantity").cast(Dec152)).cast(DoubleType).as("sum_qty"),
+          sum(col("l_extendedprice").cast(Dec152)).cast(DoubleType).as("sum_base_price"),
           count(lit(1)).as("count_order"))
     }),
 
@@ -108,7 +111,7 @@ object Queries {
       t(s, dir, "orders")
         .select(col("o_orderkey"), raw.as("raw"))
         .withColumn("val", Normalize.safeDecimal(col("raw")))
-        .select(col("o_orderkey"), col("val"))
+        .select(col("o_orderkey"), col("val").cast(DoubleType).as("val"))
     }),
 
     // O-X4 + O-J6 EPS estimation over a literal shares map
@@ -150,7 +153,7 @@ object Queries {
         col("o_orderpriority").as("ticker"),
         col("o_orderdate").cast(DateType).as("quarter_date"),
         Normalize.quarterLabel(col("o_orderdate")).as("quarter_label"),
-        col("o_totalprice").cast(Dec152).as("revenue"))),
+        col("o_totalprice").cast(Dec152).cast(DoubleType).as("revenue"))),
 
     // O-F1 invalid-date filter (transform.py:77-79): some raw strings are
     // unparseable; keep only rows with a parseable date.
@@ -224,7 +227,7 @@ object Queries {
         .withColumn("running_sum",
           sum(col("value").cast(DecimalType(18, 6)))
             .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
-            .cast(DecimalType(20, 6)))
+            .cast(DoubleType))
         .withColumn("prev_value", lag(col("value"), 1).over(w))
     }),
 
@@ -316,6 +319,9 @@ object Queries {
           StructField("o_price", Dec152),
           StructField("o_orderstatus", StringType))))
         .option("header", "true").csv(tmp)
+        // Decimal end-to-end through the CSV sink+source; DOUBLE only at
+        // the gate surface (driver dtype canonicalization).
+        .withColumn("o_price", col("o_price").cast(DoubleType))
     }),
 
     // Partition-pruned state layout (SURVEY.md §4 "partition-by layout ->
@@ -329,7 +335,8 @@ object Queries {
         .write.mode("overwrite").partitionBy("o_orderstatus").parquet(tmp)
       s.read.parquet(tmp)
         .where(col("o_orderstatus") === "O")
-        .select(col("o_orderkey"), col("o_custkey"), col("o_price"), col("o_orderstatus"))
+        .select(col("o_orderkey"), col("o_custkey"),
+          col("o_price").cast(DoubleType).as("o_price"), col("o_orderstatus"))
     }),
 
     // ---- 2.10 streaming-equivalent batch windowing ------------------------
@@ -339,7 +346,7 @@ object Queries {
       Tables.events(s, dir)
         .groupBy(window(col("ts"), "1 hour"), col("event_type"))
         .agg(count(lit(1)).as("cnt"),
-          sum(col("value").cast(DecimalType(18, 6))).cast(DecimalType(20, 6)).as("sum_value"))
+          sum(col("value").cast(DecimalType(18, 6))).cast(DoubleType).as("sum_value"))
         .select(col("window.start").as("hour_start"), col("event_type"),
           col("cnt"), col("sum_value"))),
 
@@ -349,7 +356,7 @@ object Queries {
       Tables.events(s, dir)
         .groupBy(window(col("ts"), "2 hours", "1 hour"), col("event_type"))
         .agg(count(lit(1)).as("cnt"),
-          sum(col("value").cast(DecimalType(18, 6))).cast(DecimalType(20, 6)).as("sum_value"))
+          sum(col("value").cast(DecimalType(18, 6))).cast(DoubleType).as("sum_value"))
         .select(col("window.start").as("win_start"), col("event_type"),
           col("cnt"), col("sum_value"))),
 
@@ -385,7 +392,7 @@ object Queries {
       withFlag.groupBy(col("user_id"), col("session_seq"))
         .agg(min(col("ts")).as("session_start"), max(col("ts")).as("session_end"),
           count(lit(1)).as("n_events"),
-          sum(col("value").cast(DecimalType(18, 6))).cast(DecimalType(20, 6)).as("total_value"))
+          sum(col("value").cast(DecimalType(18, 6))).cast(DoubleType).as("total_value"))
     }),
 
     // SQL-surface parity: the same engine running `spark.sql` over temp
@@ -397,7 +404,7 @@ object Queries {
       s.sql(
         """SELECT n_name,
           |  CAST(year(o_orderdate) AS STRING) || '-Q' || CAST(quarter(o_orderdate) AS STRING) AS quarter_label,
-          |  CAST(SUM(CAST(o_totalprice AS DECIMAL(15,2))) AS DECIMAL(18,2)) AS revenue,
+          |  CAST(SUM(CAST(o_totalprice AS DECIMAL(15,2))) AS DOUBLE) AS revenue,
           |  count(*) AS order_cnt
           |FROM orders_v
           |JOIN customer_v ON o_custkey = c_custkey
@@ -441,33 +448,55 @@ object Queries {
 
     // Exact top-k most frequent tokens (training-data vocabulary view):
     // explode -> count -> global top-k with deterministic tiebreak.
+    // orderBy+limit compiles to TakeOrderedAndProject (map-side partial
+    // top-k) — a partition-less Window here would funnel the ENTIRE
+    // vocabulary (10^8+ tokens at web scale) through one task. Rank is
+    // then derived window-free on the k survivors: rank = 1 + number of
+    // rows sorting strictly before, via a broadcast self-join bounded at
+    // k^2 = 400 comparisons regardless of corpus size.
     "text_top_tokens" -> ((s, dir) => {
       val counts = t(s, dir, "documents")
         .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("toks"))
         .select(explode(col("toks")).as("token"))
         .groupBy(col("token")).agg(count(lit(1)).as("cnt"))
-      val w = Window.orderBy(col("cnt").desc, col("token").asc)
-      counts.withColumn("rank", row_number().over(w).cast(LongType))
-        .where(col("rank") <= 20)
+      val top = counts.orderBy(col("cnt").desc, col("token").asc).limit(20)
+      val other = top.select(col("cnt").as("cnt2"), col("token").as("token2"))
+      top.join(broadcast(other),
+          col("cnt2") > col("cnt") ||
+            (col("cnt2") === col("cnt") && col("token2") < col("token")),
+          "left")
+        .groupBy(col("token"), col("cnt"))
+        .agg((count(col("token2")) + 1).cast(LongType).as("rank"))
     }),
 
-    // Per-token document frequency + IDF (ln(N/df), rounded).
+    // Per-token document frequency + IDF (ln(N/df), rounded). Corpus
+    // cardinality rides along as a broadcast 1-row aggregate — the whole
+    // query is ONE lazy plan, no eager .count() driver action per call.
     "text_idf" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
-      val n = docs.count() // tiny driver-side scalar: corpus cardinality
+      val n = docs.agg(count(lit(1)).cast(DoubleType).as("n_docs"))
       docs.select(col("doc_id"), TextAnalysis.tokens(col("text")).as("toks"))
         .select(col("doc_id"), explode(array_distinct(col("toks"))).as("token"))
         .groupBy(col("token")).agg(count(lit(1)).as("df"))
-        .withColumn("idf", round(log(lit(n.toDouble) / col("df")), 6))
+        .crossJoin(broadcast(n))
+        .withColumn("idf", round(log(col("n_docs") / col("df")), 6))
+        .select(col("token"), col("df"), col("idf"))
     }),
 
-    // Approximate distinct (the 2%-error 100 TB variant of
-    // agg_distinct_users; HLL sketches differ across engines -> rows-only).
+    // Approximate distinct (the 100 TB variant of agg_distinct_users).
+    // HLL sketches are engine-specific, so the gate emits the
+    // DETERMINISTIC check — Spark's fixed HLL++ estimate within the 5%
+    // configured rsd of exact — next to the exact count; the oracle's
+    // twin row is literal TRUE.
     "agg_approx_distinct" -> ((s, dir) =>
       Tables.events(s, dir)
         .groupBy(col("event_type"))
-        .agg(approx_count_distinct(col("user_id")).as("approx_users"),
-          countDistinct(col("user_id")).as("exact_users"))),
+        .agg(approx_count_distinct(col("user_id"), 0.05).as("approx_users"),
+          countDistinct(col("user_id")).as("exact_users"))
+        .select(col("event_type"),
+          (abs(col("approx_users") - col("exact_users")).cast(DoubleType) /
+            col("exact_users").cast(DoubleType) <= 0.05).as("within_tol"),
+          col("exact_users"))),
 
     // One-scan column profiling (ops/Profile): null/distinct/min/max per
     // column. Input pre-cast to decimal so min/max strings render
@@ -493,14 +522,20 @@ object Queries {
       Dedup.ngramJaccardPairs(t(s, dir, "documents"), "doc_id", "text",
         n = 3, threshold = 0.5, maxDocFreq = 100L)),
 
-    // Sketch-based near-dup (xxhash64 has no DuckDB twin -> rows-only check;
-    // exact-verified against the jaccard oracle inside the plan itself).
+    // Sketch-based near-dup. Gate configuration uses the md5-derived
+    // 60-bit term hash (Dedup.Md5Hash60) so DuckDB can replicate the
+    // MinHash signatures, banding, and verification EXACTLY; production
+    // default stays xxhash64.
     "dedup_minhash_lsh" -> ((s, dir) =>
       Dedup.minHashLshPairs(t(s, dir, "documents"), "doc_id", "text",
-        n = 3, threshold = 0.5, maxDocFreq = 100L)),
+        n = 3, threshold = 0.5, maxDocFreq = 100L, hashFn = Dedup.Md5Hash60)),
 
+    // Same md5-hash gate trick; 60-bit width (4x15-bit bands) keeps every
+    // shift inside positive BIGINT range on both engines.
     "dedup_simhash" -> ((s, dir) =>
-      Dedup.simHashPairs(t(s, dir, "documents"), "doc_id", "text", maxHamming = 3)),
+      Dedup.simHashPairs(t(s, dir, "documents"), "doc_id", "text", maxHamming = 3,
+          hashFn = Dedup.Md5Hash60, bits = 60)
+        .select(col("doc_a"), col("doc_b"), col("hamming").cast(LongType).as("hamming"))),
 
     // ---- similarity search ------------------------------------------------
     "sim_brute_topk" -> ((s, dir) => {
@@ -562,23 +597,57 @@ object Queries {
           col("frame_hash"))
     }),
 
-    // STUB decode via mapPartitions (deterministic fake; rows-only check).
+    // STUB decode via mapPartitions: the fake dimensions are a pure
+    // function of the payload byte length, so DuckDB replicates them from
+    // strlen(text). Int32 fields cast to long at the gate surface (driver
+    // dtype canonicalization).
     "multimodal_decode_meta" -> ((s, dir) => {
       val withBin = t(s, dir, "documents")
         .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
       BinaryOps.decodeImageMeta(s, withBin, "doc_id", "payload")
+        .select(col("doc_id"), col("width").cast(LongType).as("width"),
+          col("height").cast(LongType).as("height"), col("format"), col("n_bytes"))
     }),
 
-    // STUB feature-extract + resize plumbing (rows-only): binary ->
-    // fixed-width float vector; binary -> stride-sampled binary.
+    // STUB feature-extract + resize plumbing: binary -> fixed-width float
+    // vector; binary -> stride-sampled binary. The gate emits a DIGEST of
+    // the vector (md5 over the exact integer lane values — a raw
+    // array<float> is unhashable for the driver's pandas sorter); the
+    // array-valued API stays in the library.
     "multimodal_features" -> ((s, dir) => {
       val withBin = t(s, dir, "documents")
         .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
       val feats = BinaryOps.extractFeatures(withBin, "doc_id", "payload", dim = 8)
       val resized = BinaryOps.resizePayload(withBin, "doc_id", "payload", stride = 4)
       feats.join(resized, "doc_id")
-        .select(col("doc_id"), col("features"), col("orig_bytes"),
+        .select(col("doc_id"),
+          md5(concat_ws(",",
+            transform(col("features"), f => f.cast(IntegerType).cast(StringType))))
+            .as("features_md5"),
+          col("orig_bytes"),
           length(col("resized")).cast(LongType).as("resized_bytes"))
+    }),
+
+    // ---- S5 wide->long / long->wide ---------------------------------------
+    // S5 unpivot (reference extract.py:158-187): the yfinance metric
+    // matrix melted to per-metric rows. Expand-based — no shuffle.
+    "unpivot_wide_long" -> ((s, dir) =>
+      Reshape.unpivotToLong(
+        t(s, dir, "orders").select(col("o_orderkey"),
+          col("o_totalprice").cast(DoubleType).as("m_totalprice"),
+          col("o_custkey").cast(DoubleType).as("m_custkey")),
+        Seq("o_orderkey"), Seq("m_totalprice", "m_custkey"))),
+
+    // ...and pivoted back to wide (extract.py:183-187): round-trip
+    // identity, explicit metric list (no value-discovery scan).
+    "pivot_long_wide" -> ((s, dir) => {
+      val long = Reshape.unpivotToLong(
+        t(s, dir, "orders").select(col("o_orderkey"),
+          col("o_totalprice").cast(DoubleType).as("m_totalprice"),
+          col("o_custkey").cast(DoubleType).as("m_custkey")),
+        Seq("o_orderkey"), Seq("m_totalprice", "m_custkey"))
+      Reshape.pivotToWide(long, Seq("o_orderkey"), "metric", "value",
+        Seq("m_totalprice", "m_custkey"))
     })
   )
 
@@ -590,11 +659,127 @@ object Queries {
 
   private val EnWords = TextAnalysis.StopwordLists.head._2
 
+  /** DuckDB twin of [[Dedup.Md5Hash60]] (60-bit md5-derived term hash). */
+  private def md5Hash60Sql(e: String): String =
+    s"CAST('0x' || substr(md5($e),1,15) AS BIGINT)"
+
+  /** DuckDB replica of the FULL MinHash+LSH pipeline — signatures with the
+    * exact permutation constants from [[Dedup.MinHashParams]], banding,
+    * candidate equi-join, and exact Jaccard verification of candidates.
+    */
+  private def minHashLshOracleSql: String = {
+    val p = Dedup.MinHashParams()
+    val mh = (0 until p.numPerm).map(i =>
+      s"min((hm * ${p.as(i)} + ${p.bs(i)}) % ${p.prime}) AS mh_$i").mkString(", ")
+    val bandSelects = (0 until p.bands).map { b =>
+      val key = (0 until p.rowsPerBand)
+        .map(r => s"CAST(mh_${b * p.rowsPerBand + r} AS VARCHAR)")
+        .mkString(" || ':' || ")
+      s"SELECT doc_id, $b AS band, $key AS bkey FROM sig"
+    }.mkString(" UNION ALL ")
+    s"""WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks FROM documents),
+       |shs AS (SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(toks) - 1),
+       |          i -> array_to_string(toks[i:i+2], ' ')))) AS shingle_s FROM t),
+       |sh AS (SELECT doc_id, ${md5Hash60Sql("shingle_s")} AS shingle FROM shs),
+       |hot AS (SELECT shingle FROM sh GROUP BY 1 HAVING count(*) > 100),
+       |idx AS (SELECT doc_id, shingle FROM sh WHERE shingle NOT IN (SELECT shingle FROM hot)),
+       |hmt AS (SELECT doc_id, shingle % ${p.prime} AS hm FROM idx),
+       |sig AS (SELECT doc_id, $mh FROM hmt GROUP BY 1),
+       |bk AS ($bandSelects),
+       |cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+       |         FROM bk x JOIN bk y ON x.band = y.band AND x.bkey = y.bkey AND x.doc_id < y.doc_id),
+       |sizes AS (SELECT doc_id, count(*) AS nsh FROM idx GROUP BY 1),
+       |inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS ic
+       |          FROM idx a JOIN idx b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+       |          JOIN cand c ON c.doc_a = a.doc_id AND c.doc_b = b.doc_id
+       |          GROUP BY 1, 2)
+       |SELECT t2.doc_a, t2.doc_b, CAST(t2.ic AS DOUBLE) / (sa.nsh + sb.nsh - t2.ic) AS jaccard
+       |FROM inter t2 JOIN sizes sa ON t2.doc_a = sa.doc_id JOIN sizes sb ON t2.doc_b = sb.doc_id
+       |WHERE CAST(t2.ic AS DOUBLE) / (sa.nsh + sb.nsh - t2.ic) >= 0.5""".stripMargin
+  }
+
+  /** DuckDB replica of the 60-bit SimHash pipeline: per-bit sign votes
+    * over md5-hashed distinct tokens, 4x15-bit band candidates, exact
+    * Hamming verification via xor + bit_count.
+    */
+  private def simHashOracleSql: String = {
+    val votes = (0 until 60).map(b =>
+      s"SUM(CASE WHEN (h >> $b) & 1 = 1 THEN 1 ELSE -1 END) AS v_$b").mkString(", ")
+    val bits = (0 until 60).map(b =>
+      s"(CASE WHEN v_$b > 0 THEN (1::BIGINT << $b) ELSE 0::BIGINT END)").mkString(" | ")
+    val bands = (0 until 4).map(b =>
+      s"SELECT doc_id, simhash, $b AS band, (simhash >> ${b * 15}) & 32767 AS bkey FROM sig")
+      .mkString(" UNION ALL ")
+    s"""WITH t AS (SELECT doc_id, list_distinct(regexp_split_to_array(trim(text), '\\s+')) AS toks FROM documents),
+       |tok AS (SELECT doc_id, unnest(toks) AS tok FROM t),
+       |h AS (SELECT doc_id, ${md5Hash60Sql("tok")} AS h FROM tok),
+       |v AS (SELECT doc_id, $votes FROM h GROUP BY 1),
+       |sig AS (SELECT doc_id, $bits AS simhash FROM v),
+       |bk AS ($bands)
+       |SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b,
+       |  CAST(bit_count(xor(x.simhash, y.simhash)) AS BIGINT) AS hamming
+       |FROM bk x JOIN bk y ON x.band = y.band AND x.bkey = y.bkey AND x.doc_id < y.doc_id
+       |WHERE bit_count(xor(x.simhash, y.simhash)) <= 3""".stripMargin
+  }
+
+  /** DuckDB replica of IVF top-k: decimal-sum/count centroids (exactly the
+    * [[Similarity.centroids]] math), nprobe centroid ranking, probed-cell
+    * scan, per-query top-k.
+    */
+  private def ivfOracleSql: String =
+    s"""WITH e AS (SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |           FROM embeddings),
+       |ex AS (SELECT vec_id, label, unnest(v) AS val, generate_subscripts(v, 1) AS pos FROM e),
+       |cm AS (SELECT label AS centroid_id, pos,
+       |         CAST(SUM(CAST(val AS DECIMAL(27,12))) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS m
+       |       FROM ex GROUP BY 1, 2),
+       |cent AS (SELECT centroid_id, list(m ORDER BY pos) AS cv FROM cm GROUP BY 1),
+       |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 8),
+       |pr AS (SELECT query_id, qv, centroid_id,
+       |         list_dot_product(qv, cv) AS d,
+       |         sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv)) AS nn
+       |       FROM q CROSS JOIN cent),
+       |pr2 AS (SELECT query_id, qv, centroid_id,
+       |          row_number() OVER (PARTITION BY query_id
+       |            ORDER BY (CASE WHEN nn > 0 THEN d / nn END) DESC, centroid_id) AS crank
+       |        FROM pr),
+       |probes AS (SELECT query_id, qv, centroid_id FROM pr2 WHERE crank <= 3),
+       |c AS (SELECT vec_id AS neighbor_id, label AS centroid_id, v AS nv FROM e),
+       |sc AS (SELECT p.query_id, c.neighbor_id,
+       |         list_dot_product(p.qv, c.nv) AS d,
+       |         sqrt(list_dot_product(p.qv, p.qv)) * sqrt(list_dot_product(c.nv, c.nv)) AS nn
+       |       FROM c JOIN probes p ON c.centroid_id = p.centroid_id
+       |       WHERE p.query_id <> c.neighbor_id),
+       |r AS (SELECT query_id, neighbor_id, CASE WHEN nn > 0 THEN d / nn END AS sim,
+       |        row_number() OVER (PARTITION BY query_id
+       |          ORDER BY (CASE WHEN nn > 0 THEN d / nn END) DESC, neighbor_id) AS rank
+       |      FROM sc)
+       |SELECT query_id, rank, neighbor_id, round(sim, 6) AS sim FROM r WHERE rank <= 5""".stripMargin
+
+  /** DuckDB replica of the random-hyperplane LSH near-dup path: the exact
+    * plane coefficients from [[Similarity.hyperplaneCoef]] embedded as
+    * literals, bucket equi-join, exact cosine verification.
+    */
+  private def embeddingLshOracleSql: String = {
+    val planes = (0 until 4).map { b =>
+      val arr = (0 until 64)
+        .map(p => java.lang.Double.toString(Similarity.hyperplaneCoef(42L, b, p)))
+        .mkString(", ")
+      s"(CASE WHEN list_dot_product(v, [$arr]) > 0 THEN (1::BIGINT << $b) ELSE 0::BIGINT END)"
+    }.mkString(" | ")
+    s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+       |bkt AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm, $planes AS bucket FROM e),
+       |p AS (SELECT a.vec_id AS doc_a, b.vec_id AS doc_b,
+       |        list_dot_product(a.v, b.v) / (a.nrm * b.nrm) AS sim
+       |      FROM bkt a JOIN bkt b ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
+       |SELECT doc_a, doc_b, round(sim, 6) AS sim FROM p WHERE sim >= 0.45""".stripMargin
+  }
+
   val oracleSql: Map[String, String] = Map(
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
-        |  CAST(SUM(CAST(l_quantity AS DECIMAL(15,2))) AS DECIMAL(18,2)) AS sum_qty,
-        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(15,2))) AS DECIMAL(18,2)) AS sum_base_price,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(15,2))) AS DOUBLE) AS sum_qty,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(15,2))) AS DOUBLE) AS sum_base_price,
         |  count(*) AS count_order
         |FROM lineitem GROUP BY 1, 2""".stripMargin,
 
@@ -648,7 +833,7 @@ object Queries {
         |n AS (SELECT o_orderkey, CASE WHEN cl IN ('', 'N/A', 'n/a', '-') THEN NULL ELSE cl END AS cl2 FROM c),
         |v AS (SELECT o_orderkey, TRY_CAST(cl2 AS DECIMAL(15,2)) AS v FROM n)
         |SELECT o_orderkey,
-        |  CASE WHEN v > 0 AND v < 1000000 THEN TRY_CAST(v * 1000000 AS DECIMAL(15,2)) ELSE v END AS val
+        |  CAST(CASE WHEN v > 0 AND v < 1000000 THEN TRY_CAST(v * 1000000 AS DECIMAL(15,2)) ELSE v END AS DOUBLE) AS val
         |FROM v""".stripMargin,
 
     "fn_estimate_eps" ->
@@ -679,7 +864,7 @@ object Queries {
       """SELECT o_orderkey, o_orderpriority AS ticker,
         |  CAST(o_orderdate AS DATE) AS quarter_date,
         |  CAST(year(o_orderdate) AS VARCHAR) || '-Q' || CAST(quarter(o_orderdate) AS VARCHAR) AS quarter_label,
-        |  CAST(o_totalprice AS DECIMAL(15,2)) AS revenue
+        |  CAST(CAST(o_totalprice AS DECIMAL(15,2)) AS DOUBLE) AS revenue
         |FROM orders""".stripMargin,
 
     "filter_valid_date" ->
@@ -744,7 +929,7 @@ object Queries {
       """SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id, value,
         |  CAST(SUM(CAST(value AS DECIMAL(18,6))) OVER (
         |    PARTITION BY user_id ORDER BY ts, event_id
-        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DECIMAL(20,6)) AS running_sum,
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_sum,
         |  lag(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_value
         |FROM events""".stripMargin,
 
@@ -794,21 +979,21 @@ object Queries {
 
     "csv_roundtrip" ->
       """SELECT o_orderkey, CAST(o_orderdate AS DATE) AS o_date,
-        |  CAST(o_totalprice AS DECIMAL(15,2)) AS o_price, o_orderstatus
+        |  CAST(CAST(o_totalprice AS DECIMAL(15,2)) AS DOUBLE) AS o_price, o_orderstatus
         |FROM orders""".stripMargin,
 
     "partitioned_state_prune" ->
-      """SELECT o_orderkey, o_custkey, CAST(o_totalprice AS DECIMAL(15,2)) AS o_price, o_orderstatus
+      """SELECT o_orderkey, o_custkey, CAST(CAST(o_totalprice AS DECIMAL(15,2)) AS DOUBLE) AS o_price, o_orderstatus
         |FROM orders WHERE o_orderstatus = 'O'""".stripMargin,
 
     "events_tumbling" ->
       """SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour_start, event_type, count(*) AS cnt,
-        |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DECIMAL(20,6)) AS sum_value
+        |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
         |FROM events GROUP BY 1, 2""".stripMargin,
 
     "events_sliding" ->
       """SELECT CAST(ws AS TIMESTAMP) AS win_start, event_type, count(*) AS cnt,
-        |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DECIMAL(20,6)) AS sum_value
+        |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
         |FROM (
         |  SELECT unnest([date_trunc('hour', ts) - INTERVAL 1 HOUR,
         |                 date_trunc('hour', ts)]) AS ws,
@@ -825,7 +1010,7 @@ object Queries {
 
     "json_props_extract" ->
       """SELECT event_type, count(*) AS cnt,
-        |  SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS sum_k,
+        |  CAST(SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
         |  MIN(CAST(json_extract(props, '$.k') AS BIGINT)) AS min_k,
         |  MAX(CAST(json_extract(props, '$.k') AS BIGINT)) AS max_k
         |FROM events GROUP BY 1""".stripMargin,
@@ -849,13 +1034,13 @@ object Queries {
         |  CAST(MIN(ts) AS TIMESTAMP) AS session_start,
         |  CAST(MAX(ts) AS TIMESTAMP) AS session_end,
         |  count(*) AS n_events,
-        |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DECIMAL(20,6)) AS total_value
+        |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
         |FROM h GROUP BY 1, 2""".stripMargin,
 
     "sql_revenue_rollup" ->
       """SELECT n_name,
         |  CAST(year(o_orderdate) AS VARCHAR) || '-Q' || CAST(quarter(o_orderdate) AS VARCHAR) AS quarter_label,
-        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(15,2))) AS DECIMAL(18,2)) AS revenue,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(15,2))) AS DOUBLE) AS revenue,
         |  count(*) AS order_cnt
         |FROM orders
         |JOIN customer ON o_custkey = c_custkey
@@ -916,17 +1101,17 @@ object Queries {
     "profile_orders" ->
       """WITH b AS (SELECT o_custkey, CAST(o_totalprice AS DECIMAL(15,2)) AS o_price, o_orderstatus FROM orders)
         |SELECT 'o_custkey' AS "column", count(*) AS n_rows,
-        |  sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS n_null,
+        |  CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
         |  count(DISTINCT o_custkey) AS n_distinct,
         |  CAST(min(o_custkey) AS VARCHAR) AS min_str, CAST(max(o_custkey) AS VARCHAR) AS max_str FROM b
         |UNION ALL
         |SELECT 'o_price', count(*),
-        |  sum(CASE WHEN o_price IS NULL THEN 1 ELSE 0 END),
+        |  CAST(sum(CASE WHEN o_price IS NULL THEN 1 ELSE 0 END) AS BIGINT),
         |  count(DISTINCT o_price),
         |  CAST(min(o_price) AS VARCHAR), CAST(max(o_price) AS VARCHAR) FROM b
         |UNION ALL
         |SELECT 'o_orderstatus', count(*),
-        |  sum(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END),
+        |  CAST(sum(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END) AS BIGINT),
         |  count(DISTINCT o_orderstatus),
         |  CAST(min(o_orderstatus) AS VARCHAR), CAST(max(o_orderstatus) AS VARCHAR) FROM b""".stripMargin,
 
@@ -1076,6 +1261,57 @@ object Queries {
         |f AS (SELECT doc_id, text, unnest(range(0, n // 32)) AS frame_idx FROM b WHERE n >= 32)
         |SELECT doc_id, frame_idx,
         |  md5(substring(text, CAST(frame_idx * 32 + 1 AS INT), 32)) AS frame_hash
-        |FROM f""".stripMargin
+        |FROM f""".stripMargin,
+
+    // Spark's fixed HLL++ estimate is deterministic, so the tolerance
+    // check is a stable boolean; the oracle emits the expected TRUE.
+    "agg_approx_distinct" ->
+      """SELECT event_type, TRUE AS within_tol, count(DISTINCT user_id) AS exact_users
+        |FROM events GROUP BY 1""".stripMargin,
+
+    // The stub decode dims are a pure function of payload byte length
+    // (documents.text is ASCII: strlen == byte count).
+    "multimodal_decode_meta" ->
+      """WITH d AS (SELECT doc_id, CAST(strlen(text) AS BIGINT) AS n FROM documents)
+        |SELECT doc_id, n % 640 + 1 AS width, (n * 7) % 480 + 1 AS height,
+        |  CASE n % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg' ELSE 'webp' END AS format,
+        |  n AS n_bytes
+        |FROM d""".stripMargin,
+
+    // Position-weighted byte sums per lane, mod 1000003 — exact integer
+    // math replicated from the bytes (ord == byte value on ASCII text).
+    "multimodal_features" ->
+      """WITH d AS (SELECT doc_id, text, CAST(strlen(text) AS BIGINT) AS n FROM documents),
+        |pos AS (SELECT doc_id, unnest(range(1, n + 1)) AS i, text FROM d),
+        |s AS (SELECT doc_id, (i - 1) % 8 AS j,
+        |        SUM(ord(substring(text, CAST(i AS INT), 1)) * i) AS sj
+        |      FROM pos GROUP BY 1, 2),
+        |grid AS (SELECT doc_id, unnest(range(0, 8)) AS j FROM d),
+        |f AS (SELECT g.doc_id, g.j, CAST(COALESCE(s.sj, 0) % 1000003 AS BIGINT) AS fj
+        |      FROM grid g LEFT JOIN s ON g.doc_id = s.doc_id AND g.j = s.j),
+        |v AS (SELECT doc_id, list(fj ORDER BY j) AS fl FROM f GROUP BY 1)
+        |SELECT d.doc_id,
+        |  md5(array_to_string(list_transform(v.fl, x -> CAST(x AS VARCHAR)), ',')) AS features_md5,
+        |  d.n AS orig_bytes,
+        |  (d.n + 3) // 4 AS resized_bytes
+        |FROM d JOIN v ON d.doc_id = v.doc_id""".stripMargin,
+
+    "dedup_minhash_lsh" -> minHashLshOracleSql,
+
+    "dedup_simhash" -> simHashOracleSql,
+
+    "sim_ivf_topk" -> ivfOracleSql,
+
+    "dedup_embedding_lsh" -> embeddingLshOracleSql,
+
+    "unpivot_wide_long" ->
+      """UNPIVOT (SELECT o_orderkey, CAST(o_totalprice AS DOUBLE) AS m_totalprice,
+        |  CAST(o_custkey AS DOUBLE) AS m_custkey FROM orders)
+        |ON m_totalprice, m_custkey INTO NAME metric VALUE value""".stripMargin,
+
+    // pivot(unpivot(wide)) is the identity on the wide table.
+    "pivot_long_wide" ->
+      """SELECT o_orderkey, CAST(o_totalprice AS DOUBLE) AS m_totalprice,
+        |  CAST(o_custkey AS DOUBLE) AS m_custkey FROM orders""".stripMargin
   )
 }

@@ -10,9 +10,16 @@ import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
   */
 object Sinks {
 
-  /** Write `df` to `tablePath` atomically: write to a `_tmp` sibling, then
-    * rename over the target. Readers never observe a half-written table —
-    * the Parquet-only stand-in for Delta/Iceberg ACID (SURVEY.md §4).
+  /** Write `df` to `tablePath` via staged swap: write to a `_tmp` sibling,
+    * stage the live table aside to `_old`, rename `_tmp` into place. The
+    * swap is crash-safe for the WRITER — every rename's boolean result is
+    * checked (HDFS/object-store renames report failure by returning
+    * false, not throwing), and a failed publish restores `_old` so the
+    * previous generation survives any single failure. It is NOT atomic
+    * for CONCURRENT readers: there is a window between the two renames
+    * where `tablePath` does not exist — single-writer with reader-retry
+    * is the contract (a real multi-reader deployment wants Delta/Iceberg
+    * or a manifest indirection; SURVEY.md §4).
     */
   def atomicSwapWrite(spark: SparkSession, df: DataFrame, tablePath: String): Unit = {
     val tmp  = tablePath + "_tmp"
@@ -21,9 +28,17 @@ object Sinks {
     val fs = FileSystem.get(new URI(tablePath), spark.sparkContext.hadoopConfiguration)
     val target = new Path(tablePath)
     val oldP   = new Path(old)
-    if (fs.exists(oldP)) fs.delete(oldP, true)
-    if (fs.exists(target)) fs.rename(target, oldP)
-    fs.rename(new Path(tmp), target)
+    if (fs.exists(oldP) && !fs.delete(oldP, true))
+      throw new java.io.IOException(s"atomicSwapWrite: cannot delete stale $old; table unchanged")
+    val hadTarget = fs.exists(target)
+    if (hadTarget && !fs.rename(target, oldP))
+      throw new java.io.IOException(s"atomicSwapWrite: cannot stage $tablePath aside; table unchanged")
+    if (!fs.rename(new Path(tmp), target)) {
+      val restored = !hadTarget || fs.rename(oldP, target)
+      throw new java.io.IOException(
+        s"atomicSwapWrite: cannot publish $tmp over $tablePath; " +
+          (if (restored) "previous generation restored" else s"RESTORE FAILED — recover manually from $old"))
+    }
     fs.delete(oldP, true)
     // Invalidate cached file listings so subsequent reads see the new
     // generation. (DataFrames created BEFORE the swap hold the old file

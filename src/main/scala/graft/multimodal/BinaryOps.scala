@@ -56,9 +56,13 @@ object BinaryOps {
 
   /** STUB feature extraction: a real build hands each partition's payload
     * batch to a model/codec runtime; here each payload maps to a
-    * deterministic `dim`-float vector (rolling-hash features) so the
-    * Spark-side contract — binary in, fixed-width float vector out,
-    * iterator-batched per partition — is real and testable end-to-end.
+    * deterministic `dim`-float vector so the Spark-side contract — binary
+    * in, fixed-width float vector out, iterator-batched per partition — is
+    * real and testable end-to-end. The fake is position-weighted byte sums
+    * per lane, reduced mod 1000003: exact integer math (no float
+    * accumulation, no wrapping 64-bit multiply), so an independent SQL
+    * engine can replicate it bit-for-bit from the payload bytes, and every
+    * feature value is an integer < 2^24 (exact in float32).
     */
   def extractFeatures(withBinary: DataFrame, idCol: String, binCol: String,
                       dim: Int): DataFrame = {
@@ -71,15 +75,14 @@ object BinaryOps {
       it.map { r =>
         val id = r.getLong(0)
         val bytes = r.getAs[Array[Byte]](1)
-        // ??? model inference goes here; deterministic rolling-hash fake.
-        val feats = new Array[Float](dim)
-        var h = 1125899906842597L
+        // ??? model inference goes here; deterministic fake below.
+        val sums = new Array[Long](dim)
         var i = 0
         while (i < bytes.length) {
-          h = h * 31 + bytes(i)
-          feats(math.floorMod(i, dim)) += (math.floorMod(h, 1000L) / 1000.0f)
+          sums(i % dim) += (bytes(i) & 0xff).toLong * (i + 1)
           i += 1
         }
+        val feats = Array.tabulate(dim)(j => (sums(j) % 1000003L).toFloat)
         Row(id, feats.toSeq)
       }
     }(enc)

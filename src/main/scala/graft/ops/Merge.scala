@@ -1,8 +1,9 @@
 package graft.ops
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{AnalysisException, Column, DataFrame, Row, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
 
 /** MERGE / dedup operators — the reference's most distinctive semantics
   * (SURVEY.md §2.7): last-write-wins upsert on a natural key
@@ -51,30 +52,49 @@ object Merge {
     * `keys`, but keys must not straddle partitions — the natural key
     * determines the partition in a sane layout).
     */
-  def mergeIntoPartitionedState(spark: org.apache.spark.sql.SparkSession,
+  /** Read an existing state table, or an empty frame ONLY when the path
+    * genuinely does not exist (first run). Every other failure —
+    * permissions, transient FS error, corrupt footer — rethrows: treating
+    * it as "first run" would let the subsequent overwrite replace real
+    * state with batch-only contents, which at 100 TB is the incident that
+    * deletes a state table.
+    */
+  private[graft] def readStateOrEmpty(spark: SparkSession, statePath: String,
+                                      schema: StructType): DataFrame =
+    try spark.read.parquet(statePath)
+    catch {
+      case e: AnalysisException if e.getCondition == "PATH_NOT_FOUND" =>
+        spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
+    }
+
+  def mergeIntoPartitionedState(spark: SparkSession,
                                 statePath: String, incoming: DataFrame,
                                 keys: Seq[String], precedence: Seq[Column],
                                 partitionCol: String): DataFrame = {
     val touched = incoming.select(partitionCol).distinct()
       .collect().map(_.get(0)).toSeq
-    val current =
-      try spark.read.parquet(statePath)
-        .where(col(partitionCol).isin(touched: _*)) // partition-pruned
-        .select(incoming.columns.map(col): _*)
-      catch {
-        case _: Exception => spark.createDataFrame(
-          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], incoming.schema)
-      }
+    val current = readStateOrEmpty(spark, statePath, incoming.schema)
+      .where(col(partitionCol).isin(touched: _*)) // partition-pruned
+      .select(incoming.columns.map(col): _*)
     val merged = lastWriteWins(
       current.withColumn("_src", lit(0))
         .unionByName(incoming.withColumn("_src", lit(1))),
       keys, col("_src").desc +: precedence).drop("_src")
+    // The merged plan READS statePath and the commit below OVERWRITES the
+    // same touched partitions: materialize on the executors first
+    // (localCheckpoint severs the lineage) so the write never races its
+    // own input — some Spark paths reject the self-overwrite outright, and
+    // a mid-commit failure would otherwise read half-rewritten partitions.
+    val materialized = merged.localCheckpoint()
     val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    try merged.write.mode("overwrite").partitionBy(partitionCol).parquet(statePath)
-    finally prev match {
-      case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
-      case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+    try materialized.write.mode("overwrite").partitionBy(partitionCol).parquet(statePath)
+    finally {
+      prev match {
+        case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+        case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+      }
+      materialized.unpersist()
     }
     spark.catalog.refreshByPath(statePath)
     spark.read.parquet(statePath)

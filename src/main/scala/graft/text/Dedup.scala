@@ -28,6 +28,18 @@ object Dedup {
     docs.select(col(idCol).as("doc_id"), tokens(col(textCol)).as("toks"))
   }
 
+  /** Default term hash: xxhash64 (fastest, codegen'd, no cross-engine twin). */
+  val XxHash: Column => Column = (c: Column) => xxhash64(c)
+
+  /** 60-bit md5-derived term hash with an exact DuckDB twin
+    * (`CAST('0x' || substr(md5(s),1,15) AS BIGINT)`): positive, fits a
+    * Long, and lets an independent engine replicate MinHash/SimHash
+    * signatures bit-for-bit. Slower than xxhash64 — the verification
+    * configuration, not the production default.
+    */
+  val Md5Hash60: Column => Column =
+    (c: Column) => conv(substring(md5(c), 1, 15), 16, 10).cast(LongType)
+
   /** Exact duplicate groups: md5 over normalized text -> (hash, cnt,
     * keeper=min id). Reference-analog of the natural-key dedup (O-M3) on
     * content instead of key.
@@ -48,14 +60,14 @@ object Dedup {
     * otherwise create |docs|^2 pairs).
     */
   def shingleIndex(docs: DataFrame, idCol: String, textCol: String, n: Int,
-                   maxDocFreq: Long): DataFrame = {
+                   maxDocFreq: Long, hashFn: Column => Column = XxHash): DataFrame = {
     // Tokenize in its own projection so the shingle lambda references an
     // attribute — inlining split() here would re-tokenize per shingle.
     val sh = docs
       .select(col(idCol).as("doc_id"), TextAnalysis.tokens(col(textCol)).as("toks"))
       .select(col("doc_id"),
         explode(TextAnalysis.shinglesFromTokens(col("toks"), n)).as("shingle_s"))
-      .select(col("doc_id"), xxhash64(col("shingle_s")).as("shingle"))
+      .select(col("doc_id"), hashFn(col("shingle_s")).as("shingle"))
     val hot = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
       .where(col("df") > maxDocFreq).select("shingle")
     sh.join(hot, Seq("shingle"), "left_anti")
@@ -154,10 +166,11 @@ object Dedup {
                       n: Int = 3, threshold: Double = 0.8,
                       p: MinHashParams = MinHashParams(),
                       maxDocFreq: Long = 1000L,
-                      persistIntermediate: Boolean = true): DataFrame = {
+                      persistIntermediate: Boolean = true,
+                      hashFn: Column => Column = XxHash): DataFrame = {
     // The index feeds the signature aggregate AND both verify-join sides
     // (3 evaluations of tokenize+explode+hot-cap without the cache).
-    val idx0 = shingleIndex(docs, idCol, textCol, n, maxDocFreq)
+    val idx0 = shingleIndex(docs, idCol, textCol, n, maxDocFreq, hashFn)
     val idx = if (persistIntermediate) idx0.persist() else idx0
     val sig = minHashSignatures(idx, p)
     val bandCols = (0 until p.bands).map { b =>
@@ -192,31 +205,37 @@ object Dedup {
     * the codegen'd hash-aggregate form beats a zero-shuffle array-HOF
     * rewrite locally because HOFs are interpreted (CodegenFallback).
     */
-  def simHash(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+  def simHash(docs: DataFrame, idCol: String, textCol: String,
+              hashFn: Column => Column = XxHash, bits: Int = 64): DataFrame = {
+    require(bits > 0 && bits <= 64, "simhash width must be 1..64")
     val toks = docTokens(docs, idCol, textCol)
       .select(col("doc_id"), explode_outer(array_distinct(col("toks"))).as("tok"))
-    val h = xxhash64(col("tok"))
-    val votes = (0 until 64).map { b =>
+    val h = hashFn(col("tok"))
+    val votes = (0 until bits).map { b =>
       sum(when(h.isNull, 0).otherwise(
         when(shiftright(h, b).bitwiseAND(1) === 1, 1).otherwise(-1))).as(s"v_$b")
     }
     val voted = toks.groupBy("doc_id").agg(votes.head, votes.tail: _*)
-    val bits = (0 until 64).map { b =>
+    val bitCols = (0 until bits).map { b =>
       when(col(s"v_$b") > 0, shiftleft(lit(1L), b)).otherwise(lit(0L))
     }
-    voted.select(col("doc_id"), bits.reduce((a, c) => a.bitwiseOR(c)).as("simhash"))
+    voted.select(col("doc_id"), bitCols.reduce((a, c) => a.bitwiseOR(c)).as("simhash"))
   }
 
   /** Near-dup pairs with Hamming(simhash) <= maxHamming, candidates via
-    * 16-bit band pigeonhole (4 bands: any pair within Hamming 3 must agree
-    * on >= 1 band), verified with xor + bit_count.
+    * 4-band pigeonhole (any pair within Hamming 3 must agree on >= 1 of 4
+    * bands of `bits/4` bits), verified with xor + bit_count.
     */
   def simHashPairs(docs: DataFrame, idCol: String, textCol: String,
-                   maxHamming: Int = 3): DataFrame = {
-    val sig = simHash(docs, idCol, textCol)
+                   maxHamming: Int = 3, hashFn: Column => Column = XxHash,
+                   bits: Int = 64): DataFrame = {
+    require(bits % 4 == 0, "simhash width must split into 4 bands")
+    val bandBits = bits / 4
+    val mask = (1L << bandBits) - 1
+    val sig = simHash(docs, idCol, textCol, hashFn, bits)
     val bandCols = (0 until 4).map { b =>
       struct(lit(b).as("band"),
-        shiftright(col("simhash"), b * 16).bitwiseAND(0xFFFFL).as("key"))
+        shiftright(col("simhash"), b * bandBits).bitwiseAND(mask).as("key"))
     }
     val buckets = sig.select(col("doc_id"), col("simhash"),
         explode(array(bandCols: _*)).as("bk"))

@@ -83,11 +83,14 @@ object Similarity {
   def centroids(corpus: DataFrame, labelCol: String, vecCol: String): DataFrame = {
     val exploded = corpus.select(col(labelCol).as("centroid_id"),
         posexplode(col(vecCol)).as(Seq("pos", "v")))
-    // DECIMAL mean: partition-order-independent (a double sum across a
-    // shuffled group is not), so centroids — and every IVF ranking built
-    // on them — are deterministic run to run.
+    // DECIMAL sum / exact count, divided in double: partition-order-
+    // independent (a double sum across a shuffled group is not), so
+    // centroids — and every IVF ranking built on them — are deterministic
+    // run to run AND exactly replicable by an independent engine (decimal
+    // `avg` would round in engine-specific decimal space first).
     exploded.groupBy("centroid_id", "pos")
-      .agg(avg(col("v").cast(DecimalType(27, 12))).cast(DoubleType).as("m"))
+      .agg((sum(col("v").cast(DecimalType(27, 12))).cast(DoubleType) /
+        count(lit(1)).cast(DoubleType)).as("m"))
       .groupBy("centroid_id")
       .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
       .select(col("centroid_id"), transform(col("pm"), x => x.getField("m")).as("cvec"))
@@ -167,23 +170,30 @@ object Similarity {
   /** Random-hyperplane LSH bucket id (`nbits` sign bits from fixed seeded
     * hyperplanes): vectors in the same bucket are ANN candidates. The
     * hyperplanes are derived deterministically from (seed, bit, pos) via a
-    * splitmix-style integer mix, expressed inline so the whole assignment
-    * is one codegen'd projection.
+    * splitmix-style integer mix and materialized as LITERAL ARRAYS, so
+    * each projection runs in the compact codegen'd [[dot]] loop. (The
+    * previous form — a statically unrolled `element_at` chain of dim x
+    * nbits terms — is exactly the HugeMethodLimit JIT-killing anti-pattern
+    * VectorExpressions documents: it benchmarked 4x slower than even the
+    * exact O(n^2) tier.)
     */
   def lshBucket(vec: Column, dim: Int, nbits: Int = 8, seed: Long = 42L): Column = {
-    def mix(b: Int, p: Int): Double = {
-      var z = seed + b.toLong * 0x9E3779B97F4A7C15L + p.toLong * 0xBF58476D1CE4E5B9L
-      z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
-      z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
-      z = z ^ (z >>> 31)
-      // map to [-1, 1)
-      (z >>> 11).toDouble / (1L << 52).toDouble - 1.0
-    }
     val bits = (0 until nbits).map { b =>
-      val proj = (0 until dim).map(p => element_at(vec, p + 1).cast(DoubleType) * lit(mix(b, p)))
-        .reduce(_ + _)
-      when(proj > 0, shiftleft(lit(1L), b)).otherwise(lit(0L))
+      val plane = array((0 until dim).map(p => lit(hyperplaneCoef(seed, b, p))): _*)
+      when(dot(vec, plane) > 0, shiftleft(lit(1L), b)).otherwise(lit(0L))
     }
     bits.reduce((a, c) => a.bitwiseOR(c))
+  }
+
+  /** Deterministic hyperplane coefficient for (seed, bit, pos): splitmix-
+    * style integer mix mapped to [-1, 1). Public so independent
+    * verification engines can replicate the exact planes.
+    */
+  def hyperplaneCoef(seed: Long, b: Int, p: Int): Double = {
+    var z = seed + b.toLong * 0x9E3779B97F4A7C15L + p.toLong * 0xBF58476D1CE4E5B9L
+    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+    z = z ^ (z >>> 31)
+    (z >>> 11).toDouble / (1L << 52).toDouble - 1.0
   }
 }

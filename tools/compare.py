@@ -61,13 +61,24 @@ def main():
         except Exception as e:
             results[name] = f"ORACLE-SQL-FAIL {str(e)[:200]}"
             continue
-        sp_types = dict(zip(sp_cols, [d[1] for d in sp.description]))
-        du_types = dict(zip(du_cols, [d[1] for d in du.description]))
+        # Exact engine-level types via DESCRIBE: the driver hashes pandas
+        # frames dtype-sensitively, so DECIMAL (-> object of decimal.Decimal
+        # from Spark parquet, float64 from DuckDB) and HUGEINT (DuckDB int
+        # SUM) in a FINAL projection are hash-fails even when values match.
+        def col_types(sql):
+            rows = con.execute(f"DESCRIBE {sql}").fetchall()
+            return {r[0]: r[1].replace(" WITH TIME ZONE", "") for r in rows}
+        sp_types = col_types(f"SELECT * FROM read_parquet('{out_dir}/{name}/*.parquet')")
+        du_types = col_types(oracle[name])
+        risky = sorted([f"{c}:{t}" for d in (sp_types, du_types) for c, t in d.items()
+                        if t.startswith("DECIMAL") or t == "HUGEINT"])
         sc, sr = frame_to_rows(sp_cols, sp_rows)
         dc, dr = frame_to_rows(du_cols, du_rows)
         type_diff = {c: (sp_types.get(c), du_types.get(c)) for c in sc
                      if c in du_types and sp_types.get(c) != du_types.get(c)}
-        if sc != dc:
+        if risky:
+            results[name] = f"DRIVER-DTYPE-RISK {risky}"
+        elif sc != dc:
             results[name] = f"SCHEMA-MISMATCH spark={sc} duck={dc}"
         elif type_diff:
             results[name] = f"TYPE-MISMATCH {type_diff}"
