@@ -114,7 +114,12 @@ object Pipeline {
   def run(spark: SparkSession, bronzeIncomeDir: String, statePath: String): (DataFrame, DataFrame) = {
     val bronze = spark.read.schema(Schemas.fmpIncome).json(bronzeIncomeDir)
     val (clean, bad) = Quality.quarantine(normalizeIncome(bronze), validRow)
-    (mergeToState(spark, clean, statePath, Seq(col("revenue").desc_nulls_last)), bad)
+    // Precedence covers every non-key column: rows tying on ALL of them
+    // are identical, so the last-write-wins pick is deterministic even
+    // for exact-duplicate batches.
+    (mergeToState(spark, clean, statePath,
+      Seq(col("revenue").desc_nulls_last, col("eps").desc_nulls_last,
+        col("gross_profit").desc_nulls_last, col("quarter_label").asc)), bad)
   }
 
   /** Run the analyst-estimates flow (reference S3+S11, load.py:163-200):
@@ -125,6 +130,7 @@ object Pipeline {
     val bronze = spark.read.schema(Schemas.fmpEstimates).json(bronzeEstimatesDir)
     val (clean, bad) = Quality.quarantine(normalizeEstimates(bronze), validRow)
     (mergeToState(spark, clean, statePath,
-      Seq(col("estimated_revenue").desc_nulls_last)), bad)
+      Seq(col("estimated_revenue").desc_nulls_last, col("estimated_eps").desc_nulls_last,
+        col("analyst_count").desc_nulls_last, col("quarter_label").asc)), bad)
   }
 }

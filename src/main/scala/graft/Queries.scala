@@ -36,6 +36,39 @@ object Queries {
 
   private val Dec152 = DecimalType(15, 2)
 
+  /** Deterministic bronze income-JSON fixture derived from `orders`
+    * (shared by pipeline_income_normalize / pipeline_run_state): per
+    * `o_orderkey % 4`, rows exercise the ISO date, the truthiness
+    * date-key fallback (O-P4), the `N/A` revenue sentinel, the MM/dd/yyyy
+    * format, the `$`-prefix strip, and the eps-estimation fallback.
+    * `badDates=true` swaps the m==1 fallback path for an unparseable
+    * date+year so those rows exercise the quarantine split instead.
+    */
+  private def incomeBronzeFixture(s: SparkSession, dir: String,
+                                  badDates: Boolean): DataFrame = {
+    val m = pmod(col("o_orderkey"), lit(4))
+    val numS = col("o_totalprice").cast(Dec152).cast(StringType)
+    val m1Date = if (badDates) lit("not-a-date") else lit("")
+    val m1Year = if (badDates) lit("bad") else year(col("o_orderdate")).cast(StringType)
+    t(s, dir, "orders").where(col("o_orderkey") < 2000).select(
+      when(m === 1, m1Date)
+        .when(m === 3, date_format(col("o_orderdate"), "MM/dd/yyyy"))
+        .otherwise(date_format(col("o_orderdate"), "yyyy-MM-dd")).as("date"),
+      concat(lit("TK"), pmod(col("o_orderkey"), lit(5)).cast(StringType)).as("symbol"),
+      when(m === 2, lit("N/A")).otherwise(numS).as("revenue"),
+      when(m === 3, lit("")).otherwise(numS).as("eps"),
+      lit(null).cast(StringType).as("netIncomePerShare"),
+      concat(lit("$"), numS).as("grossProfit"),
+      // Whole dollars (floor — exact in every engine): the eps-estimation
+      // path divides by 10^3-shaped share counts and rounds to 4 places;
+      // 2-decimal inputs would land exactly on rounding boundaries where
+      // engines legitimately disagree on the last ulp.
+      floor(col("o_totalprice")).cast(LongType).cast(StringType).as("netIncome"),
+      when(m === 1, m1Year).otherwise(year(col("o_orderdate")).cast(StringType))
+        .as("calendarYear"),
+      lit("Q1").as("period"))
+  }
+
   // ---------------------------------------------------------------- queries
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -485,13 +518,13 @@ object Queries {
 
     // Approximate distinct (the 100 TB variant of agg_distinct_users).
     // HLL sketches are engine-specific, so the gate emits the
-    // DETERMINISTIC check — Spark's fixed HLL++ estimate within the 5%
-    // configured rsd of exact — next to the exact count; the oracle's
-    // twin row is literal TRUE.
+    // DETERMINISTIC check — Spark's fixed HLL++ estimate (rsd 2%,
+    // measured <=0.7% across the test SFs) within a 5% envelope of exact
+    // — next to the exact count; the oracle's twin row is literal TRUE.
     "agg_approx_distinct" -> ((s, dir) =>
       Tables.events(s, dir)
         .groupBy(col("event_type"))
-        .agg(approx_count_distinct(col("user_id"), 0.05).as("approx_users"),
+        .agg(approx_count_distinct(col("user_id"), 0.02).as("approx_users"),
           countDistinct(col("user_id")).as("exact_users"))
         .select(col("event_type"),
           (abs(col("approx_users") - col("exact_users")).cast(DoubleType) /
@@ -628,6 +661,135 @@ object Queries {
           length(col("resized")).cast(LongType).as("resized_bytes"))
     }),
 
+    // ---- spec-only operators, now driver-gated ----------------------------
+    // O-P3 Python-truthiness key coalesce (transform.py:82): null, empty
+    // string AND numeric zero all fall through to the fallback.
+    "fn_coalesce_truthy" -> ((s, dir) => {
+      val m = pmod(col("o_orderkey"), lit(4))
+      val a = when(m === 0, lit(null).cast(StringType))
+        .when(m === 1, lit(""))
+        .when(m === 2, lit("0"))
+        .otherwise(col("o_totalprice").cast(Dec152).cast(StringType))
+      t(s, dir, "orders")
+        .select(col("o_orderkey"), a.as("primary_key"))
+        .select(col("o_orderkey"),
+          Normalize.coalesceKeyTruthy(col("primary_key"), lit("fallback")).as("chosen"))
+    }),
+
+    // O-F3 quarantine split (transform.py:98-100): bad rows counted and
+    // kept inspectable, never dropped silently.
+    "quality_quarantine" -> ((s, dir) => {
+      val labeled = t(s, dir, "orders").select(col("o_orderkey"),
+        when(pmod(col("o_orderkey"), lit(5)) === 0, lit("bad-label"))
+          .otherwise(Normalize.quarterLabel(col("o_orderdate"))).as("quarter_label"),
+        when(pmod(col("o_orderkey"), lit(7)) === 0, lit(""))
+          .otherwise(col("o_orderpriority")).as("ticker"))
+      val valid = Quality.labelValid(col("quarter_label")) && Quality.tickerValid(col("ticker"))
+      val (clean, bad) = Quality.quarantine(labeled, valid)
+      clean.select(lit("clean").as("bucket"))
+        .unionByName(bad.select(lit("quarantine").as("bucket")))
+        .groupBy(col("bucket")).agg(count(lit(1)).as("cnt"))
+    }),
+
+    // O-M4 updated_at touch shape: the merged row is "touched" iff the
+    // winner came from the incoming batch (the reference stamps
+    // updated_at exactly then; the timestamp itself is nondeterministic,
+    // so the gate checks the boolean that drives it).
+    "merge_touched" -> ((s, dir) => {
+      val ev = Tables.events(s, dir).select(
+        col("user_id"), col("event_type"), col("event_id"), col("ts"), col("value"))
+      val current = ev.where(pmod(col("event_id"), lit(2)) === 0).withColumn("_batch", lit(0))
+      val incoming = ev.where(pmod(col("event_id"), lit(2)) === 1).withColumn("_batch", lit(1))
+      Merge.mergeUpsert(current, incoming, Seq("user_id", "event_type"),
+          Seq(col("ts").desc, col("event_id").desc))
+        .select(col("user_id"), col("event_type"), col("event_id"),
+          (col("_batch") === 1).as("touched"))
+    }),
+
+    // O-X7 ticker-length validation (config.py:82).
+    "fn_ticker_valid" -> ((s, dir) => {
+      val tk = when(pmod(col("o_orderkey"), lit(3)) === 0, lit(""))
+        .when(pmod(col("o_orderkey"), lit(3)) === 1, lit("VERYLONGTICKER"))
+        .otherwise(col("o_orderpriority"))
+      t(s, dir, "orders").select(tk.as("ticker"))
+        .groupBy(Quality.tickerValid(col("ticker")).as("valid"))
+        .agg(count(lit(1)).as("cnt"))
+    }),
+
+    // O-X10 default-name synthesis (load.py:55-69:
+    // company_names.get(ticker, f'{ticker} Inc')).
+    "fn_name_default" -> ((s, dir) =>
+      t(s, dir, "nation").select(col("n_nationkey"), col("n_name"),
+        Normalize.nameFor(col("n_name"),
+          Map("NATION_1" -> "First Nation Motors")).as("company_name"))),
+
+    // O-A5 pipeline metrics: the QueryExecutionListener observes a real
+    // action; the gate checks the deterministic parts (an action was
+    // captured with a non-negative duration) next to the action's result.
+    "metrics_listener" -> ((s, dir) => {
+      val rec = graft.ops.Metrics.attach(s)
+      try {
+        val nGroups = t(s, dir, "orders")
+          .groupBy(col("o_orderstatus")).agg(count(lit(1)).as("cnt")).count()
+        rec.awaitQuiesce(s)
+        val ms = rec.metrics
+        val captured = ms.nonEmpty && ms.forall(_.durationMs >= 0)
+        import s.implicits._
+        Seq((captured, nGroups)).toDF("captured", "n_groups")
+      } finally rec.detach(s)
+    }),
+
+    // ---- S2/S6 + O-P1..P4 + O-X1..X4 composite: bronze JSON fixture ->
+    // bronze sink -> schema-declared re-ingest -> full income
+    // normalization. Decimals surface as DOUBLE per the gate contract.
+    "pipeline_income_normalize" -> ((s, dir) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_bronze_inc").toString
+      incomeBronzeFixture(s, dir, badDates = false)
+        .write.mode("overwrite").json(tmp) // S6 bronze sink
+      val back = s.read.schema(graft.model.Schemas.fmpIncome).json(tmp) // S2 scan
+      Pipeline.normalizeIncome(back).select(
+        col("ticker"), col("quarter_date"), col("quarter_label"),
+        col("revenue").cast(DoubleType).as("revenue"),
+        col("eps").cast(DoubleType).as("eps"),
+        col("gross_profit").cast(DoubleType).as("gross_profit"))
+    }),
+
+    // ---- S3/S11: the analyst-estimates flow over its own schema.
+    "pipeline_estimates_normalize" -> ((s, dir) => {
+      val m = pmod(col("o_orderkey"), lit(4))
+      val numS = col("o_totalprice").cast(Dec152).cast(StringType)
+      val bronze = t(s, dir, "orders").where(col("o_orderkey") < 2000).select(
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("date"),
+        concat(lit("TK"), pmod(col("o_orderkey"), lit(5)).cast(StringType)).as("symbol"),
+        numS.as("estimatedRevenueAvg"),
+        when(m === 0, lit("bogus")).otherwise(numS).as("estimatedEpsAvg"),
+        when(m === 1, lit("-3")).otherwise(lit("7")).as("numberAnalystsEstimatedRevenue"))
+      val tmp = java.nio.file.Files.createTempDirectory("graft_bronze_est").toString
+      bronze.write.mode("overwrite").json(tmp)
+      val back = s.read.schema(graft.model.Schemas.fmpEstimates).json(tmp)
+      Pipeline.normalizeEstimates(back).select(
+        col("ticker"), col("quarter_date"), col("quarter_label"),
+        col("estimated_revenue").cast(DoubleType).as("estimated_revenue"),
+        col("estimated_eps").cast(DoubleType).as("estimated_eps"),
+        col("analyst_count").cast(LongType).as("analyst_count"))
+    }),
+
+    // ---- S9/S13/S14 end-to-end: Pipeline.run — quarantine split, merge
+    // into Parquet state (atomic swap), read-back. Unparseable-date rows
+    // (m==1) are quarantined; the state table is the deduped remainder.
+    "pipeline_run_state" -> ((s, dir) => {
+      val tmpJ = java.nio.file.Files.createTempDirectory("graft_bronze_run").toString
+      incomeBronzeFixture(s, dir, badDates = true)
+        .write.mode("overwrite").json(tmpJ)
+      val tmpS = java.nio.file.Files.createTempDirectory("graft_state_run").toString + "/state"
+      val (state, _) = Pipeline.run(s, tmpJ, tmpS)
+      state.select(
+        col("ticker"), col("quarter_date"), col("quarter_label"),
+        col("revenue").cast(DoubleType).as("revenue"),
+        col("eps").cast(DoubleType).as("eps"),
+        col("gross_profit").cast(DoubleType).as("gross_profit"))
+    }),
+
     // ---- S5 wide->long / long->wide ---------------------------------------
     // S5 unpivot (reference extract.py:158-187): the yfinance metric
     // matrix melted to per-metric rows. Expand-based — no shuffle.
@@ -662,6 +824,72 @@ object Queries {
   /** DuckDB twin of [[Dedup.Md5Hash60]] (60-bit md5-derived term hash). */
   private def md5Hash60Sql(e: String): String =
     s"CAST('0x' || substr(md5($e),1,15) AS BIGINT)"
+
+  /** DuckDB twin of [[Normalize.safeDecimal]]: strip `[,$%\s]`, sentinel
+    * strings to null, try-cast, millions heuristic (0 < v < 1e6). */
+  private def safeDecimalSql(e: String): String = {
+    val cl = s"regexp_replace($e, '[,$$%\\s]', '', 'g')"
+    val cl2 = s"(CASE WHEN $cl IN ('', 'N/A', 'n/a', '-') THEN NULL ELSE $cl END)"
+    val v = s"TRY_CAST($cl2 AS DECIMAL(15,2))"
+    s"TRY_CAST((CASE WHEN $v > 0 AND $v < 1000000 THEN $v * 1000000 ELSE $v END) AS DECIMAL(15,2))"
+  }
+
+  /** DuckDB twin of [[Normalize.millionsValidator]] (scales ANY value
+    * below 1e6, including negatives). */
+  private def millionsSql(e: String): String =
+    s"TRY_CAST((CASE WHEN $e IS NOT NULL AND $e < 1000000 THEN $e * 1000000 ELSE $e END) AS DECIMAL(15,2))"
+
+  /** DuckDB replica of the full income-normalization flow over the
+    * [[incomeBronzeFixture]] rows (same m-branch layout). Shared by the
+    * normalize-only gate and the end-to-end run gate; the latter appends
+    * the quarantine filter + last-write-wins merge.
+    */
+  private def incomeNormalizeCte(badDates: Boolean): String = {
+    val m1Date = if (badDates) "'not-a-date'" else "''"
+    val m1Year = if (badDates) "'bad'" else "CAST(year(o_orderdate) AS VARCHAR)"
+    s"""WITH src AS (
+       |  SELECT o_orderkey, o_orderdate, o_orderkey % 4 AS m,
+       |    'TK' || CAST(o_orderkey % 5 AS VARCHAR) AS symbol,
+       |    CAST(CAST(o_totalprice AS DECIMAL(15,2)) AS VARCHAR) AS num_s,
+       |    CAST(CAST(floor(o_totalprice) AS BIGINT) AS VARCHAR) AS ni_s
+       |  FROM orders WHERE o_orderkey < 2000),
+       |b AS (
+       |  SELECT *,
+       |    CASE WHEN m = 1 THEN $m1Date
+       |         WHEN m = 3 THEN strftime(o_orderdate, '%m/%d/%Y')
+       |         ELSE strftime(o_orderdate, '%Y-%m-%d') END AS date_s,
+       |    CASE WHEN m = 1 THEN $m1Year ELSE CAST(year(o_orderdate) AS VARCHAR) END AS cal_year,
+       |    CASE WHEN m = 2 THEN 'N/A' ELSE num_s END AS revenue_s,
+       |    CASE WHEN m = 3 THEN '' ELSE num_s END AS eps_s,
+       |    '$$' || num_s AS gross_s
+       |  FROM src),
+       |k AS (SELECT *, CASE WHEN date_s IS NULL OR date_s = ''
+       |        OR COALESCE(TRY_CAST(date_s AS DOUBLE) = 0, FALSE)
+       |        THEN cal_year ELSE date_s END AS datekey FROM b),
+       |p AS (SELECT *, COALESCE(
+       |        CAST(try_strptime(datekey, '%Y-%m-%d') AS DATE),
+       |        CAST(try_strptime(datekey, '%Y-%m-%d %H:%M:%S') AS DATE),
+       |        CAST(try_strptime(datekey, '%m/%d/%Y') AS DATE),
+       |        CASE WHEN regexp_full_match(datekey, '\\d{4}(\\.0+)?')
+       |             THEN make_date(CAST(CAST(datekey AS DOUBLE) AS INT), 12, 31) END) AS quarter_date
+       |      FROM k),
+       |c1 AS (SELECT *, ${safeDecimalSql("revenue_s")} AS rev_sd,
+       |         ${safeDecimalSql("gross_s")} AS gp_sd,
+       |         ${safeDecimalSql("ni_s")} AS ni_sd FROM p),
+       |c2 AS (SELECT *,
+       |    CAST(year(quarter_date) AS VARCHAR) || '-Q' || CAST(quarter(quarter_date) AS VARCHAR) AS quarter_label,
+       |    ${millionsSql("rev_sd")} AS revenue_dec,
+       |    ${millionsSql("gp_sd")} AS gp_dec,
+       |    TRY_CAST(eps_s AS DECIMAL(10,4)) AS eps_a,
+       |    CAST(ni_sd AS DOUBLE) AS ni_d
+       |  FROM c1),
+       |c3 AS (SELECT *,
+       |    CASE WHEN eps_a IS NULL OR COALESCE(TRY_CAST(CAST(eps_a AS VARCHAR) AS DOUBLE) = 0, FALSE)
+       |         THEN NULL ELSE eps_a END AS eps_direct,
+       |    CAST(round((CASE WHEN ni_d >= 1000000 THEN ni_d / 1000000 ELSE ni_d END) / 1000.0, 4)
+       |      AS DECIMAL(10,4)) AS eps_est
+       |  FROM c2)""".stripMargin
+  }
 
   /** DuckDB replica of the FULL MinHash+LSH pipeline — signatures with the
     * exact permutation constants from [[Dedup.MinHashParams]], banding,
@@ -1303,6 +1531,102 @@ object Queries {
     "sim_ivf_topk" -> ivfOracleSql,
 
     "dedup_embedding_lsh" -> embeddingLshOracleSql,
+
+    "fn_coalesce_truthy" ->
+      """WITH b AS (SELECT o_orderkey,
+        |  CASE o_orderkey % 4 WHEN 0 THEN NULL WHEN 1 THEN '' WHEN 2 THEN '0'
+        |    ELSE CAST(CAST(o_totalprice AS DECIMAL(15,2)) AS VARCHAR) END AS a
+        |  FROM orders)
+        |SELECT o_orderkey,
+        |  CASE WHEN a IS NULL OR a = '' OR COALESCE(TRY_CAST(a AS DOUBLE) = 0, FALSE)
+        |       THEN 'fallback' ELSE a END AS chosen
+        |FROM b""".stripMargin,
+
+    "quality_quarantine" ->
+      """WITH b AS (SELECT
+        |    CASE WHEN o_orderkey % 5 = 0 THEN 'bad-label'
+        |      ELSE CAST(year(o_orderdate) AS VARCHAR) || '-Q' || CAST(quarter(o_orderdate) AS VARCHAR) END AS quarter_label,
+        |    CASE WHEN o_orderkey % 7 = 0 THEN '' ELSE o_orderpriority END AS ticker
+        |  FROM orders)
+        |SELECT CASE WHEN regexp_full_match(quarter_label, '\d{4}-Q[1-4]')
+        |         AND length(ticker) BETWEEN 1 AND 10 THEN 'clean' ELSE 'quarantine' END AS bucket,
+        |  count(*) AS cnt
+        |FROM b GROUP BY 1""".stripMargin,
+
+    "merge_touched" ->
+      """WITH tagged AS (SELECT user_id, event_type, event_id, ts, value,
+        |    CASE WHEN event_id % 2 = 1 THEN 1 ELSE 0 END AS src FROM events),
+        |ranked AS (SELECT *, row_number() OVER (PARTITION BY user_id, event_type
+        |    ORDER BY src DESC, ts DESC, event_id DESC) AS rn FROM tagged)
+        |SELECT user_id, event_type, event_id, src = 1 AS touched
+        |FROM ranked WHERE rn = 1""".stripMargin,
+
+    "fn_ticker_valid" ->
+      """WITH b AS (SELECT CASE WHEN o_orderkey % 3 = 0 THEN ''
+        |    WHEN o_orderkey % 3 = 1 THEN 'VERYLONGTICKER' ELSE o_orderpriority END AS ticker
+        |  FROM orders)
+        |SELECT length(ticker) BETWEEN 1 AND 10 AS valid, count(*) AS cnt
+        |FROM b GROUP BY 1""".stripMargin,
+
+    "fn_name_default" ->
+      """SELECT n_nationkey, n_name,
+        |  CASE WHEN n_name = 'NATION_1' THEN 'First Nation Motors'
+        |       ELSE n_name || ' Inc' END AS company_name
+        |FROM nation""".stripMargin,
+
+    "metrics_listener" ->
+      """SELECT TRUE AS captured,
+        |  CAST((SELECT count(DISTINCT o_orderstatus) FROM orders) AS BIGINT) AS n_groups""".stripMargin,
+
+    "pipeline_income_normalize" ->
+      s"""${incomeNormalizeCte(badDates = false)}
+         |SELECT symbol AS ticker, quarter_date, quarter_label,
+         |  CAST(revenue_dec AS DOUBLE) AS revenue,
+         |  CAST(COALESCE(eps_direct, eps_est) AS DOUBLE) AS eps,
+         |  CAST(gp_dec AS DOUBLE) AS gross_profit
+         |FROM c3""".stripMargin,
+
+    "pipeline_estimates_normalize" -> {
+      s"""WITH src AS (
+         |  SELECT o_orderkey, o_orderdate, o_orderkey % 4 AS m,
+         |    'TK' || CAST(o_orderkey % 5 AS VARCHAR) AS symbol,
+         |    CAST(CAST(o_totalprice AS DECIMAL(15,2)) AS VARCHAR) AS num_s
+         |  FROM orders WHERE o_orderkey < 2000),
+         |b AS (SELECT *,
+         |    CAST(try_strptime(strftime(o_orderdate, '%Y-%m-%d'), '%Y-%m-%d') AS DATE) AS quarter_date,
+         |    CASE WHEN m = 0 THEN 'bogus' ELSE num_s END AS est_eps_s,
+         |    CASE WHEN m = 1 THEN '-3' ELSE '7' END AS cnt_s
+         |  FROM src),
+         |c1 AS (SELECT *, ${safeDecimalSql("num_s")} AS er_sd FROM b),
+         |c2 AS (SELECT *,
+         |    CAST(year(quarter_date) AS VARCHAR) || '-Q' || CAST(quarter(quarter_date) AS VARCHAR) AS quarter_label,
+         |    ${millionsSql("er_sd")} AS er_dec,
+         |    TRY_CAST(est_eps_s AS DECIMAL(10,4)) AS ee_dec,
+         |    TRY_CAST(cnt_s AS INT) AS cnt_i
+         |  FROM c1)
+         |SELECT symbol AS ticker, quarter_date, quarter_label,
+         |  CAST(er_dec AS DOUBLE) AS estimated_revenue,
+         |  CAST(ee_dec AS DOUBLE) AS estimated_eps,
+         |  CAST(CASE WHEN cnt_i >= 0 THEN cnt_i END AS BIGINT) AS analyst_count
+         |FROM c2""".stripMargin
+    },
+
+    "pipeline_run_state" ->
+      s"""${incomeNormalizeCte(badDates = true)},
+         |valid AS (SELECT * FROM c3 WHERE quarter_date IS NOT NULL
+         |    AND regexp_full_match(quarter_label, '\\d{4}-Q[1-4]')
+         |    AND length(symbol) BETWEEN 1 AND 10),
+         |f0 AS (SELECT symbol AS ticker, quarter_date, quarter_label,
+         |    revenue_dec, COALESCE(eps_direct, eps_est) AS eps_dec, gp_dec FROM valid),
+         |ranked AS (SELECT *, row_number() OVER (PARTITION BY ticker, quarter_date
+         |    ORDER BY revenue_dec DESC NULLS LAST, eps_dec DESC NULLS LAST,
+         |             gp_dec DESC NULLS LAST, quarter_label ASC) AS rn
+         |  FROM f0)
+         |SELECT ticker, quarter_date, quarter_label,
+         |  CAST(revenue_dec AS DOUBLE) AS revenue,
+         |  CAST(eps_dec AS DOUBLE) AS eps,
+         |  CAST(gp_dec AS DOUBLE) AS gross_profit
+         |FROM ranked WHERE rn = 1""".stripMargin,
 
     "unpivot_wide_long" ->
       """UNPIVOT (SELECT o_orderkey, CAST(o_totalprice AS DOUBLE) AS m_totalprice,

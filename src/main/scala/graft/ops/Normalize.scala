@@ -97,6 +97,15 @@ object Normalize {
     coalesce(element_at(m, key), lit(default))
   }
 
+  /** Company-name lookup with a SYNTHESIZED default (reference
+    * load.py:55-69: `company_names.get(ticker, f'{ticker} Inc')`) — the
+    * default is derived from the key, not a constant.
+    */
+  def nameFor(ticker: Column, names: Map[String, String]): Column = {
+    val m = map(names.toSeq.flatMap { case (k, v) => Seq(lit(k), lit(v)) }: _*)
+    coalesce(element_at(m, ticker), concat(ticker, lit(" Inc")))
+  }
+
   /** Python-truthiness key coalesce (reference transform.py:82:
     * `record.get('eps') or record.get('netIncomePerShare')` — `or` skips
     * null, empty string AND zero). Faithful form; see [[coalesceKey]] for

@@ -17,17 +17,18 @@ object CorpusPipeline {
 
   /** Returns the surviving documents (doc_id + diagnostics).
     *
-    * `persistIntermediate` caches the post-exact-dedup frame: it is read
-    * by three downstream branches (the two sides of the shingle self-join
-    * and the final anti-join) and carries the regex-heavy scoring
-    * expressions — without the cache the whole scoring chain re-executes
-    * per branch (measured 3x the runtime). Pass false if the caller
-    * manages its own persistence.
+    * `cache` governs the post-exact-dedup frame: it is read by three
+    * downstream branches (the two sides of the shingle self-join and the
+    * final anti-join) and carries the regex-heavy scoring expressions —
+    * without caching the whole scoring chain re-executes per branch
+    * (measured 3x the runtime). Long-lived sessions pass a
+    * `CacheScope.persist` and close the scope after the terminal action;
+    * `CacheScope.none` disables caching for callers managing their own.
     */
   def clean(docs: DataFrame, idCol: String, textCol: String,
             lang: String = "en", minQuality: Double = 0.3,
             jaccardThreshold: Double = 0.5, maxDocFreq: Long = 100L,
-            persistIntermediate: Boolean = true): DataFrame = {
+            cache: DataFrame => DataFrame = graft.util.CacheScope.untracked): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val scored = docs.select(col(idCol).as("doc_id"), col(textCol).as("text"),
       TextAnalysis.langId(col(textCol)).as("lang_guess"),
@@ -42,13 +43,13 @@ object CorpusPipeline {
       .withColumn("keeper", min(col("doc_id")).over(keeperW))
       .where(col("doc_id") === col("keeper"))
       .select(col("doc_id"), col("text"), col("lang_guess"), col("quality"))
-    val afterExact =
-      if (persistIntermediate) afterExact0.persist() else afterExact0
+    val afterExact = cache(afterExact0)
 
     // Near-dup losers: the larger id of each surviving pair.
     val nearLosers = Dedup.ngramJaccardPairs(
         afterExact.select(col("doc_id"), col("text")), "doc_id", "text",
-        n = 3, threshold = jaccardThreshold, maxDocFreq = maxDocFreq)
+        n = 3, threshold = jaccardThreshold, maxDocFreq = maxDocFreq,
+        cache = cache)
       .select(col("doc_b").as("doc_id")).distinct()
 
     afterExact.join(nearLosers, Seq("doc_id"), "left_anti")

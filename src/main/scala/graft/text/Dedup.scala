@@ -81,13 +81,15 @@ object Dedup {
   def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
                         n: Int = 3, threshold: Double = 0.8,
                         maxDocFreq: Long = 1000L,
-                        persistIntermediate: Boolean = true): DataFrame = {
+                        cache: DataFrame => DataFrame = graft.util.CacheScope.untracked,
+                        hashFn: Column => Column = XxHash): DataFrame = {
     // Per-doc shingle counts ride along via a window over the index (one
     // extra shuffle on doc_id) instead of two post-aggregation joins; the
-    // counted index feeds both self-join sides, so it is persisted by
+    // counted index feeds both self-join sides, so it is cached by
     // default (tokenize+explode+hot-cap would otherwise run twice).
-    val idx0 = withShingleCounts(shingleIndex(docs, idCol, textCol, n, maxDocFreq))
-    val idx = if (persistIntermediate) idx0.persist() else idx0
+    // Long-lived sessions pass a CacheScope.persist to reclaim the blocks
+    // after the terminal action; CacheScope.none disables caching.
+    val idx = cache(withShingleCounts(shingleIndex(docs, idCol, textCol, n, maxDocFreq, hashFn)))
     val a = idx.select(col("doc_id").as("doc_a"), col("nsh").as("na"), col("shingle"))
     val b = idx.select(col("doc_id").as("doc_b"), col("nsh").as("nb"), col("shingle"))
     a.join(b, Seq("shingle"))
@@ -166,12 +168,12 @@ object Dedup {
                       n: Int = 3, threshold: Double = 0.8,
                       p: MinHashParams = MinHashParams(),
                       maxDocFreq: Long = 1000L,
-                      persistIntermediate: Boolean = true,
+                      cache: DataFrame => DataFrame = graft.util.CacheScope.untracked,
                       hashFn: Column => Column = XxHash): DataFrame = {
     // The index feeds the signature aggregate AND both verify-join sides
     // (3 evaluations of tokenize+explode+hot-cap without the cache).
-    val idx0 = shingleIndex(docs, idCol, textCol, n, maxDocFreq, hashFn)
-    val idx = if (persistIntermediate) idx0.persist() else idx0
+    // See ngramJaccardPairs for the cache-lifecycle contract.
+    val idx = cache(shingleIndex(docs, idCol, textCol, n, maxDocFreq, hashFn))
     val sig = minHashSignatures(idx, p)
     val bandCols = (0 until p.bands).map { b =>
       val ks = (0 until p.rowsPerBand).map(r => col(s"mh_${b * p.rowsPerBand + r}").cast(StringType))

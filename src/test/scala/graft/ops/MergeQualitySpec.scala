@@ -64,6 +64,25 @@ class MergeQualitySpec extends SparkSpec {
     assert(filesBefore == filesAfter, "untouched partition files must not be rewritten")
   }
 
+  test("state bootstrap: missing path is first-run-empty, corrupt state FAILS the merge") {
+    val base = java.nio.file.Files.createTempDirectory("graft_bootstrap").toString
+    val schema = batch().schema
+    // Missing path -> empty frame (genuine first run).
+    val empty = Merge.readStateOrEmpty(spark, s"$base/nope", schema)
+    assert(empty.count() == 0 && empty.schema == schema)
+    // Existing-but-unreadable state (garbage where parquet footers should
+    // be) must throw — empty-initializing here would let the subsequent
+    // overwrite destroy the real state table.
+    val corrupt = new java.io.File(s"$base/corrupt")
+    corrupt.mkdirs()
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$base/corrupt/part-00000.parquet"), "not parquet at all")
+    val thrown = intercept[Exception] {
+      Merge.readStateOrEmpty(spark, s"$base/corrupt", schema).count()
+    }
+    assert(thrown != null)
+  }
+
   test("tolerance check edges (reference test_edge_cases.py:320-348)") {
     // revenue 22500000000.01 passes at tol 22500000 (0.1% of 22.5e9)
     val got = Seq(22500000000.01, 22522500000.01, 0.399999999)
