@@ -210,14 +210,18 @@ object Dedup {
   def simHash(docs: DataFrame, idCol: String, textCol: String,
               hashFn: Column => Column = XxHash, bits: Int = 64): DataFrame = {
     require(bits > 0 && bits <= 64, "simhash width must be 1..64")
-    val toks = docTokens(docs, idCol, textCol)
+    // Hash in its own projection: the `bits` vote aggregates each
+    // reference the hash, and an inlined expression would be re-evaluated
+    // once PER BIT per row (60x the md5 cost under the verification hash).
+    val hashed = docTokens(docs, idCol, textCol)
       .select(col("doc_id"), explode_outer(array_distinct(col("toks"))).as("tok"))
-    val h = hashFn(col("tok"))
+      .select(col("doc_id"), hashFn(col("tok")).as("h"))
+    val h = col("h")
     val votes = (0 until bits).map { b =>
       sum(when(h.isNull, 0).otherwise(
         when(shiftright(h, b).bitwiseAND(1) === 1, 1).otherwise(-1))).as(s"v_$b")
     }
-    val voted = toks.groupBy("doc_id").agg(votes.head, votes.tail: _*)
+    val voted = hashed.groupBy("doc_id").agg(votes.head, votes.tail: _*)
     val bitCols = (0 until bits).map { b =>
       when(col(s"v_$b") > 0, shiftleft(lit(1L), b)).otherwise(lit(0L))
     }
