@@ -790,6 +790,44 @@ object Queries {
         col("gross_profit").cast(DoubleType).as("gross_profit"))
     }),
 
+    // ---- deterministic sampling / splits ----------------------------------
+    // Hash-based train/val/test assignment (ops/Sampling): stable under
+    // retries, repartitioning and engine version — rand()-based splits are
+    // none of those. Gate uses the md5 hash so DuckDB replicates the
+    // buckets exactly.
+    "sample_hash_split" -> ((s, dir) =>
+      graft.ops.Sampling.hashSplit(
+          t(s, dir, "documents").select(col("doc_id")), "doc_id",
+          Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1),
+          hashFn = Dedup.Md5Hash60)
+        .select(col("doc_id"), col("split"))),
+
+    // Per-stratum deterministic sampling (corpus mixing weights as one
+    // scan-side filter).
+    "sample_stratified" -> ((s, dir) =>
+      graft.ops.Sampling.stratifiedHashSample(
+          t(s, dir, "documents").select(col("doc_id"), col("lang")), "doc_id", "lang",
+          Map("en" -> 1.0, "zh" -> 0.5), defaultRate = 0.25,
+          hashFn = Dedup.Md5Hash60)
+        .groupBy(col("lang")).agg(count(lit(1)).as("cnt"))),
+
+    // Corpus-safety pattern density (PII/boilerplate signals) as pure
+    // scan-side regex counts.
+    "text_pattern_counts" -> ((s, dir) => {
+      val counts = TextAnalysis.FilterPatterns.map { case (name, p) =>
+        TextAnalysis.patternCount(col("text"), p).cast(LongType).as(s"n_$name")
+      }
+      t(s, dir, "documents").select(col("doc_id") +: counts: _*)
+    }),
+
+    // Benchmark decontamination: exact-fingerprint matches of a benchmark
+    // set (doc_id % 10 == 0 stands in) against the full corpus.
+    "contamination_report" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      Dedup.contaminationReport(docs, "doc_id", "text",
+        docs.where(pmod(col("doc_id"), lit(10)) === 0), "doc_id", "text")
+    }),
+
     // ---- S5 wide->long / long->wide ---------------------------------------
     // S5 unpivot (reference extract.py:158-187): the yfinance metric
     // matrix melted to per-metric rows. Expand-based — no shuffle.
@@ -1627,6 +1665,43 @@ object Queries {
          |  CAST(eps_dec AS DOUBLE) AS eps,
          |  CAST(gp_dec AS DOUBLE) AS gross_profit
          |FROM ranked WHERE rn = 1""".stripMargin,
+
+    "sample_hash_split" ->
+      s"""WITH b AS (SELECT doc_id,
+         |  ${md5Hash60Sql("CAST(doc_id AS VARCHAR)")} % 10000 AS bucket
+         |  FROM documents)
+         |SELECT doc_id,
+         |  CASE WHEN bucket < 8000 THEN 'train' WHEN bucket < 9000 THEN 'val'
+         |       ELSE 'test' END AS split
+         |FROM b""".stripMargin,
+
+    "sample_stratified" ->
+      s"""WITH b AS (SELECT doc_id, lang,
+         |  ${md5Hash60Sql("CAST(doc_id AS VARCHAR)")} % 10000 AS bucket
+         |  FROM documents)
+         |SELECT lang, count(*) AS cnt FROM b
+         |WHERE bucket < CAST((CASE lang WHEN 'en' THEN 1.0 WHEN 'zh' THEN 0.5
+         |  ELSE 0.25 END) * 10000 AS BIGINT)
+         |GROUP BY 1""".stripMargin,
+
+    "text_pattern_counts" -> {
+      // DuckDB standard strings keep backslashes literal — embed the Java
+      // regex as-is (the FilterPatterns subset is Java/RE2-identical).
+      val cols = TextAnalysis.FilterPatterns.map { case (name, p) =>
+        s"len(regexp_extract_all(text, '${p.replace("'", "''")}')) AS n_$name"
+      }.mkString(",\n  ")
+      s"SELECT doc_id,\n  $cols\nFROM documents"
+    },
+
+    "contamination_report" ->
+      """WITH fp AS (SELECT doc_id,
+        |    md5(array_to_string(regexp_split_to_array(trim(text), '\s+'), ' ')) AS fp
+        |  FROM documents),
+        |cg AS (SELECT fp, count(*) AS n_matches, min(doc_id) AS first_match
+        |  FROM fp GROUP BY 1)
+        |SELECT b.doc_id AS bench_id, COALESCE(cg.n_matches, 0) AS n_matches, cg.first_match
+        |FROM fp b LEFT JOIN cg ON b.fp = cg.fp
+        |WHERE b.doc_id % 10 = 0""".stripMargin,
 
     "unpivot_wide_long" ->
       """UNPIVOT (SELECT o_orderkey, CAST(o_totalprice AS DOUBLE) AS m_totalprice,

@@ -201,6 +201,30 @@ object Dedup {
       .select("doc_a", "doc_b", "jaccard")
   }
 
+  /** Benchmark-contamination report (the decontamination pass every
+    * training corpus needs): for each benchmark document, how many corpus
+    * documents share its exact normalized-text fingerprint, and the
+    * smallest matching corpus id. Equi-join on the fingerprint — shuffle
+    * keyed on a hash, corpus side aggregated BEFORE the join (the join
+    * inputs are |distinct fingerprints|, never |corpus|). Benchmark docs
+    * with zero matches are kept (n_matches = 0) — the report must show
+    * clean benchmarks as clean.
+    */
+  def contaminationReport(corpus: DataFrame, corpusId: String, corpusText: String,
+                          benchmark: DataFrame, benchId: String,
+                          benchText: String): DataFrame = {
+    val corpusFp = corpus.select(col(corpusId).as("corpus_id"),
+        TextAnalysis.exactFingerprint(col(corpusText)).as("fp"))
+      .groupBy("fp")
+      .agg(count(lit(1)).as("n_matches"), min(col("corpus_id")).as("first_match"))
+    benchmark.select(col(benchId).as("bench_id"),
+        TextAnalysis.exactFingerprint(col(benchText)).as("fp"))
+      .join(corpusFp, Seq("fp"), "left")
+      .select(col("bench_id"),
+        coalesce(col("n_matches"), lit(0L)).as("n_matches"),
+        col("first_match"))
+  }
+
   /** 64-bit SimHash per doc: sign-vote of token hashes bit by bit.
     * Expressed as an aggregate over exploded tokens: per bit, sum(+1/-1)
     * votes; bit set iff vote > 0. Fixed 64 sum-aggregates in one shuffle —

@@ -98,6 +98,23 @@ object TextAnalysis {
   def shingles(text: Column, n: Int): Column =
     shinglesFromTokens(tokens(text), n)
 
+  /** Patterns a corpus-safety / filtering pass counts per document. Kept
+    * deliberately in the regex subset that behaves identically across
+    * Java regex and RE2-style engines (no backrefs, no lookaround) so the
+    * counts are verifiable by an independent engine.
+    */
+  val FilterPatterns: Seq[(String, String)] = Seq(
+    "email" -> "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}",
+    "url"   -> "https?://[^\\s]+",
+    "long_digits" -> "[0-9]{6,}")
+
+  /** Per-pattern occurrence count (one column per pattern) — the
+    * PII-/boilerplate-density signal of web-scale corpus filtering, as a
+    * pure scan-side expression (no UDF, no shuffle).
+    */
+  def patternCount(text: Column, pattern: String): Column =
+    size(regexp_extract_all(text, lit(pattern), lit(0)))
+
   /** Exact-duplicate fingerprint: md5 of the whitespace-normalized text. */
   def exactFingerprint(text: Column): Column =
     md5(concat_ws(" ", tokens(text)))

@@ -1,0 +1,55 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+class SamplingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val ids = (1L to 2000L).toDF("id")
+
+  test("hashSplit: every row gets exactly one split; proportions track weights") {
+    val split = Sampling.hashSplit(ids, "id",
+      Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+    val counts = split.groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts.values.sum == 2000L)
+    assert(counts("train") > 1400 && counts("train") < 1800) // ~1600 ± sampling noise
+    assert(counts.keySet == Set("train", "val", "test"))
+  }
+
+  test("hashSplit is deterministic and stable under repartition") {
+    val a = Sampling.hashSplit(ids, "id", Seq("a" -> 0.5, "b" -> 0.5))
+      .orderBy("id").collect().map(_.getString(1)).toSeq
+    val b = Sampling.hashSplit(ids.repartition(7), "id", Seq("a" -> 0.5, "b" -> 0.5))
+      .orderBy("id").collect().map(_.getString(1)).toSeq
+    assert(a == b)
+  }
+
+  test("hashSplit rejects weights that do not sum to 1") {
+    intercept[IllegalArgumentException] {
+      Sampling.hashSplit(ids, "id", Seq("a" -> 0.5, "b" -> 0.4))
+    }
+  }
+
+  test("stratifiedHashSample: rate 1.0 keeps all, rate 0 keeps none, default applies") {
+    val df = Seq((1L, "keep"), (2L, "keep"), (3L, "drop"), (4L, "other"))
+      .flatMap { case (base, s) => (0L until 50L).map(i => (base * 100 + i, s)) }
+      .toDF("id", "src")
+    val kept = Sampling.stratifiedHashSample(df, "id", "src",
+      Map("keep" -> 1.0, "drop" -> 0.0), defaultRate = 0.5)
+    val bySrc = kept.groupBy("src").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(bySrc("keep") == 100L)
+    assert(!bySrc.contains("drop"))
+    assert(bySrc("other") > 5 && bySrc("other") < 95)
+  }
+
+  test("stratified sample is a subset: membership never flips across invocations") {
+    val once = Sampling.stratifiedHashSample(ids.withColumn("s", lit("x")),
+      "id", "s", Map.empty, 0.3).select("id").as[Long].collect().toSet
+    val again = Sampling.stratifiedHashSample(ids.withColumn("s", lit("x")),
+      "id", "s", Map.empty, 0.3).select("id").as[Long].collect().toSet
+    assert(once == again && once.nonEmpty && once.size < 2000)
+  }
+}
