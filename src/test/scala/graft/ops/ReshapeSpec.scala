@@ -25,6 +25,13 @@ class ReshapeSpec extends SparkSpec {
     assert(got.toSeq == Seq((1L, 10.0, 100.0), (2L, 20.0, 200.0)))
   }
 
+  test("unpivot plans as a single stage: Expand with no Exchange (SCALE.md claim)") {
+    val long = Reshape.unpivotToLong(wide, Seq("id"), Seq("m_a", "m_b"))
+    val plan = long.queryExecution.executedPlan.toString
+    assert(plan.contains("Expand"))
+    assert(!plan.contains("Exchange"))
+  }
+
   test("unpivot keeps null metric values as rows (reference melt semantics)") {
     val w = Seq((1L, Some(1.5), None: Option[Double])).toDF("id", "m_a", "m_b")
     val long = Reshape.unpivotToLong(w, Seq("id"), Seq("m_a", "m_b"))

@@ -45,6 +45,16 @@ class SamplingSpec extends SparkSpec {
     assert(bySrc("other") > 5 && bySrc("other") < 95)
   }
 
+  test("sampling plans are scan-side only: no Exchange, no Window (SCALE.md claim)") {
+    val split = Sampling.hashSplit(ids, "id", Seq("a" -> 0.5, "b" -> 0.5))
+    val sampled = Sampling.stratifiedHashSample(ids.withColumn("s", lit("x")),
+      "id", "s", Map.empty, 0.3)
+    for (df <- Seq(split, sampled)) {
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange") && !plan.contains("Window"))
+    }
+  }
+
   test("stratified sample is a subset: membership never flips across invocations") {
     val once = Sampling.stratifiedHashSample(ids.withColumn("s", lit("x")),
       "id", "s", Map.empty, 0.3).select("id").as[Long].collect().toSet
