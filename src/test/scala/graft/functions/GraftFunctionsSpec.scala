@@ -4,6 +4,23 @@ import graft.SparkSpec
 
 class GraftFunctionsSpec extends SparkSpec {
 
+  test("countInSet: counts duplicates, skips null elements, null array -> null") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val df = Seq(
+      (1L, Seq("the", "cat", "the", "dog")),
+      (2L, Seq.empty[String])).toDF("id", "toks")
+      .union(Seq((3L, null.asInstanceOf[Seq[String]])).toDF("id", "toks"))
+    val got = df.select(col("id"),
+        TextExpressions.countInSet(col("toks"), Seq("the", "a")).as("c"))
+      .collect().map(r => r.getLong(0) -> (if (r.isNullAt(1)) -1 else r.getInt(1))).toMap
+    assert(got == Map(1L -> 2, 2L -> 0, 3L -> -1))
+    // Interpreted path must agree with codegen (filter pushes it there).
+    val interp = df.where(TextExpressions.countInSet(col("toks"), Seq("the")) > 0)
+      .select("id").collect().map(_.getLong(0)).toSeq
+    assert(interp == Seq(1L))
+  }
+
   test("graft_dot resolves in SQL after runtime registration") {
     GraftFunctions.register(spark)
     val got = spark.sql(
