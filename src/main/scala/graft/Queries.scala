@@ -131,6 +131,21 @@ object Queries {
         .withColumn("parsed", Normalize.parseDateMulti(col("raw")))
     }),
 
+    // O-X1 label-path 4-format parse (transform.py:36-49): day-first
+    // fallback after month-first — 13/01/2020 parses as Jan 13; ambiguous
+    // 05/06/2020 stays month-first (May 6), exactly the reference's try
+    // order.
+    "fn_parse_date_dayfirst" -> ((s, dir) => {
+      val m = pmod(col("o_orderkey"), lit(3))
+      val raw = when(m === 0, date_format(col("o_orderdate"), "MM/dd/yyyy"))
+        .when(m === 1, date_format(col("o_orderdate"), "dd/MM/yyyy"))
+        .otherwise(date_format(col("o_orderdate"), "yyyy-MM-dd"))
+      t(s, dir, "orders")
+        .select(col("o_orderkey"), raw.as("raw"))
+        .withColumn("parsed", Normalize.parseDateLabelPath(col("raw")))
+        .withColumn("quarter_label", Normalize.quarterLabel(col("parsed")))
+    }),
+
     // O-X3 safe decimal coercion (transform.py:168-186): dirty string
     // variants ($-prefix, trailing space, N/A sentinel) -> cleaned decimal
     // with the millions heuristic.
@@ -1085,6 +1100,26 @@ object Queries {
         |    CASE WHEN regexp_full_match(raw, '\d{4}(\.0+)?')
         |         THEN make_date(CAST(CAST(raw AS DOUBLE) AS INT), 12, 31) END) AS parsed
         |FROM b""".stripMargin,
+
+    "fn_parse_date_dayfirst" ->
+      """WITH b AS (
+        |  SELECT o_orderkey,
+        |    CASE o_orderkey % 3
+        |      WHEN 0 THEN strftime(o_orderdate, '%m/%d/%Y')
+        |      WHEN 1 THEN strftime(o_orderdate, '%d/%m/%Y')
+        |      ELSE strftime(o_orderdate, '%Y-%m-%d') END AS raw
+        |  FROM orders),
+        |p AS (
+        |  SELECT o_orderkey, raw,
+        |    COALESCE(
+        |      CAST(try_strptime(raw, '%Y-%m-%d') AS DATE),
+        |      CAST(try_strptime(raw, '%Y-%m-%d %H:%M:%S') AS DATE),
+        |      CAST(try_strptime(raw, '%m/%d/%Y') AS DATE),
+        |      CAST(try_strptime(raw, '%d/%m/%Y') AS DATE)) AS parsed
+        |  FROM b)
+        |SELECT o_orderkey, raw, parsed,
+        |  CAST(year(parsed) AS VARCHAR) || '-Q' || CAST(quarter(parsed) AS VARCHAR) AS quarter_label
+        |FROM p""".stripMargin,
 
     "fn_safe_decimal" ->
       """WITH b AS (

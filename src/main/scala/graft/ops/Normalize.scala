@@ -44,6 +44,22 @@ object Normalize {
         make_date(s.cast(DoubleType).cast(IntegerType), lit(12), lit(31)))
   }
 
+  /** The LABEL path's 4-format variant (reference transform.py:36-49,
+    * `standardize_quarter_date`): like [[parseDateMulti]] but with a
+    * day-first `dd/MM/yyyy` fallback after month-first fails (so
+    * `13/01/2020` parses as Jan 13), and NO bare-year rule (the label
+    * path rejects non-strings). Only strings the month-first parse
+    * rejects pay the second parse.
+    */
+  def parseDateLabelPath(c: Column): Column = {
+    val s = c.cast(StringType)
+    when(s.rlike("^\\d{4}-\\d{2}-\\d{2}$"), try_to_date(s, "yyyy-MM-dd"))
+      .when(s.rlike("^\\d{4}-\\d{2}-\\d{2} \\d{2}:\\d{2}:\\d{2}$"),
+        try_to_date(s, "yyyy-MM-dd HH:mm:ss"))
+      .when(s.rlike("^\\d{2}/\\d{2}/\\d{4}$"),
+        coalesce(try_to_date(s, "MM/dd/yyyy"), try_to_date(s, "dd/MM/yyyy")))
+  }
+
   /** `"YYYY-QN"` quarter label (reference transform.py:51-53; month->quarter
     * mapping is exactly Spark's `quarter()`). Null date -> null label.
     */

@@ -70,4 +70,18 @@ class PropertySpec extends SparkSpec {
       .collect()
     got.foreach(r => assert(r.getDate(0) == r.getDate(1)))
   }
+
+  test("parseDateLabelPath: month-first wins when valid, day-first rescues it") {
+    val rows = Seq(
+      ("05/06/2020", "2020-05-06"),  // ambiguous -> month-first (reference try order)
+      ("13/01/2020", "2020-01-13"),  // month 13 invalid -> day-first fallback
+      ("29/02/2020", "2020-02-29"),  // leap day via day-first
+      ("2020-07-04", "2020-07-04"),
+      ("2020",       null)           // NO bare-year rule in the label path
+    )
+    val got = rows.toDF("raw", "expected")
+      .select(Normalize.parseDateLabelPath(col("raw")).cast("string").as("p"), col("expected"))
+      .collect()
+    got.foreach(r => assert(r.getString(0) == r.getString(1), r.toString))
+  }
 }
