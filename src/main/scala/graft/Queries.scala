@@ -261,6 +261,17 @@ object Queries {
           .select(col("c_custkey").as("user_id")), Seq("user_id"), "left_anti")
         .groupBy(col("user_id")).agg(count(lit(1)).as("cnt"))),
 
+    // Deterministic salt fallback for AQE-resistant skew (ops/Skew): the
+    // gate proves the salted form is semantically identical to the plain
+    // equi-join (the salt must never change results, only task layout).
+    "join_salted_skew" -> ((s, dir) => {
+      val ev = Tables.events(s, dir).select(col("user_id"), col("event_id"), col("value"))
+      val dim = t(s, dir, "customer").where(col("c_custkey") < 200)
+        .select(col("c_custkey").as("user_id"), col("c_name"))
+      graft.ops.Skew.saltedJoin(ev, dim, Seq("user_id"), buckets = 8)
+        .select(col("user_id"), col("event_id"), col("value"), col("c_name"))
+    }),
+
     // ---- 2.5 windows / sort / top-k ---------------------------------------
     // O-L2 top-k per group (extract.py:162): 2 most recent lineitems per order.
     "window_topk_quarters" -> ((s, dir) =>
@@ -1219,6 +1230,11 @@ object Queries {
       """SELECT user_id, count(*) AS cnt FROM events
         |WHERE user_id NOT IN (SELECT c_custkey FROM customer WHERE c_custkey < 100)
         |GROUP BY 1""".stripMargin,
+
+    "join_salted_skew" ->
+      """SELECT e.user_id, e.event_id, e.value, c.c_name
+        |FROM events e JOIN customer c ON e.user_id = c.c_custkey
+        |WHERE c.c_custkey < 200""".stripMargin,
 
     "window_topk_quarters" ->
       """SELECT l_orderkey, l_linenumber, l_shipdate FROM (
