@@ -72,11 +72,20 @@ object Normalize {
   /** Safe decimal coercion (reference transform.py:168-186): strip
     * `[,$%\s]`, map sentinel strings to null, cast (invalid -> null via
     * try_cast), then the millions heuristic: `0 < v < 1e6  =>  v * 1e6`.
+    *
+    * The parse happens at `scale+6` fractional digits and quantizes to
+    * `(precision, scale)` only AFTER the heuristic — the reference parses
+    * into an unbounded Decimal and quantizes at the DB sink, so a
+    * sub-cent `0.000001` must scale to `1.00`, not quantize to `0.00`
+    * first (reference test_edge_cases.py:188-205). Values above
+    * 10^(precision-scale) overflow to null under the default bound; pass
+    * `precision = 38` for the unbounded-like range.
     */
   def safeDecimal(c: Column, precision: Int = 15, scale: Int = 2): Column = {
     val cleaned = regexp_replace(c.cast(StringType), "[,$%\\s]", "")
     val nulled  = when(cleaned.isin(MissingTokens: _*), lit(null)).otherwise(cleaned)
-    val v       = nulled.try_cast(DecimalType(precision, scale))
+    val wide    = DecimalType(math.min(precision + 6, 38), scale + 6)
+    val v       = nulled.try_cast(wide)
     val scaled  = when(v > 0 && v < 1000000L, v * 1000000L).otherwise(v)
     scaled.try_cast(DecimalType(precision, scale))
   }

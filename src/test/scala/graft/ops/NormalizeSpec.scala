@@ -63,6 +63,16 @@ class NormalizeSpec extends SparkSpec {
     assert(coerceOne("-999.99").contains(BigDecimal("-999.99")))
     // zero is not scaled
     assert(coerceOne("0").contains(BigDecimal("0.00")))
+    // sub-cent values scale BEFORE quantization (reference parses into an
+    // unbounded Decimal and quantizes only at the sink): 1e-6 -> 1.00
+    assert(coerceOne("0.000001").contains(BigDecimal("1.00")))
+    // beyond the default (15,2) bound -> null; precision=38 keeps it
+    // (reference extreme-values case, test_edge_cases.py:188-205)
+    assert(coerceOne("999999999999999").isEmpty)
+    val wide = Seq("999999999999999").toDF("raw")
+      .select(Normalize.safeDecimal(col("raw"), precision = 38).as("v"))
+      .collect().head.getDecimal(0)
+    assert(BigDecimal(wide) == BigDecimal("999999999999999.00"))
   }
 
   test("millions validator (config.py:89-97) scales negatives too") {
