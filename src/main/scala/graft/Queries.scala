@@ -566,6 +566,14 @@ object Queries {
           col("o_totalprice").cast(Dec152).as("o_price"), col("o_orderstatus")),
         Seq("o_custkey", "o_price", "o_orderstatus"))),
 
+    // Distribution-drift probe: exact per-group quantiles (both engines
+    // use linear interpolation on the sorted values — bit-identical).
+    "profile_quantiles" -> ((s, dir) =>
+      graft.ops.Profile.quantiles(t(s, dir, "orders"), "o_totalprice",
+          Seq("o_orderstatus"), Seq(0.25, 0.5, 0.75))
+        .select(col("o_orderstatus"), col("prob"),
+          round(col("q_value"), 6).as("q_value"))),
+
     // The composed training-data cleaning flow (text/CorpusPipeline):
     // language filter -> quality filter -> exact-dedup keeper ->
     // near-dup keeper, one lazy plan.
@@ -1431,6 +1439,16 @@ object Queries {
         |  CAST(sum(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END) AS BIGINT),
         |  count(DISTINCT o_orderstatus),
         |  CAST(min(o_orderstatus) AS VARCHAR), CAST(max(o_orderstatus) AS VARCHAR) FROM b""".stripMargin,
+
+    "profile_quantiles" ->
+      """WITH q AS (SELECT o_orderstatus,
+        |    quantile_cont(o_totalprice, 0.25) AS q25,
+        |    quantile_cont(o_totalprice, 0.5) AS q50,
+        |    quantile_cont(o_totalprice, 0.75) AS q75
+        |  FROM orders GROUP BY 1)
+        |SELECT o_orderstatus, CAST(0.25 AS DOUBLE) AS prob, round(q25, 6) AS q_value FROM q
+        |UNION ALL SELECT o_orderstatus, CAST(0.5 AS DOUBLE), round(q50, 6) FROM q
+        |UNION ALL SELECT o_orderstatus, CAST(0.75 AS DOUBLE), round(q75, 6) FROM q""".stripMargin,
 
     "corpus_clean" -> {
       val toks = "regexp_split_to_array(trim(text), '\\s+')"

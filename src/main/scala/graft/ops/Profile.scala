@@ -33,4 +33,22 @@ object Profile {
     }
     wide.select(explode(array(perCol: _*)).as("p")).select(col("p.*"))
   }
+
+  /** Exact interpolated quantiles of `valueCol` per group — the
+    * distribution-drift probe of a data-quality pass: one row per
+    * (group, prob). Exact `percentile` sorts each group; on a 100 TB
+    * column switch to `approx_percentile` (t-digest, map-side
+    * combinable) and gate with a tolerance check instead of equality.
+    */
+  def quantiles(df: DataFrame, valueCol: String, groupCols: Seq[String],
+                probs: Seq[Double]): DataFrame = {
+    require(probs.nonEmpty && probs.forall(p => p >= 0 && p <= 1),
+      "probs must be within [0, 1]")
+    val pArr = array(probs.map(lit): _*)
+    df.groupBy(groupCols.map(col): _*)
+      .agg(percentile(col(valueCol), pArr).as("qs"))
+      .select(groupCols.map(col) :+ posexplode(col("qs")).as(Seq("pos", "q_value")): _*)
+      .withColumn("prob", element_at(pArr, col("pos") + 1))
+      .select(groupCols.map(col) ++ Seq(col("prob"), col("q_value")): _*)
+  }
 }

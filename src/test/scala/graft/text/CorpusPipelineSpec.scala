@@ -21,6 +21,16 @@ class CorpusPipelineSpec extends SparkSpec {
     assert(got == Set(0L, 4L))
   }
 
+  test("quantiles: exact interpolated per-group percentiles, one row per prob") {
+    val df = Seq(("a", 1.0), ("a", 2.0), ("a", 3.0), ("a", 4.0), ("b", 10.0))
+      .toDF("g", "v")
+    val got = Profile.quantiles(df, "v", Seq("g"), Seq(0.5, 1.0))
+      .collect().map(r => (r.getString(0), r.getDouble(1)) -> r.getDouble(2)).toMap
+    assert(got(("a", 0.5)) == 2.5)   // linear interpolation between 2 and 3
+    assert(got(("a", 1.0)) == 4.0)
+    assert(got(("b", 0.5)) == 10.0)
+  }
+
   test("columnProfile: one row per column with null/distinct/min/max") {
     val df = Seq((Some(1), "a"), (None, "b"), (Some(3), "a")).toDF("x", "y")
     val got = Profile.columnProfile(df, Seq("x", "y"))
