@@ -38,16 +38,36 @@ object GraftFunctions {
     TopKAggregate.TopKByScore(children.head, children(1), k)
   }
 
+  private val countInSetInfo = new ExpressionInfo(
+    TextExpressions.CountInSet.getClass.getCanonicalName, null, "graft_count_in_set",
+    "graft_count_in_set(arr, w1, w2, ...) - count of arr elements among the literal words.",
+    "")
+
+  private def countInSetBuilder(children: Seq[Expression]): Expression = {
+    require(children.length >= 2,
+      s"graft_count_in_set expects an array plus at least one word, got ${children.length}")
+    val words = children.tail.map {
+      case org.apache.spark.sql.catalyst.expressions.Literal(v: org.apache.spark.unsafe.types.UTF8String, _) =>
+        v.toString
+      case other => throw new IllegalArgumentException(
+        s"graft_count_in_set words must be string literals, got $other")
+    }
+    TextExpressions.CountInSet(children.head, words)
+  }
+
   /** Inject into an extensions hook (builder-time path). */
   def inject(extensions: SparkSessionExtensions): Unit = {
     extensions.injectFunction((FunctionIdentifier("graft_dot"), dotInfo, dotBuilder))
     extensions.injectFunction((FunctionIdentifier("graft_topk"), topkInfo, topkBuilder))
+    extensions.injectFunction(
+      (FunctionIdentifier("graft_count_in_set"), countInSetInfo, countInSetBuilder))
   }
 
   /** Register on a live session (runtime path). */
   def register(spark: SparkSession): Unit = {
     org.apache.spark.sql.GraftShims.registerFunction(spark, "graft_dot", dotBuilder)
     org.apache.spark.sql.GraftShims.registerFunction(spark, "graft_topk", topkBuilder)
+    org.apache.spark.sql.GraftShims.registerFunction(spark, "graft_count_in_set", countInSetBuilder)
   }
 }
 

@@ -21,6 +21,19 @@ class GraftFunctionsSpec extends SparkSpec {
     assert(interp == Seq(1L))
   }
 
+  test("graft_count_in_set resolves in SQL; words must be literals") {
+    GraftFunctions.register(spark)
+    val got = spark.sql(
+      "SELECT graft_count_in_set(array('a', 'b', 'a', 'c'), 'a', 'c') AS n")
+      .collect().head.getInt(0)
+    assert(got == 3)
+    val err = intercept[Exception] {
+      spark.sql("SELECT graft_count_in_set(array('a'), upper('a')) AS n").collect()
+    }
+    assert(err.getMessage.contains("string literals") ||
+      Option(err.getCause).exists(_.getMessage.contains("string literals")))
+  }
+
   test("graft_dot resolves in SQL after runtime registration") {
     GraftFunctions.register(spark)
     val got = spark.sql(
