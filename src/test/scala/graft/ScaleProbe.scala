@@ -40,8 +40,21 @@ object ScaleProbe {
     val clean = time("corpus_clean") {
       text.CorpusPipeline.clean(docs, "doc_id", "text", minQuality = 0.45).count()
     }
+    // Sampling / contamination on the replicated corpus: split counts must
+    // track weights, and every benchmark doc (the original corpus) must
+    // report its 4 replicas as matches.
+    val splitCnt = time("hash_split") {
+      ops.Sampling.hashSplit(docs, "doc_id", Seq("train" -> 0.9, "val" -> 0.1))
+        .where(col("split") === "val").count()
+    }
+    val contaminated = time("contamination") {
+      text.Dedup.contaminationReport(docs, "doc_id", "text",
+          docs0.select(col("doc_id"), col("text")), "doc_id", "text")
+        .where(col("n_matches") >= 4).count()
+    }
     println(s"PROBE docs=$n (x4 of $n0) exact_groups=$exact jaccard_pairs=$jac " +
-      s"minhash_pairs=$mh survivors=$clean")
+      s"minhash_pairs=$mh survivors=$clean val_split=$splitCnt " +
+      s"contaminated=$contaminated/$n0")
     spark.stop()
   }
 }
