@@ -79,4 +79,70 @@ object TextExpressions {
   /** Column-level counted membership (codegen'd loop, see [[CountInSet]]). */
   def countInSet(arr: Column, words: Seq[String]): Column =
     GraftShims.column(CountInSet(GraftShims.expression(arr), words))
+
+  /** Distinct word n-gram shingles from a token array, first-occurrence
+    * order — semantically `array_distinct(transform(sequence(1, cnt-n+1),
+    * i => concat_ws(" ", slice(toks, i, n))))` with `cnt < n` yielding an
+    * empty array, but computed in ONE kernel pass instead of four nested
+    * CodegenFallback higher-order functions (each shingle otherwise pays
+    * an interpreted lambda dispatch, a slice allocation, and a separate
+    * concat walk). The shingle index build behind every dedup/cleaning
+    * flow is exactly this expression over the corpus.
+    */
+  case class WordShingles(child: Expression, n: Int) extends UnaryExpression {
+    require(n >= 1, "shingle width must be >= 1")
+
+    override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+    override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+      child.dataType match {
+        case ArrayType(StringType, _) =>
+          org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+        case other =>
+          org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+            s"word_shingles requires array<string>, got $other")
+      }
+
+    override def nullSafeEval(input: Any): Any =
+      TextExpressions.computeShingles(input.asInstanceOf[ArrayData], n)
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      // The kernel is a static call — the generated code stays a compact
+      // JIT-friendly method invocation, not an unrolled expression tree.
+      nullSafeCodeGen(ctx, ev, a =>
+        s"${ev.value} = graft.functions.TextExpressions.computeShingles($a, $n);")
+
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+
+    override def prettyName: String = "graft_word_shingles"
+  }
+
+  private val ShingleSep = UTF8String.fromString(" ")
+
+  /** Kernel shared by [[WordShingles]]'s eval and codegen paths: distinct
+    * shingles in first-occurrence order; null tokens are skipped inside a
+    * shingle (concat_ws semantics). */
+  def computeShingles(toks: ArrayData, n: Int): ArrayData = {
+    val cnt = toks.numElements()
+    if (cnt < n) return new org.apache.spark.sql.catalyst.util.GenericArrayData(Array.empty[Any])
+    val seen = new java.util.LinkedHashSet[UTF8String]
+    val parts = new Array[UTF8String](n)
+    var i = 0
+    while (i <= cnt - n) {
+      var j = 0
+      while (j < n) {
+        parts(j) = if (toks.isNullAt(i + j)) null else toks.getUTF8String(i + j)
+        j += 1
+      }
+      seen.add(UTF8String.concatWs(ShingleSep, parts: _*))
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      seen.toArray.asInstanceOf[Array[AnyRef]])
+  }
+
+  /** Column-level shingling (see [[WordShingles]]). */
+  def wordShingles(toks: Column, n: Int): Column =
+    GraftShims.column(WordShingles(GraftShims.expression(toks), n))
 }

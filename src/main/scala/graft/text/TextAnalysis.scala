@@ -88,13 +88,11 @@ object TextAnalysis {
     * row. Catalyst's CollapseProject keeps the two-projection shape
     * because the alias is non-cheap and used repeatedly.
     */
-  def shinglesFromTokens(toks: Column, n: Int): Column = {
-    val cnt = size(toks)
-    when(cnt >= n,
-      array_distinct(transform(sequence(lit(1), cnt - (n - 1)),
-        i => concat_ws(" ", slice(toks, i, lit(n))))))
-      .otherwise(array().cast(ArrayType(StringType)))
-  }
+  def shinglesFromTokens(toks: Column, n: Int): Column =
+    // Single-kernel custom expression; the built-in equivalent
+    // (array_distinct over transform+sequence+slice+concat_ws) is four
+    // nested CodegenFallback HOFs — see TextExpressions.WordShingles.
+    graft.functions.TextExpressions.wordShingles(toks, n)
 
   /** Word n-gram shingles straight from text — convenience form; prefer
     * [[shinglesFromTokens]] over an aliased token column in hot paths.

@@ -21,6 +21,27 @@ class GraftFunctionsSpec extends SparkSpec {
     assert(interp == Seq(1L))
   }
 
+  test("WordShingles == the built-in HOF form on every input shape") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types._
+    val df = Seq(
+      Seq("a", "b", "c", "d"),
+      Seq("a", "b", "a", "b", "a", "b"), // duplicate shingles -> distinct, first-occurrence order
+      Seq("a", "b"),                     // fewer than n tokens -> empty
+      Seq("solo"),
+      Seq.empty[String]).toDF("toks")
+    val n = 3
+    val builtin = array_distinct(transform(sequence(lit(1), size(col("toks")) - (n - 1)),
+      i => concat_ws(" ", slice(col("toks"), i, lit(n)))))
+    val builtinSafe = when(size(col("toks")) >= n, builtin)
+      .otherwise(array().cast(ArrayType(StringType)))
+    val rows = df.select(
+      TextExpressions.wordShingles(col("toks"), n).as("custom"),
+      builtinSafe.as("ref")).collect()
+    rows.foreach(r => assert(r.getSeq[String](0) == r.getSeq[String](1), r.toString))
+  }
+
   test("graft_count_in_set resolves in SQL; words must be literals") {
     GraftFunctions.register(spark)
     val got = spark.sql(
