@@ -409,6 +409,27 @@ object Queries {
         .select(col("window.start").as("hour_start"), col("event_type"),
           col("cnt"), col("sum_value"))),
 
+    // REAL Structured Streaming execution in the gate (not just the batch
+    // twin): file-stream source over the events table, watermarked
+    // tumbling aggregate, AvailableNow trigger, parquet sink. Append mode
+    // emits exactly the windows the final watermark (= max event time at
+    // 0s delay) has closed, so the oracle is the batch aggregate minus
+    // windows whose end is past the last event.
+    "streaming_tumbling_live" -> ((s, dir) => {
+      val ckpt = java.nio.file.Files.createTempDirectory("graft_stream_ck").toString
+      val out = java.nio.file.Files.createTempDirectory("graft_stream_out").toString + "/agg"
+      val q = graft.streaming.EventStreams
+        .tumblingAgg(Tables.eventsStream(s, dir), watermark = "0 seconds")
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .format("parquet").option("path", out).start()
+      q.awaitTermination()
+      s.read.parquet(out)
+        .select(col("hour_start"), col("event_type"), col("cnt"),
+          col("sum_value").cast(DoubleType).as("sum_value"))
+    }),
+
     // Sliding 2-hour windows on a 1-hour slide: each event lands in two
     // overlapping windows (streaming-compatible semantics in batch).
     "events_sliding" -> ((s, dir) =>
@@ -1315,6 +1336,14 @@ object Queries {
       """SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour_start, event_type, count(*) AS cnt,
         |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
         |FROM events GROUP BY 1, 2""".stripMargin,
+
+    "streaming_tumbling_live" ->
+      """SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour_start, event_type,
+        |  count(*) AS cnt,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY 1, 2
+        |HAVING CAST(date_trunc('hour', ts) AS TIMESTAMP) + INTERVAL 1 HOUR
+        |  <= (SELECT max(CAST(ts AS TIMESTAMP)) FROM events)""".stripMargin,
 
     "events_sliding" ->
       """SELECT CAST(ws AS TIMESTAMP) AS win_start, event_type, count(*) AS cnt,

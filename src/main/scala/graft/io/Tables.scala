@@ -44,4 +44,22 @@ object Tables {
   }
   def documents(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "embeddings")
+
+  /** Streaming twin of [[events]]: file-stream source with a DECLARED
+    * schema (stream sources cannot infer) taken from the parquet footer,
+    * plus the same nanos->micros conversion.
+    */
+  def eventsStream(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = table(spark, dir, "events").schema // footer-only read
+    // The file source requires a directory; the glob filter restricts the
+    // listing to the events table inside the shared sf directory.
+    val df = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet").parquet(dir)
+    df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        df.withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts DIV 1000)"))
+      case _ => df
+    }
+  }
 }

@@ -156,12 +156,10 @@ object EventStreams {
       .foreachBatch { (batch: DataFrame, _: Long) =>
         val spark = batch.sparkSession
         val deduped = Merge.lastWriteWins(batch, keys, precedence)
-        val current =
-          try spark.read.parquet(statePath)
-          catch {
-            case _: Exception => spark.createDataFrame(
-              spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], deduped.schema)
-          }
+        // Missing path = first micro-batch; any OTHER read failure must
+        // fail the batch (an empty bootstrap on a transient error would
+        // swap real state away) — the retry then re-reads healthy state.
+        val current = Merge.readStateOrEmpty(spark, statePath, deduped.schema)
         val merged = Merge.lastWriteWins(
           current.unionByName(deduped), keys, precedence)
         Sinks.atomicSwapWrite(spark, merged, statePath)
