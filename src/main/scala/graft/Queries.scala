@@ -453,6 +453,19 @@ object Queries {
         .select(col("event_id"), col("user_id"), col("ts"), col("purchase_value"))
     }),
 
+    // Forward as-of (merge_asof direction='forward'): each click gets the
+    // EARLIEST following purchase value — same single-shuffle union+window
+    // shape, mirrored ordering.
+    "asof_join_forward" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val clicks = ev.where(col("event_type") === "click")
+      val purchases = ev.where(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"), col("value").as("purchase_value"), col("event_id"))
+      AsOf.asofJoinForward(clicks, purchases, Seq("user_id"), "ts",
+          Seq("purchase_value"), col("event_id"))
+        .select(col("event_id"), col("user_id"), col("ts"), col("purchase_value"))
+    }),
+
     // Batch sessionization (the batch twin of streaming/EventStreams
     // .sessionize): gap > 30 min starts a session; lag + running sum of
     // start flags assigns session ids in two window passes over ONE
@@ -1360,6 +1373,13 @@ object Queries {
         |  (SELECT r.value FROM events r
         |   WHERE r.event_type = 'purchase' AND r.user_id = l.user_id AND r.ts <= l.ts
         |   ORDER BY r.ts DESC, r.event_id DESC LIMIT 1) AS purchase_value
+        |FROM events l WHERE l.event_type = 'click'""".stripMargin,
+
+    "asof_join_forward" ->
+      """SELECT l.event_id, l.user_id, CAST(l.ts AS TIMESTAMP) AS ts,
+        |  (SELECT r.value FROM events r
+        |   WHERE r.event_type = 'purchase' AND r.user_id = l.user_id AND r.ts >= l.ts
+        |   ORDER BY r.ts ASC, r.event_id ASC LIMIT 1) AS purchase_value
         |FROM events l WHERE l.event_type = 'click'""".stripMargin,
 
     "json_props_extract" ->

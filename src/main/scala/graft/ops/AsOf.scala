@@ -4,16 +4,19 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-/** Backward as-of join — an operator the reference lacks but a time-series
+/** As-of joins — an operator the reference lacks but a time-series
   * analytics engine needs (flagged as the natural `events`-table extension
   * in SURVEY.md §2.10/§7.6). Composed from built-ins per the preference
   * order (compose > custom Expression > custom plan): union the two sides,
-  * one window pass per key carrying the latest right-side values forward.
+  * one window pass per key carrying the nearest right-side values across.
   *
   * Physical shape: ONE shuffle on the key + one sort — the same cost as a
   * sort-merge join, with no range-explosion. This is the scalable form: a
   * naive `left.join(right, key && rt <= lt)` + groupBy-max is O(matches)
   * and explodes on hot keys at 100 TB; this stays O(left + right).
+  * Backward (latest prior), forward (earliest following), and an optional
+  * tolerance (matches farther than `toleranceMs` null out) cover the
+  * pandas/polars `merge_asof` direction/tolerance surface.
   */
 object AsOf {
 
@@ -23,29 +26,67 @@ object AsOf {
     *
     * `rightTiebreak` orders right rows sharing (key, time); the last one
     * under this order wins — pass a unique column for determinism.
+    * `toleranceMs`: matched rows more than this many milliseconds before
+    * the left row have their carried values nulled (merge_asof tolerance).
     */
   def asofJoinBackward(left: DataFrame, right: DataFrame,
                        keyCols: Seq[String], timeCol: String,
                        valueCols: Seq[String],
-                       rightTiebreak: Column): DataFrame = {
+                       rightTiebreak: Column,
+                       toleranceMs: Option[Long] = None): DataFrame =
+    asofJoin(left, right, keyCols, timeCol, valueCols, rightTiebreak,
+      forward = false, toleranceMs)
+
+  /** Forward as-of: `valueCols` from the EARLIEST right row with
+    * `right(timeCol) >= left(timeCol)`; the FIRST right row under
+    * `rightTiebreak` wins among simultaneous ones (mirror of backward).
+    */
+  def asofJoinForward(left: DataFrame, right: DataFrame,
+                      keyCols: Seq[String], timeCol: String,
+                      valueCols: Seq[String],
+                      rightTiebreak: Column,
+                      toleranceMs: Option[Long] = None): DataFrame =
+    asofJoin(left, right, keyCols, timeCol, valueCols, rightTiebreak,
+      forward = true, toleranceMs)
+
+  private def asofJoin(left: DataFrame, right: DataFrame,
+                       keyCols: Seq[String], timeCol: String,
+                       valueCols: Seq[String], rightTiebreak: Column,
+                       forward: Boolean, toleranceMs: Option[Long]): DataFrame = {
     val leftCols = left.columns.toSeq
-    // Right rows sort before left rows at equal time (_side 0 < 1) so that
-    // `<=` is inclusive; rightTiebreak orders simultaneous right rows.
-    val l = valueCols.foldLeft(left.withColumn("_side", lit(1)).withColumn("_tb", lit(null).cast("long"))) {
+    val carried = valueCols :+ "_rts" // matched right event time rides along
+    // Right rows sort before left rows at equal time (_side 0 < 1) so the
+    // match is inclusive in BOTH directions; rightTiebreak orders
+    // simultaneous right rows — `last(...)` under the backward (asc)
+    // ordering keeps the largest tiebreak, and under the forward (desc)
+    // ordering keeps the smallest: the mirror semantics documented above.
+    val l = carried.foldLeft(
+        left.withColumn("_side", lit(1)).withColumn("_tb", lit(null).cast("long"))) {
       (df, v) => df.withColumn(v, lit(null))
     }
-    val r0 = right.select((keyCols :+ timeCol).map(col) ++ valueCols.map(col) :+ rightTiebreak.cast("long").as("_tb"): _*)
+    val r0 = right.select((keyCols :+ timeCol).map(col) ++ valueCols.map(col) :+
+      col(timeCol).as("_rts") :+ rightTiebreak.cast("long").as("_tb"): _*)
     val r = leftCols.foldLeft(r0.withColumn("_side", lit(0))) { (df, c) =>
       if (keyCols.contains(c) || c == timeCol) df else df.withColumn(c, lit(null))
     }
-    val u = l.select((leftCols ++ valueCols ++ Seq("_side", "_tb")).map(col): _*)
-      .unionByName(r.select((leftCols ++ valueCols ++ Seq("_side", "_tb")).map(col): _*))
+    val u = l.select((leftCols ++ carried ++ Seq("_side", "_tb")).map(col): _*)
+      .unionByName(r.select((leftCols ++ carried ++ Seq("_side", "_tb")).map(col): _*))
+    val timeOrder = if (forward) col(timeCol).desc else col(timeCol).asc
+    val tbOrder = if (forward) col("_tb").desc_nulls_first else col("_tb").asc_nulls_first
     val w = Window.partitionBy(keyCols.map(col): _*)
-      .orderBy(col(timeCol).asc, col("_side").asc, col("_tb").asc_nulls_first)
+      .orderBy(timeOrder, col("_side").asc, tbOrder)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val filled = valueCols.foldLeft(u) { (df, v) =>
+    val filled = carried.foldLeft(u) { (df, v) =>
       df.withColumn(v, last(col(v), ignoreNulls = true).over(w))
     }
-    filled.where(col("_side") === 1).drop("_side", "_tb")
+    val withTol = toleranceMs match {
+      case None => filled
+      case Some(tol) =>
+        val within = col("_rts").isNotNull &&
+          abs(unix_millis(col(timeCol)) - unix_millis(col("_rts"))) <= tol
+        valueCols.foldLeft(filled)((df, v) =>
+          df.withColumn(v, when(within, col(v))))
+    }
+    withTol.where(col("_side") === 1).drop("_side", "_tb", "_rts")
   }
 }

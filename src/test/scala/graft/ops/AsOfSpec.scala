@@ -30,6 +30,49 @@ class AsOfSpec extends SparkSpec {
     assert(got("l3").isEmpty)        // no prior purchase
   }
 
+  test("forward as-of join: earliest following right value, inclusive at equal ts") {
+    val left = Seq(
+      (1L, ts("2024-01-01 10:00:00"), "l1"),  // -> 12:00 row
+      (1L, ts("2024-01-01 12:00:00"), "l2"),  // equal ts: included
+      (1L, ts("2024-01-01 13:00:00"), "l3"))  // nothing after -> null
+      .toDF("user_id", "ts", "tag")
+    val right = Seq(
+      (1L, ts("2024-01-01 09:00:00"), 10.0, 100L),
+      (1L, ts("2024-01-01 12:00:00"), 20.0, 101L))
+      .toDF("user_id", "ts", "px", "rid")
+    val got = AsOf.asofJoinForward(left, right, Seq("user_id"), "ts", Seq("px"), col("rid"))
+      .select(col("tag"), col("px"))
+      .collect().map(r => r.getString(0) -> Option(r.get(1)).map(_.asInstanceOf[Double]))
+      .toMap
+    assert(got("l1").contains(20.0))
+    assert(got("l2").contains(20.0))
+    assert(got("l3").isEmpty)
+  }
+
+  test("forward tiebreak mirrors backward: smallest tiebreaker wins") {
+    val left = Seq((1L, ts("2024-01-01 10:00:00"), "l")).toDF("user_id", "ts", "tag")
+    val right = Seq(
+      (1L, ts("2024-01-01 10:00:00"), 1.0, 1L),
+      (1L, ts("2024-01-01 10:00:00"), 2.0, 2L)).toDF("user_id", "ts", "px", "rid")
+    val got = AsOf.asofJoinForward(left, right, Seq("user_id"), "ts", Seq("px"), col("rid"))
+      .select(col("px")).collect()
+    assert(got.head.getDouble(0) == 1.0)
+  }
+
+  test("tolerance nulls matches farther than the window (merge_asof tolerance)") {
+    val left = Seq(
+      (1L, ts("2024-01-01 10:00:00"), "near"),
+      (1L, ts("2024-01-01 23:00:00"), "far")).toDF("user_id", "ts", "tag")
+    val right = Seq((1L, ts("2024-01-01 09:30:00"), 10.0, 1L))
+      .toDF("user_id", "ts", "px", "rid")
+    val got = AsOf.asofJoinBackward(left, right, Seq("user_id"), "ts", Seq("px"),
+        col("rid"), toleranceMs = Some(3600L * 1000))
+      .select(col("tag"), col("px"))
+      .collect().map(r => r.getString(0) -> Option(r.get(1))).toMap
+    assert(got("near").contains(10.0))
+    assert(got("far").isEmpty)
+  }
+
   test("tiebreak: simultaneous right rows resolved by highest tiebreaker") {
     val left = Seq((1L, ts("2024-01-01 10:00:00"), "l")).toDF("user_id", "ts", "tag")
     val right = Seq(
