@@ -54,4 +54,24 @@ object Sinks {
   def exportCsv(df: DataFrame, dir: String, sortCols: Seq[org.apache.spark.sql.Column]): Unit =
     df.orderBy(sortCols: _*).coalesce(1)
       .write.mode(SaveMode.Overwrite).option("header", "true").csv(dir)
+
+  /** Write a state table BUCKETED (+ sorted) by the merge key: every
+    * subsequent merge/join keyed on `keys` reads co-located buckets and
+    * skips the state-side shuffle entirely (verified shuffle-free in
+    * LayoutSpec). Bucketing requires the table catalog (`saveAsTable`) —
+    * Spark's bucketing metadata lives there, not in plain Parquet paths —
+    * so callers address the state by `tableName` afterwards. `buckets`
+    * should be sized so one bucket of the table fits an executor
+    * comfortably at the target scale (buckets ≈ table_size / 1 GiB is a
+    * sane start); it cannot change without a rewrite.
+    */
+  def writeBucketedState(df: DataFrame, tableName: String, buckets: Int,
+                         keys: Seq[String], location: Option[String] = None): Unit = {
+    require(keys.nonEmpty, "bucketed state needs at least one key column")
+    val w = df.write.mode(SaveMode.Overwrite)
+      .bucketBy(buckets, keys.head, keys.tail: _*)
+      .sortBy(keys.head, keys.tail: _*)
+      .format("parquet")
+    location.fold(w)(p => w.option("path", p)).saveAsTable(tableName)
+  }
 }

@@ -43,10 +43,8 @@ class LayoutSpec extends SparkSpec with AdaptiveSparkPlanHelper {
       val df = (1 to 1000).map(i => (i.toLong, s"v$i")).toDF("k", "v")
       for (t <- Seq("bkt_a", "bkt_b")) {
         spark.sql(s"DROP TABLE IF EXISTS $t")
-        df.write.mode("overwrite")
-          .option("path", s"$wh/$t")
-          .bucketBy(8, "k").sortBy("k")
-          .saveAsTable(t)
+        Sinks.writeBucketedState(df, t, buckets = 8, keys = Seq("k"),
+          location = Some(s"$wh/$t"))
       }
       val joined = spark.table("bkt_a").join(spark.table("bkt_b"), "k")
       joined.collect() // finalize AQE plan
