@@ -932,11 +932,13 @@ object Queries {
     s"CAST('0x' || substr(md5($e),1,15) AS BIGINT)"
 
   /** DuckDB twin of [[Normalize.safeDecimal]]: strip `[,$%\s]`, sentinel
-    * strings to null, try-cast, millions heuristic (0 < v < 1e6). */
+    * strings to null, try-cast WIDE (scale+6 — the Spark side parses wide
+    * and quantizes only AFTER the millions heuristic, so sub-cent values
+    * scale rather than truncate), heuristic, quantize to (15,2). */
   private def safeDecimalSql(e: String): String = {
     val cl = s"regexp_replace($e, '[,$$%\\s]', '', 'g')"
     val cl2 = s"(CASE WHEN $cl IN ('', 'N/A', 'n/a', '-') THEN NULL ELSE $cl END)"
-    val v = s"TRY_CAST($cl2 AS DECIMAL(15,2))"
+    val v = s"TRY_CAST($cl2 AS DECIMAL(21,8))"
     s"TRY_CAST((CASE WHEN $v > 0 AND $v < 1000000 THEN $v * 1000000 ELSE $v END) AS DECIMAL(15,2))"
   }
 
@@ -1185,9 +1187,9 @@ object Queries {
         |  FROM orders),
         |c AS (SELECT o_orderkey, regexp_replace(raw, '[,$%\s]', '', 'g') AS cl FROM b),
         |n AS (SELECT o_orderkey, CASE WHEN cl IN ('', 'N/A', 'n/a', '-') THEN NULL ELSE cl END AS cl2 FROM c),
-        |v AS (SELECT o_orderkey, TRY_CAST(cl2 AS DECIMAL(15,2)) AS v FROM n)
+        |v AS (SELECT o_orderkey, TRY_CAST(cl2 AS DECIMAL(21,8)) AS v FROM n)
         |SELECT o_orderkey,
-        |  CAST(CASE WHEN v > 0 AND v < 1000000 THEN TRY_CAST(v * 1000000 AS DECIMAL(15,2)) ELSE v END AS DOUBLE) AS val
+        |  CAST(TRY_CAST((CASE WHEN v > 0 AND v < 1000000 THEN v * 1000000 ELSE v END) AS DECIMAL(15,2)) AS DOUBLE) AS val
         |FROM v""".stripMargin,
 
     "fn_estimate_eps" ->
@@ -1798,8 +1800,8 @@ object Queries {
          |  ${md5Hash60Sql("CAST(doc_id AS VARCHAR)")} % 10000 AS bucket
          |  FROM documents)
          |SELECT lang, count(*) AS cnt FROM b
-         |WHERE bucket < CAST((CASE lang WHEN 'en' THEN 1.0 WHEN 'zh' THEN 0.5
-         |  ELSE 0.25 END) * 10000 AS BIGINT)
+         |WHERE bucket < (CASE lang WHEN 'en' THEN 10000 WHEN 'zh' THEN 5000
+         |  ELSE 2500 END)
          |GROUP BY 1""".stripMargin,
 
     "text_pattern_counts" -> {

@@ -54,39 +54,44 @@ object AsOf {
                        valueCols: Seq[String], rightTiebreak: Column,
                        forward: Boolean, toleranceMs: Option[Long]): DataFrame = {
     val leftCols = left.columns.toSeq
-    val carried = valueCols :+ "_rts" // matched right event time rides along
+    // The matched right ROW travels as ONE struct (its event time plus the
+    // value columns): `last(_m, ignoreNulls)` selects the nearest right
+    // ROW — pandas merge_asof semantics, and exactly what a correlated
+    // `ORDER BY ts LIMIT 1` oracle computes. Carrying value columns
+    // individually would let each value skip back past null-valued rows
+    // independently, decoupling the carried value from the matched row's
+    // time (and thus from the tolerance gate).
+    val r0 = right.select(
+      keyCols.map(col) :+ col(timeCol) :+ rightTiebreak.cast("long").as("_tb") :+
+        struct(col(timeCol).as("_rts") +: valueCols.map(col): _*).as("_m"): _*)
+    val mType = r0.schema("_m").dataType
+    val l = left.withColumn("_side", lit(1))
+      .withColumn("_tb", lit(null).cast("long"))
+      .withColumn("_m", lit(null).cast(mType))
     // Right rows sort before left rows at equal time (_side 0 < 1) so the
     // match is inclusive in BOTH directions; rightTiebreak orders
     // simultaneous right rows — `last(...)` under the backward (asc)
     // ordering keeps the largest tiebreak, and under the forward (desc)
     // ordering keeps the smallest: the mirror semantics documented above.
-    val l = carried.foldLeft(
-        left.withColumn("_side", lit(1)).withColumn("_tb", lit(null).cast("long"))) {
-      (df, v) => df.withColumn(v, lit(null))
-    }
-    val r0 = right.select((keyCols :+ timeCol).map(col) ++ valueCols.map(col) :+
-      col(timeCol).as("_rts") :+ rightTiebreak.cast("long").as("_tb"): _*)
     val r = leftCols.foldLeft(r0.withColumn("_side", lit(0))) { (df, c) =>
       if (keyCols.contains(c) || c == timeCol) df else df.withColumn(c, lit(null))
     }
-    val u = l.select((leftCols ++ carried ++ Seq("_side", "_tb")).map(col): _*)
-      .unionByName(r.select((leftCols ++ carried ++ Seq("_side", "_tb")).map(col): _*))
+    val cols = leftCols ++ Seq("_m", "_side", "_tb")
+    val u = l.select(cols.map(col): _*).unionByName(r.select(cols.map(col): _*))
     val timeOrder = if (forward) col(timeCol).desc else col(timeCol).asc
     val tbOrder = if (forward) col("_tb").desc_nulls_first else col("_tb").asc_nulls_first
     val w = Window.partitionBy(keyCols.map(col): _*)
       .orderBy(timeOrder, col("_side").asc, tbOrder)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val filled = carried.foldLeft(u) { (df, v) =>
-      df.withColumn(v, last(col(v), ignoreNulls = true).over(w))
-    }
-    val withTol = toleranceMs match {
+    val filled = u.withColumn("_m", last(col("_m"), ignoreNulls = true).over(w))
+    val gated = toleranceMs match {
       case None => filled
-      case Some(tol) =>
-        val within = col("_rts").isNotNull &&
-          abs(unix_millis(col(timeCol)) - unix_millis(col("_rts"))) <= tol
-        valueCols.foldLeft(filled)((df, v) =>
-          df.withColumn(v, when(within, col(v))))
+      case Some(tol) => filled.withColumn("_m",
+        when(col("_m").isNotNull &&
+          abs(unix_millis(col(timeCol)) - unix_millis(col("_m._rts"))) <= tol,
+          col("_m")))
     }
-    withTol.where(col("_side") === 1).drop("_side", "_tb", "_rts")
+    val out = valueCols.foldLeft(gated)((df, v) => df.withColumn(v, col(s"_m.$v")))
+    out.where(col("_side") === 1).drop("_side", "_tb", "_m")
   }
 }

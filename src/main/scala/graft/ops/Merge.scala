@@ -81,21 +81,27 @@ object Merge {
         .unionByName(incoming.withColumn("_src", lit(1))),
       keys, col("_src").desc +: precedence).drop("_src")
     // The merged plan READS statePath and the commit below OVERWRITES the
-    // same touched partitions: materialize on the executors first
-    // (localCheckpoint severs the lineage) so the write never races its
-    // own input — some Spark paths reject the self-overwrite outright, and
-    // a mid-commit failure would otherwise read half-rewritten partitions.
-    val materialized = merged.localCheckpoint()
+    // same touched partitions: stage the merged rows to a sibling
+    // directory and re-read THAT for the overwrite, so the write never
+    // races its own input (some Spark paths reject the self-overwrite
+    // outright). Unlike localCheckpoint, staging holds no executor cache
+    // blocks whose release would be GC-driven, and a mid-commit failure
+    // leaves the staged copy on disk for recovery. Cost: one extra
+    // write+read of the TOUCHED partitions only.
+    val staging = statePath + "_staging"
+    merged.write.mode("overwrite").parquet(staging)
     val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    try materialized.write.mode("overwrite").partitionBy(partitionCol).parquet(statePath)
-    finally {
-      prev match {
-        case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
-        case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
-      }
-      materialized.unpersist()
+    try spark.read.parquet(staging)
+      .write.mode("overwrite").partitionBy(partitionCol).parquet(statePath)
+    finally prev match {
+      case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+      case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
     }
+    // Success: drop the staging copy (left in place on failure).
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(statePath), spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(staging), true)
     spark.catalog.refreshByPath(statePath)
     spark.read.parquet(statePath)
   }

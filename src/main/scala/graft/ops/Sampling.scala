@@ -21,11 +21,12 @@ object Sampling {
   private val Buckets = 10000L
 
   /** Stable per-key bucket in [0, 10000): the basis for splits/sampling.
-    * `hashFn` defaults to xxhash64; pass [[graft.text.Dedup.Md5Hash60]]
-    * for a cross-engine-replicable assignment.
+    * `hashFn` defaults to xxhash64; pass
+    * [[graft.functions.Hashes.Md5Hash60]] for a cross-engine-replicable
+    * assignment.
     */
   def hashBucket(key: Column,
-                 hashFn: Column => Column = (c: Column) => xxhash64(c)): Column =
+                 hashFn: Column => Column = graft.functions.Hashes.XxHash64): Column =
     pmod(hashFn(key.cast(StringType)), lit(Buckets))
 
   /** Assign each row to a named split by cumulative weight over its hash
@@ -35,7 +36,7 @@ object Sampling {
     */
   def hashSplit(df: DataFrame, keyCol: String, splits: Seq[(String, Double)],
                 splitCol: String = "split",
-                hashFn: Column => Column = (c: Column) => xxhash64(c)): DataFrame = {
+                hashFn: Column => Column = graft.functions.Hashes.XxHash64): DataFrame = {
     require(splits.nonEmpty, "need at least one split")
     require(math.abs(splits.map(_._2).sum - 1.0) < 1e-9, "split weights must sum to 1")
     val b = hashBucket(col(keyCol), hashFn)
@@ -55,11 +56,19 @@ object Sampling {
     */
   def stratifiedHashSample(df: DataFrame, keyCol: String, strataCol: String,
                            rates: Map[String, Double], defaultRate: Double,
-                           hashFn: Column => Column = (c: Column) => xxhash64(c)): DataFrame = {
+                           hashFn: Column => Column = graft.functions.Hashes.XxHash64): DataFrame = {
     val b = hashBucket(col(keyCol), hashFn)
-    val rateExpr = rates.foldRight(lit(defaultRate): Column) {
-      case ((k, r), rest) => when(col(strataCol) === k, r).otherwise(rest)
+    // Thresholds resolve to integer literals at PLAN time (half-up
+    // rounding): `rate*10000` truncated at runtime would silently
+    // under-sample non-round rates, and an independent replica rounding
+    // instead of truncating would disagree on one bucket.
+    def threshold(r: Double): Long = {
+      require(r >= 0 && r <= 1, s"rate must be within [0, 1], got $r")
+      math.round(r * Buckets)
     }
-    df.where(b < (rateExpr * Buckets).cast(LongType))
+    val thrExpr = rates.foldRight(lit(threshold(defaultRate)): Column) {
+      case ((k, r), rest) => when(col(strataCol) === k, lit(threshold(r))).otherwise(rest)
+    }
+    df.where(b < thrExpr)
   }
 }

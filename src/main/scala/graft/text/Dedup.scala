@@ -28,17 +28,11 @@ object Dedup {
     docs.select(col(idCol).as("doc_id"), tokens(col(textCol)).as("toks"))
   }
 
-  /** Default term hash: xxhash64 (fastest, codegen'd, no cross-engine twin). */
-  val XxHash: Column => Column = (c: Column) => xxhash64(c)
+  /** Default term hash (see [[graft.functions.Hashes]]). */
+  val XxHash: Column => Column = graft.functions.Hashes.XxHash64
 
-  /** 60-bit md5-derived term hash with an exact DuckDB twin
-    * (`CAST('0x' || substr(md5(s),1,15) AS BIGINT)`): positive, fits a
-    * Long, and lets an independent engine replicate MinHash/SimHash
-    * signatures bit-for-bit. Slower than xxhash64 — the verification
-    * configuration, not the production default.
-    */
-  val Md5Hash60: Column => Column =
-    (c: Column) => conv(substring(md5(c), 1, 15), 16, 10).cast(LongType)
+  /** Cross-engine-verifiable term hash (see [[graft.functions.Hashes]]). */
+  val Md5Hash60: Column => Column = graft.functions.Hashes.Md5Hash60
 
   /** Exact duplicate groups: md5 over normalized text -> (hash, cnt,
     * keeper=min id). Reference-analog of the natural-key dedup (O-M3) on

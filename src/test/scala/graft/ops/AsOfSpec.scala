@@ -73,6 +73,24 @@ class AsOfSpec extends SparkSpec {
     assert(got("far").isEmpty)
   }
 
+  test("matches the nearest right ROW, not the nearest non-null value (merge_asof row semantics)") {
+    // The matched row's value may itself be null; an older non-null value
+    // must NOT leak through — and the tolerance gate must be judged
+    // against the matched row's time, not an older value-supplying row's.
+    val left = Seq((1L, ts("2024-01-01 10:00:00"), "l")).toDF("user_id", "ts", "tag")
+    val right = Seq(
+      (1L, ts("2024-01-01 09:00:00"), Option(5.0), 1L),
+      (1L, ts("2024-01-01 09:50:00"), None: Option[Double], 2L))
+      .toDF("user_id", "ts", "px", "rid")
+    val plain = AsOf.asofJoinBackward(left, right, Seq("user_id"), "ts", Seq("px"), col("rid"))
+      .select("px").collect().head
+    assert(plain.isNullAt(0)) // nearest row (09:50) wins and its px is null
+    val toleranced = AsOf.asofJoinBackward(left, right, Seq("user_id"), "ts", Seq("px"),
+        col("rid"), toleranceMs = Some(30L * 60 * 1000))
+      .select("px").collect().head
+    assert(toleranced.isNullAt(0)) // 09:50 within tolerance, but ITS value is null
+  }
+
   test("tiebreak: simultaneous right rows resolved by highest tiebreaker") {
     val left = Seq((1L, ts("2024-01-01 10:00:00"), "l")).toDF("user_id", "ts", "tag")
     val right = Seq(

@@ -68,8 +68,12 @@ def main():
         def col_types(sql):
             rows = con.execute(f"DESCRIBE {sql}").fetchall()
             return {r[0]: r[1].replace(" WITH TIME ZONE", "") for r in rows}
-        sp_types = col_types(f"SELECT * FROM read_parquet('{out_dir}/{name}/*.parquet')")
-        du_types = col_types(oracle[name])
+        try:
+            sp_types = col_types(f"SELECT * FROM read_parquet('{out_dir}/{name}/*.parquet')")
+            du_types = col_types(oracle[name])
+        except Exception as e:
+            results[name] = f"DESCRIBE-FAIL {str(e)[:200]}"
+            continue
         risky = sorted([f"{c}:{t}" for d in (sp_types, du_types) for c, t in d.items()
                         if t.startswith("DECIMAL") or t == "HUGEINT"])
         sc, sr = frame_to_rows(sp_cols, sp_rows)
