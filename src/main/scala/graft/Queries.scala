@@ -297,6 +297,21 @@ object Queries {
         .orderBy(col("o_custkey").asc, col("o_orderdate").desc, col("o_orderkey").asc)),
 
     // ---- 2.6 set ops ------------------------------------------------------
+    // INTERSECT (SURVEY §2.6 noted it available-if-needed): customers who
+    // DO have recent orders — the complement of except_new_tickers.
+    "intersect_active" -> ((s, dir) =>
+      t(s, dir, "customer").select(col("c_custkey"))
+        .intersect(t(s, dir, "orders").where(col("o_orderdate") >= lit("2000-01-01"))
+          .select(col("o_custkey").as("c_custkey")))),
+
+    // Canonical text normalization (case/whitespace collapse) ahead of
+    // fingerprinting — exercised as its own gate so the oracle pins the
+    // exact normalization.
+    "text_normalize" -> ((s, dir) =>
+      t(s, dir, "documents").select(col("doc_id"),
+        md5(TextAnalysis.normalizeText(col("text"))).as("norm_md5"),
+        length(TextAnalysis.normalizeText(col("text"))).cast(LongType).as("norm_len"))),
+
     // O-U1 union of normalized source branches (transform.py:205-230).
     "union_sources" -> ((s, dir) => {
       val o = t(s, dir, "orders")
@@ -1297,6 +1312,16 @@ object Queries {
     "sort_export" ->
       """SELECT o_orderkey, o_custkey, o_orderdate, o_totalprice FROM orders
         |ORDER BY o_custkey, o_orderdate DESC, o_orderkey""".stripMargin,
+
+    "intersect_active" ->
+      """SELECT c_custkey FROM customer
+        |INTERSECT SELECT o_custkey AS c_custkey FROM orders WHERE o_orderdate >= '2000-01-01'""".stripMargin,
+
+    "text_normalize" ->
+      """SELECT doc_id,
+        |  md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS norm_md5,
+        |  CAST(length(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS BIGINT) AS norm_len
+        |FROM documents""".stripMargin,
 
     "union_sources" ->
       """SELECT src, count(*) AS cnt FROM (

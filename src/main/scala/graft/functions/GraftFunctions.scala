@@ -55,12 +55,30 @@ object GraftFunctions {
     TextExpressions.CountInSet(children.head, words)
   }
 
+  private val shinglesInfo = new ExpressionInfo(
+    TextExpressions.WordShingles.getClass.getCanonicalName, null, "graft_word_shingles",
+    "graft_word_shingles(toks, n) - distinct word n-gram shingles, first-occurrence order.",
+    "")
+
+  private def shinglesBuilder(children: Seq[Expression]): Expression = {
+    require(children.length == 2,
+      s"graft_word_shingles expects 2 arguments, got ${children.length}")
+    val n = children(1) match {
+      case org.apache.spark.sql.catalyst.expressions.Literal(v: Number, _) => v.intValue()
+      case other => throw new IllegalArgumentException(
+        s"graft_word_shingles n must be an integer literal, got $other")
+    }
+    TextExpressions.WordShingles(children.head, n)
+  }
+
   /** Inject into an extensions hook (builder-time path). */
   def inject(extensions: SparkSessionExtensions): Unit = {
     extensions.injectFunction((FunctionIdentifier("graft_dot"), dotInfo, dotBuilder))
     extensions.injectFunction((FunctionIdentifier("graft_topk"), topkInfo, topkBuilder))
     extensions.injectFunction(
       (FunctionIdentifier("graft_count_in_set"), countInSetInfo, countInSetBuilder))
+    extensions.injectFunction(
+      (FunctionIdentifier("graft_word_shingles"), shinglesInfo, shinglesBuilder))
   }
 
   /** Register on a live session (runtime path). */
@@ -68,6 +86,7 @@ object GraftFunctions {
     org.apache.spark.sql.GraftShims.registerFunction(spark, "graft_dot", dotBuilder)
     org.apache.spark.sql.GraftShims.registerFunction(spark, "graft_topk", topkBuilder)
     org.apache.spark.sql.GraftShims.registerFunction(spark, "graft_count_in_set", countInSetBuilder)
+    org.apache.spark.sql.GraftShims.registerFunction(spark, "graft_word_shingles", shinglesBuilder)
   }
 }
 

@@ -13,6 +13,14 @@ import org.apache.spark.sql.types._
   */
 object TextAnalysis {
 
+  /** Canonical text normalization for corpus keys and dedup inputs:
+    * lowercase, collapse whitespace runs to one space, trim. Applied
+    * BEFORE fingerprinting when case/spacing variants should collapse
+    * (the reference-free standard normalization of web-corpus dedup).
+    */
+  def normalizeText(text: Column): Column =
+    trim(regexp_replace(lower(text), "\\s+", " "))
+
   /** Whitespace tokenization; empty/blank text -> empty array. */
   def tokens(text: Column): Column =
     when(trim(text) === "", array().cast(ArrayType(StringType)))
