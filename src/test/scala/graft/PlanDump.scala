@@ -1,0 +1,53 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import java.nio.file.{Files, Paths}
+
+/** Regenerates PLANS.md (`sbt 'Test/runMain graft.PlanDump'`): condensed
+  * executedPlan dumps for the headline queries, tying each SCALE.md claim
+  * to actual plan text. Run after any plan-shaping change.
+  */
+object PlanDump {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[8]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val dir = "/root/testdata/sf0.001"
+    val picks = Seq(
+      "q1_agg" -> "partial map-side aggregation; scan pruned to 4 of 11 lineitem columns",
+      "filter_golden_row" -> "predicate pushed to the parquet scan (PushedFilters)",
+      "join_fk_resolve" -> "dim side broadcast: no shuffle of the fact side",
+      "sql_revenue_rollup" -> "two broadcast joins + single partial-agg shuffle",
+      "window_topk_quarters" -> "WindowGroupLimit: O(k) retained per group during sort",
+      "sim_brute_topk_agg" -> "bounded-heap partial top-k BEFORE the exchange",
+      "unpivot_wide_long" -> "Expand, zero shuffles",
+      "sample_hash_split" -> "scan-side only: no exchange, no window",
+      "text_top_tokens" -> "TakeOrderedAndProject (map-side partial top-k) + k^2 rank join",
+      "dedup_embedding_lsh" -> "codegen'd graft_dot in both bucket assignment and verify",
+      "merge_upsert" -> "MERGE = one window shuffle on the natural key")
+    val keep = Seq("Exchange", "Scan", "Join", "Aggregate", "Window", "Expand",
+      "TakeOrdered", "Broadcast", "Sort", "Filter", "Project", "WholeStageCodegen")
+    val sb = new StringBuilder
+    sb.append("# PLANS — physical-plan evidence for the headline scale claims\n\n")
+    sb.append("Generated from `.queryExecution.executedPlan` at sf0.001 (plan shapes are\n")
+    sb.append("data-size independent below AQE thresholds); operator lines only, trimmed.\n")
+    sb.append("Regenerate: `sbt 'Test/runMain graft.PlanDump'`, or ad hoc via\n")
+    sb.append("`graft.Queries.queries(name)(spark, sfDir).explain(\"formatted\")`.\n")
+    picks.foreach { case (n, claim) =>
+      sb.append(s"\n## $n — $claim\n\n```\n")
+      val plan = Queries.queries(n)(spark, dir).queryExecution.executedPlan.toString
+      plan.linesIterator
+        .filter(l => keep.exists(l.contains))
+        .map(_.take(150))
+        .take(22)
+        .foreach(l => sb.append(l).append('\n'))
+      sb.append("```\n")
+    }
+    Files.writeString(Paths.get("PLANS.md"), sb.toString)
+    println("PLANS.md regenerated")
+    spark.stop()
+  }
+}

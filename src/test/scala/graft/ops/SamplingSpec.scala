@@ -45,6 +45,17 @@ class SamplingSpec extends SparkSpec {
     assert(bySrc("other") > 5 && bySrc("other") < 95)
   }
 
+  test("empty input: split and sample yield empty, quantiles yield no rows, unpivot empty") {
+    val empty = spark.emptyDataset[Long].toDF("id")
+    assert(Sampling.hashSplit(empty, "id", Seq("a" -> 1.0)).count() == 0)
+    assert(Sampling.stratifiedHashSample(empty.withColumn("s", lit("x")),
+      "id", "s", Map.empty, 1.0).count() == 0)
+    val emptyV = spark.emptyDataset[(String, Double)].toDF("g", "v")
+    assert(Profile.quantiles(emptyV, "v", Seq("g"), Seq(0.5)).count() == 0)
+    val emptyW = spark.emptyDataset[(Long, Double, Double)].toDF("id", "m_a", "m_b")
+    assert(Reshape.unpivotToLong(emptyW, Seq("id"), Seq("m_a", "m_b")).count() == 0)
+  }
+
   test("sampling plans are scan-side only: no Exchange, no Window (SCALE.md claim)") {
     val split = Sampling.hashSplit(ids, "id", Seq("a" -> 0.5, "b" -> 0.5))
     val sampled = Sampling.stratifiedHashSample(ids.withColumn("s", lit("x")),
