@@ -1319,8 +1319,8 @@ object Queries {
 
     "text_normalize" ->
       """SELECT doc_id,
-        |  md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS norm_md5,
-        |  CAST(length(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS BIGINT) AS norm_len
+        |  md5(trim(regexp_replace(lower(text), '[ \t\n\f\r\x0B]+', ' ', 'g'))) AS norm_md5,
+        |  CAST(length(trim(regexp_replace(lower(text), '[ \t\n\f\r\x0B]+', ' ', 'g'))) AS BIGINT) AS norm_len
         |FROM documents""".stripMargin,
 
     "union_sources" ->

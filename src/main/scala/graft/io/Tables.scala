@@ -52,10 +52,18 @@ object Tables {
   def eventsStream(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val schema = table(spark, dir, "events").schema // footer-only read
-    // The file source requires a directory; the glob filter restricts the
-    // listing to the events table inside the shared sf directory.
-    val df = spark.readStream.schema(schema)
-      .option("pathGlobFilter", "events.parquet").parquet(dir)
+    // The file source requires a directory. When the events table IS a
+    // directory (standard multi-part write layout) stream it directly; a
+    // glob filter on the leaf name would match nothing and yield a
+    // silently empty stream. A single-file table streams from the parent
+    // dir with the glob restricting the listing.
+    val eventsPath = new org.apache.hadoop.fs.Path(s"$dir/events.parquet")
+    val fs = eventsPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val df =
+      if (fs.getFileStatus(eventsPath).isDirectory)
+        spark.readStream.schema(schema).parquet(eventsPath.toString)
+      else spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet").parquet(dir)
     df.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType =>
         df.withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts DIV 1000)"))

@@ -84,7 +84,13 @@ object Normalize {
   def safeDecimal(c: Column, precision: Int = 15, scale: Int = 2): Column = {
     val cleaned = regexp_replace(c.cast(StringType), "[,$%\\s]", "")
     val nulled  = when(cleaned.isin(MissingTokens: _*), lit(null)).otherwise(cleaned)
-    val wide    = DecimalType(math.min(precision + 6, 38), scale + 6)
+    // Extra fractional digits only as far as precision can actually grow:
+    // at precision 38 the wide parse degrades to the plain cast rather
+    // than silently narrowing the integer range (38,8 has six fewer
+    // integer digits than 38,2 — the "unbounded-like" escape hatch must
+    // keep its full magnitude).
+    val wideP   = math.min(precision + 6, 38)
+    val wide    = DecimalType(wideP, scale + (wideP - precision))
     val v       = nulled.try_cast(wide)
     val scaled  = when(v > 0 && v < 1000000L, v * 1000000L).otherwise(v)
     scaled.try_cast(DecimalType(precision, scale))

@@ -17,9 +17,12 @@ object TextAnalysis {
     * lowercase, collapse whitespace runs to one space, trim. Applied
     * BEFORE fingerprinting when case/spacing variants should collapse
     * (the reference-free standard normalization of web-corpus dedup).
+    * The whitespace class is EXPLICIT (space/tab/newline/formfeed/CR/
+    * vertical-tab): Java's `\s` includes \x0B but RE2's does not, and an
+    * independent verification engine must normalize identically.
     */
   def normalizeText(text: Column): Column =
-    trim(regexp_replace(lower(text), "\\s+", " "))
+    trim(regexp_replace(lower(text), "[ \\t\\n\\f\\r\\x0B]+", " "))
 
   /** Whitespace tokenization; empty/blank text -> empty array. */
   def tokens(text: Column): Column =
