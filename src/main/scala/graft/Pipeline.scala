@@ -78,6 +78,21 @@ object Pipeline {
         col("estimated_revenue"), col("estimated_eps"), col("analyst_count"))
   }
 
+  /** Typed view of the financial state table (SURVEY.md §1.2: case-class
+    * core where type safety helps): compile-time field access for
+    * downstream Scala consumers; the DataFrame surface stays canonical
+    * for the relational operators.
+    */
+  def typedState(spark: SparkSession, statePath: String): org.apache.spark.sql.Dataset[Schemas.FinancialData] = {
+    import spark.implicits._
+    spark.read.parquet(statePath)
+      .select(col("ticker"), col("quarter_date"), col("quarter_label"),
+        col("revenue").cast(DecimalType(15, 2)),
+        col("eps").cast(DecimalType(10, 4)),
+        col("gross_profit").cast(DecimalType(15, 2)))
+      .as[Schemas.FinancialData]
+  }
+
   /** Health-check / summary query (reference load.py:229-246 +
     * main.py:140-154): per-ticker fact counts over the state table,
     * keeping zero-fact tickers from the dim side.

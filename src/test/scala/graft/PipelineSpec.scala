@@ -46,6 +46,11 @@ class PipelineSpec extends SparkSpec {
     val firstRows = state.collect().toSet // materialize before the next swap
     assert(firstRows.size == 3)
 
+    // typed view: compile-time field access over the same state
+    val typed = Pipeline.typedState(spark, statePath).collect()
+    assert(typed.length == 3)
+    assert(typed.find(_.ticker == "TSLA").exists(_.revenue.exists(_ > BigDecimal(0))))
+
     // re-running the same batch is a no-op (merge idempotence)
     val (state2, _) = Pipeline.run(spark, bronzeDir, statePath)
     assert(state2.collect().toSet == firstRows)
