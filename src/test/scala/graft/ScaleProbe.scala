@@ -55,6 +55,35 @@ object ScaleProbe {
     println(s"PROBE docs=$n (x4 of $n0) exact_groups=$exact jaccard_pairs=$jac " +
       s"minhash_pairs=$mh survivors=$clean val_split=$splitCnt " +
       s"contaminated=$contaminated/$n0")
+
+    // Skew probe: a pathological hot key (half of all rows on ONE key)
+    // joined to a small build side, plain vs salted, AQE off so the
+    // salting itself — not AQE's skew splitting — carries the load. The
+    // salted result must be identical; wall times show the spread.
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    val prevBc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val probe = spark.range(40000000).select(
+        when(col("id") % 2 === 0, lit(7L)).otherwise(col("id")).as("k"),
+        col("id").as("payload"))
+      val build = spark.range(1000).select(col("id").as("k"), (col("id") * 2).as("dim"))
+      // Aggregate AFTER the join so the hot key's 20M joined rows are
+      // work the owning task must actually do, as in a real pipeline.
+      val plainCnt = time("skew_plain_join") {
+        probe.join(build, Seq("k"))
+          .groupBy("k").agg(sum(col("payload") * col("dim"))).count()
+      }
+      val saltedCnt = time("skew_salted_join") {
+        ops.Skew.saltedJoin(probe, build, Seq("k"), buckets = 8)
+          .groupBy("k").agg(sum(col("payload") * col("dim"))).count()
+      }
+      println(s"PROBE skew plain=$plainCnt salted=$saltedCnt identical=${plainCnt == saltedCnt}")
+    } finally {
+      spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBc)
+    }
     spark.stop()
   }
 }
