@@ -359,7 +359,7 @@ object Queries {
         col("user_id"), col("event_type"), col("event_id"), col("ts"), col("value"))
         .where(col("event_type").isin("click", "view", "purchase"))
       val prec = Seq(col("ts").desc, col("event_id").desc)
-      val statePath = java.nio.file.Files.createTempDirectory("graft_pmerge").toString + "/state"
+      val statePath = graft.util.Scratch.dir("graft_pmerge") + "/state"
       Merge.lastWriteWins(ev.where(col("event_type").isin("click", "view")),
           Seq("user_id", "event_type"), prec)
         .write.partitionBy("event_type").parquet(statePath)
@@ -385,7 +385,7 @@ object Queries {
         col("o_orderdate").cast(DateType).as("o_date"),
         col("o_totalprice").cast(Dec152).as("o_price"),
         col("o_orderstatus"))
-      val tmp = java.nio.file.Files.createTempDirectory("graft_csv_rt").toString
+      val tmp = graft.util.Scratch.dir("graft_csv_rt")
       proj.write.mode("overwrite").option("header", "true").csv(tmp)
       s.read.schema(StructType(Seq(
           StructField("o_orderkey", LongType),
@@ -402,7 +402,7 @@ object Queries {
     // partition pruning"): write a hive-partitioned Parquet state table,
     // read back one partition — the scan lists only that directory.
     "partitioned_state_prune" -> ((s, dir) => {
-      val tmp = java.nio.file.Files.createTempDirectory("graft_part").toString + "/state"
+      val tmp = graft.util.Scratch.dir("graft_part") + "/state"
       t(s, dir, "orders")
         .select(col("o_orderkey"), col("o_custkey"),
           col("o_totalprice").cast(Dec152).as("o_price"), col("o_orderstatus"))
@@ -431,8 +431,8 @@ object Queries {
     // 0s delay) has closed, so the oracle is the batch aggregate minus
     // windows whose end is past the last event.
     "streaming_tumbling_live" -> ((s, dir) => {
-      val ckpt = java.nio.file.Files.createTempDirectory("graft_stream_ck").toString
-      val out = java.nio.file.Files.createTempDirectory("graft_stream_out").toString + "/agg"
+      val ckpt = graft.util.Scratch.dir("graft_stream_ck")
+      val out = graft.util.Scratch.dir("graft_stream_out") + "/agg"
       val q = graft.streaming.EventStreams
         .tumblingAgg(Tables.eventsStream(s, dir), watermark = "0 seconds")
         .writeStream.outputMode("append")
@@ -604,6 +604,13 @@ object Queries {
         .select(col("event_type"),
           (abs(col("approx_users") - col("exact_users")).cast(DoubleType) /
             col("exact_users").cast(DoubleType) <= 0.05).as("within_tol"),
+          // 5%-wide error bucket: 0 whenever within_tol holds, so the gate
+          // stays deterministic — but if a Spark upgrade ever moves the
+          // HLL++ estimate out of tolerance, the mismatch dump shows HOW
+          // far out (1 = 5-10%, 2 = 10-15%, ...) instead of an opaque
+          // hash difference.
+          floor(abs(col("approx_users") - col("exact_users")).cast(DoubleType) /
+            col("exact_users").cast(DoubleType) / 0.05).cast(LongType).as("err_bucket"),
           col("exact_users"))),
 
     // One-scan column profiling (ops/Profile): null/distinct/min/max per
@@ -826,7 +833,7 @@ object Queries {
     // bronze sink -> schema-declared re-ingest -> full income
     // normalization. Decimals surface as DOUBLE per the gate contract.
     "pipeline_income_normalize" -> ((s, dir) => {
-      val tmp = java.nio.file.Files.createTempDirectory("graft_bronze_inc").toString
+      val tmp = graft.util.Scratch.dir("graft_bronze_inc")
       incomeBronzeFixture(s, dir, badDates = false)
         .write.mode("overwrite").json(tmp) // S6 bronze sink
       val back = s.read.schema(graft.model.Schemas.fmpIncome).json(tmp) // S2 scan
@@ -847,7 +854,7 @@ object Queries {
         numS.as("estimatedRevenueAvg"),
         when(m === 0, lit("bogus")).otherwise(numS).as("estimatedEpsAvg"),
         when(m === 1, lit("-3")).otherwise(lit("7")).as("numberAnalystsEstimatedRevenue"))
-      val tmp = java.nio.file.Files.createTempDirectory("graft_bronze_est").toString
+      val tmp = graft.util.Scratch.dir("graft_bronze_est")
       bronze.write.mode("overwrite").json(tmp)
       val back = s.read.schema(graft.model.Schemas.fmpEstimates).json(tmp)
       Pipeline.normalizeEstimates(back).select(
@@ -861,10 +868,10 @@ object Queries {
     // into Parquet state (atomic swap), read-back. Unparseable-date rows
     // (m==1) are quarantined; the state table is the deduped remainder.
     "pipeline_run_state" -> ((s, dir) => {
-      val tmpJ = java.nio.file.Files.createTempDirectory("graft_bronze_run").toString
+      val tmpJ = graft.util.Scratch.dir("graft_bronze_run")
       incomeBronzeFixture(s, dir, badDates = true)
         .write.mode("overwrite").json(tmpJ)
-      val tmpS = java.nio.file.Files.createTempDirectory("graft_state_run").toString + "/state"
+      val tmpS = graft.util.Scratch.dir("graft_state_run") + "/state"
       val (state, _) = Pipeline.run(s, tmpJ, tmpS)
       state.select(
         col("ticker"), col("quarter_date"), col("quarter_label"),
@@ -1677,7 +1684,8 @@ object Queries {
     // Spark's fixed HLL++ estimate is deterministic, so the tolerance
     // check is a stable boolean; the oracle emits the expected TRUE.
     "agg_approx_distinct" ->
-      """SELECT event_type, TRUE AS within_tol, count(DISTINCT user_id) AS exact_users
+      """SELECT event_type, TRUE AS within_tol, CAST(0 AS BIGINT) AS err_bucket,
+        |  count(DISTINCT user_id) AS exact_users
         |FROM events GROUP BY 1""".stripMargin,
 
     // The stub decode dims are a pure function of payload byte length

@@ -54,6 +54,15 @@ object AsOf {
                        valueCols: Seq[String], rightTiebreak: Column,
                        forward: Boolean, toleranceMs: Option[Long]): DataFrame = {
     val leftCols = left.columns.toSeq
+    // Internal scratch names: withColumn would silently REPLACE a user
+    // column of the same name (and a valueCol named `_rts` would collide
+    // inside the match struct), so reject them up front instead of
+    // producing corrupt output.
+    val reserved = Set("_m", "_side", "_tb", "_rts")
+    val clash = (leftCols ++ right.columns ++ valueCols).filter(reserved)
+    require(clash.isEmpty,
+      s"asofJoin reserves column names ${reserved.mkString(", ")} internally; " +
+        s"rename input column(s) ${clash.distinct.mkString(", ")}")
     // The matched right ROW travels as ONE struct (its event time plus the
     // value columns): `last(_m, ignoreNulls)` selects the nearest right
     // ROW — pandas merge_asof semantics, and exactly what a correlated

@@ -73,8 +73,18 @@ object Merge {
                                 partitionCol: String): DataFrame = {
     val touched = incoming.select(partitionCol).distinct()
       .collect().map(_.get(0)).toSeq
+    // Null-safe membership: a null partition value in the batch lands in
+    // the hive default partition, which dynamic overwrite WILL rewrite —
+    // `isin` alone never matches null, so without the isNull branch the
+    // existing null-partition state rows would be silently dropped from
+    // the merge input while still being overwritten.
+    val nonNullTouched = touched.filter(_ != null)
+    val touchedPred =
+      if (nonNullTouched.length == touched.length) col(partitionCol).isin(touched: _*)
+      else if (nonNullTouched.isEmpty) col(partitionCol).isNull
+      else col(partitionCol).isin(nonNullTouched: _*) || col(partitionCol).isNull
     val current = readStateOrEmpty(spark, statePath, incoming.schema)
-      .where(col(partitionCol).isin(touched: _*)) // partition-pruned
+      .where(touchedPred) // partition-pruned
       .select(incoming.columns.map(col): _*)
     val merged = lastWriteWins(
       current.withColumn("_src", lit(0))

@@ -91,6 +91,22 @@ class AsOfSpec extends SparkSpec {
     assert(toleranced.isNullAt(0)) // 09:50 within tolerance, but ITS value is null
   }
 
+  test("reserved internal names are rejected, not silently clobbered") {
+    val left = Seq((1L, ts("2024-01-01 10:00:00"), "x")).toDF("user_id", "ts", "_side")
+    val right = Seq((1L, ts("2024-01-01 09:00:00"), 1.0, 1L))
+      .toDF("user_id", "ts", "px", "rid")
+    val e = intercept[IllegalArgumentException] {
+      AsOf.asofJoinBackward(left, right, Seq("user_id"), "ts", Seq("px"), col("rid"))
+    }
+    assert(e.getMessage.contains("_side"))
+    val right2 = Seq((1L, ts("2024-01-01 09:00:00"), 1.0, 1L))
+      .toDF("user_id", "ts", "_rts", "rid")
+    intercept[IllegalArgumentException] {
+      AsOf.asofJoinBackward(left.withColumnRenamed("_side", "tag"), right2,
+        Seq("user_id"), "ts", Seq("_rts"), col("rid"))
+    }
+  }
+
   test("tiebreak: simultaneous right rows resolved by highest tiebreaker") {
     val left = Seq((1L, ts("2024-01-01 10:00:00"), "l")).toDF("user_id", "ts", "tag")
     val right = Seq(

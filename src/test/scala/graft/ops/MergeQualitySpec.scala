@@ -64,6 +64,22 @@ class MergeQualitySpec extends SparkSpec {
     assert(filesBefore == filesAfter, "untouched partition files must not be rewritten")
   }
 
+  test("mergeIntoPartitionedState keeps existing null-partition state rows") {
+    val statePath = java.nio.file.Files.createTempDirectory("pmerge_null").toString + "/state"
+    val seed = Seq((1L, Option("A"), 10.0), (2L, Option.empty[String], 20.0),
+      (3L, Option.empty[String], 30.0)).toDF("k", "part", "v")
+    seed.write.partitionBy("part").parquet(statePath)
+    // The batch touches the null partition: existing null-partition rows
+    // (k=2, k=3) must survive the merge — isin(null) alone would drop
+    // them while dynamic overwrite still rewrites the default partition.
+    val batch = Seq((2L, Option.empty[String], 99.0)).toDF("k", "part", "v")
+    val merged = Merge.mergeIntoPartitionedState(spark, statePath, batch,
+      Seq("k"), Seq(col("v").desc), "part")
+    val got = merged.select("k", "v").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(got == Map(1L -> 10.0, 2L -> 99.0, 3L -> 30.0))
+  }
+
   test("state bootstrap: missing path is first-run-empty, corrupt state FAILS the merge") {
     val base = java.nio.file.Files.createTempDirectory("graft_bootstrap").toString
     val schema = batch().schema

@@ -45,6 +45,26 @@ class SamplingSpec extends SparkSpec {
     assert(bySrc("other") > 5 && bySrc("other") < 95)
   }
 
+  test("null keys land in one deterministic bucket under BOTH hash configs") {
+    val df = Seq(Option(1L), Option(2L), Option.empty[Long], Option.empty[Long])
+      .toDF("id")
+    for (hashFn <- Seq(graft.functions.Hashes.XxHash64, graft.functions.Hashes.Md5Hash60)) {
+      // Every null-key row gets SOME split (nothing dropped, nothing
+      // silently funneled to the last split via a null when-chain)...
+      val split = Sampling.hashSplit(df, "id", Seq("a" -> 0.5, "b" -> 0.5),
+        hashFn = hashFn)
+      assert(split.where(col("id").isNull).count() == 2)
+      val nullSplits = split.where(col("id").isNull)
+        .select("split").distinct().collect().map(_.getString(0)).toSeq
+      assert(nullSplits.length == 1) // ...and the SAME split for all nulls.
+      // Stratified sampling keeps or drops all null-key rows together
+      // (rate 1.0 -> kept, not silently dropped as in the pre-fix code).
+      val kept = Sampling.stratifiedHashSample(df.withColumn("s", lit("x")),
+        "id", "s", Map.empty, 1.0, hashFn = hashFn)
+      assert(kept.count() == 4)
+    }
+  }
+
   test("empty input: split and sample yield empty, quantiles yield no rows, unpivot empty") {
     val empty = spark.emptyDataset[Long].toDF("id")
     assert(Sampling.hashSplit(empty, "id", Seq("a" -> 1.0)).count() == 0)
