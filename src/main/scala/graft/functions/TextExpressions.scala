@@ -145,4 +145,134 @@ object TextExpressions {
   /** Column-level shingling (see [[WordShingles]]). */
   def wordShingles(toks: Column, n: Int): Column =
     GraftShims.column(WordShingles(GraftShims.expression(toks), n))
+
+  /** Single-pass text statistics: token count, character count, ASCII
+    * alpha count, and per-language stopword hits — everything the
+    * language-ID / quality-score scan needs — in ONE walk over the bytes.
+    *
+    * The composed built-in form costs ~12 passes per document (a regex
+    * split into a token array, one [[CountInSet]] probe pass per language
+    * list, plus two full-string regexes for the alpha ratio), and Catalyst
+    * predicate pushdown DUPLICATES that whole chain below the projection
+    * whenever a filter references the derived columns. Collapsing the scan
+    * into one kernel makes both evaluations cheap.
+    *
+    * Exact-semantics contract (the DuckDB oracles replicate these):
+    *  - tokens = `split(trim(text), "\\s+")` with space-only trim and
+    *    Spark's limit -1: a leading OR trailing \t/\n/\x0B/\f/\r after
+    *    trimming yields an EMPTY token on that side (counted, never
+    *    probed); all-space text has zero tokens.
+    *  - n_chars = `length(text)` (code points), n_alpha = count of
+    *    [A-Za-z] bytes — both over the RAW untrimmed text.
+    *  - stopword hits are case-sensitive exact token matches.
+    */
+  case class TextStats(child: Expression, langWords: Seq[Seq[String]])
+      extends UnaryExpression {
+
+    override def dataType: DataType = StructType(
+      Seq(StructField("n_tokens", IntegerType, nullable = false),
+        StructField("n_chars", IntegerType, nullable = false),
+        StructField("n_alpha", IntegerType, nullable = false)) ++
+      langWords.indices.map(i => StructField(s"hits_$i", IntegerType, nullable = false)))
+
+    override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+      child.dataType match {
+        case StringType =>
+          org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+        case other =>
+          org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+            s"graft_text_stats requires string, got $other")
+      }
+
+    /** token -> bitmask of language lists containing it (<=32 lists). */
+    @transient private lazy val maskMap: java.util.HashMap[UTF8String, Integer] = {
+      require(langWords.size <= 32, "at most 32 stopword lists")
+      val m = new java.util.HashMap[UTF8String, Integer]
+      langWords.zipWithIndex.foreach { case (words, i) =>
+        words.foreach { w =>
+          val k = UTF8String.fromString(w)
+          val prev = m.get(k)
+          m.put(k, Integer.valueOf((if (prev == null) 0 else prev.intValue()) | (1 << i)))
+        }
+      }
+      m
+    }
+
+    override def nullSafeEval(input: Any): Any =
+      TextExpressions.computeTextStats(
+        input.asInstanceOf[UTF8String], maskMap, langWords.size)
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val mapRef = ctx.addReferenceObj("maskMap", maskMap, "java.util.HashMap")
+      nullSafeCodeGen(ctx, ev, s =>
+        s"${ev.value} = graft.functions.TextExpressions.computeTextStats(" +
+          s"$s, $mapRef, ${langWords.size});")
+    }
+
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+
+    override def prettyName: String = "graft_text_stats"
+  }
+
+  /** Kernel shared by [[TextStats]]'s eval and codegen paths. */
+  def computeTextStats(s: UTF8String,
+                       maskMap: java.util.HashMap[UTF8String, Integer],
+                       numLangs: Int): org.apache.spark.sql.catalyst.InternalRow = {
+    val bytes = s.getBytes // one copy; tokens are zero-copy views into it
+    val n = bytes.length
+    // Inline whitespace test for Java regex \s = [ \t\n\x0B\f\r].
+    @inline def ws(b: Byte): Boolean =
+      b == ' ' || b == '\t' || b == '\n' || b == 0x0B || b == '\f' || b == '\r'
+    var alpha = 0
+    var i = 0
+    while (i < n) {
+      val b = bytes(i)
+      if ((b >= 'A' && b <= 'Z') || (b >= 'a' && b <= 'z')) alpha += 1
+      i += 1
+    }
+    // Space-only trim bounds (split operates on trim(text)).
+    var b0 = 0
+    var b1 = n
+    while (b0 < b1 && bytes(b0) == ' ') b0 += 1
+    while (b1 > b0 && bytes(b1 - 1) == ' ') b1 -= 1
+    var nTokens = 0
+    val hits = new Array[Int](numLangs)
+    if (b1 > b0) {
+      // Spark's split uses limit -1: a delimiter match at the start OR
+      // end of the (space-trimmed) string produces an empty token on
+      // that side, and both are kept.
+      if (ws(bytes(b0))) nTokens += 1
+      if (ws(bytes(b1 - 1))) nTokens += 1
+      i = b0
+      while (i < b1) {
+        if (ws(bytes(i))) i += 1
+        else {
+          val start = i
+          while (i < b1 && !ws(bytes(i))) i += 1
+          nTokens += 1
+          val mask = maskMap.get(UTF8String.fromBytes(bytes, start, i - start))
+          if (mask != null) {
+            var l = 0
+            val m = mask.intValue()
+            while (l < numLangs) {
+              if ((m & (1 << l)) != 0) hits(l) += 1
+              l += 1
+            }
+          }
+        }
+      }
+    }
+    val out = new Array[Any](3 + numLangs)
+    out(0) = nTokens
+    out(1) = s.numChars()
+    out(2) = alpha
+    var l = 0
+    while (l < numLangs) { out(3 + l) = hits(l); l += 1 }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(out)
+  }
+
+  /** Column-level single-pass text stats (see [[TextStats]]). */
+  def textStats(text: Column, langWords: Seq[Seq[String]]): Column =
+    GraftShims.column(TextStats(GraftShims.expression(text), langWords))
 }

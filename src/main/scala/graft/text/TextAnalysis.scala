@@ -29,8 +29,19 @@ object TextAnalysis {
     when(trim(text) === "", array().cast(ArrayType(StringType)))
       .otherwise(split(trim(text), "\\s+"))
 
+  /** Single-pass stats struct (n_tokens, n_chars, n_alpha, hits_<i> per
+    * [[StopwordLists]] entry) — ONE walk over the document's bytes
+    * ([[graft.functions.TextExpressions.TextStats]]) instead of the ~12
+    * passes the composed split/probe/regex form costs. [[langId]],
+    * [[qualityScore]] and [[tokenCount]] are arithmetic over this struct;
+    * identical TextStats subtrees within one projection are collapsed by
+    * codegen subexpression elimination, so stacking them costs one pass.
+    */
+  def textStats(text: Column): Column =
+    graft.functions.TextExpressions.textStats(text, StopwordLists.map(_._2))
+
   /** Token count (whitespace segmentation). */
-  def tokenCount(text: Column): Column = size(tokens(text))
+  def tokenCount(text: Column): Column = textStats(text).getField("n_tokens")
 
   /** BPE-ish subword-unit count: alphanumeric runs and individual
     * punctuation marks each count as one unit — a deterministic proxy for
@@ -60,11 +71,14 @@ object TextAnalysis {
   )
 
   /** Heuristic language ID: argmax of stopword hits, ties broken by list
-    * order above; no hits at all -> "und" (undetermined).
+    * order above; no hits at all -> "und" (undetermined). One byte-walk
+    * via [[textStats]].
     */
   def langId(text: Column): Column = {
-    val toks = tokens(text)
-    val hits = StopwordLists.map { case (lang, words) => lang -> stopwordHits(toks, words) }
+    val st = textStats(text)
+    val hits = StopwordLists.zipWithIndex.map { case ((lang, _), i) =>
+      lang -> st.getField(s"hits_$i")
+    }
     val best = hits.map(_._2).reduce((a, b) => greatest(a, b))
     // foldRight makes earlier langs win ties: en beats de beats es ...
     hits.foldRight(lit("und")) { case ((lang, h), acc) =>
@@ -75,14 +89,17 @@ object TextAnalysis {
   /** Quality score in [0,1]: weighted blend of alpha ratio, stopword ratio,
     * and a saturating length factor (reference-free; the standard
     * length/punct/stopword heuristics of web-scale corpus filtering).
+    * One byte-walk via [[textStats]]; the blend arithmetic (and its
+    * null propagation: null text scores 0.3 through the least(null, 1)
+    * length factor) is unchanged from the composed form.
     */
   def qualityScore(text: Column): Column = {
-    val toks     = tokens(text)
-    val nTok     = size(toks).cast(DoubleType)
-    val nChar    = length(text).cast(DoubleType)
-    val alpha    = length(regexp_replace(text, "[^A-Za-z]", "")).cast(DoubleType)
+    val st = textStats(text)
+    val nTok     = st.getField("n_tokens").cast(DoubleType)
+    val nChar    = st.getField("n_chars").cast(DoubleType)
+    val alpha    = st.getField("n_alpha").cast(DoubleType)
     val alphaRatio = when(nChar > 0, alpha / nChar).otherwise(lit(0.0))
-    val enHits   = stopwordHits(toks, StopwordLists.head._2).cast(DoubleType)
+    val enHits   = st.getField("hits_0").cast(DoubleType)
     val stopRatio = when(nTok > 0, enHits / nTok).otherwise(lit(0.0))
     val lenFactor = least(nTok / 100.0, lit(1.0))
     alphaRatio * 0.4 + stopRatio * 0.3 + lenFactor * 0.3

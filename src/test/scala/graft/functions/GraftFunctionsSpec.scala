@@ -42,6 +42,54 @@ class GraftFunctionsSpec extends SparkSpec {
     rows.foreach(r => assert(r.getSeq[String](0) == r.getSeq[String](1), r.toString))
   }
 
+  test("TextStats == the composed split/probe/regex form on every input shape") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types._
+    import graft.text.TextAnalysis
+    val texts = Seq(
+      "the quick brown fox and the dog",
+      "der und die das",               // de stopwords
+      "\tstarts with a tab",           // leading \t survives space-trim -> leading empty token
+      "trailing tab\t",                // trailing \t -> trailing empty token (split limit -1)
+      "   ",                           // all spaces -> zero tokens
+      "\t\n",                          // only non-space whitespace -> one empty token
+      "The THE the",                   // case-sensitive hits
+      "mixed  \t spacing\r\nhere",
+      "数字 und unicode ün",            // multi-byte chars
+      "")
+    val df = texts.toDF("text")
+      .union(Seq(null.asInstanceOf[String]).toDF("text"))
+    // Composed reference implementations (the pre-TextStats forms).
+    val toks = when(trim(col("text")) === "", array().cast(ArrayType(StringType)))
+      .otherwise(split(trim(col("text")), "\\s+"))
+    val refTokens = size(toks)
+    val refAlpha = length(regexp_replace(col("text"), "[^A-Za-z]", ""))
+    val rows = df.select(
+      TextAnalysis.textStats(col("text")).as("st"),
+      refTokens.as("ref_tokens"), length(col("text")).as("ref_chars"),
+      refAlpha.as("ref_alpha"),
+      TextExpressions.countInSet(toks, TextAnalysis.StopwordLists.head._2).as("ref_en"),
+      TextExpressions.countInSet(toks, TextAnalysis.StopwordLists(1)._2).as("ref_de"))
+      .collect()
+    rows.foreach { r =>
+      if (r.isNullAt(0)) assert(r.isNullAt(1) && r.isNullAt(2))
+      else {
+        val st = r.getStruct(0)
+        assert(st.getInt(0) == r.getInt(1), s"n_tokens: $r")
+        assert(st.getInt(1) == r.getInt(2), s"n_chars: $r")
+        assert(st.getInt(2) == r.getInt(3), s"n_alpha: $r")
+        assert(st.getInt(3) == r.getInt(4), s"hits_en: $r")
+        assert(st.getInt(4) == r.getInt(5), s"hits_de: $r")
+      }
+    }
+    // Interpreted path (filter) agrees with the projected/codegen path.
+    val viaFilter = df.where(TextAnalysis.textStats(col("text")).getField("n_tokens") > 3)
+      .count()
+    val viaProject = rows.count(r => !r.isNullAt(1) && r.getInt(1) > 3)
+    assert(viaFilter == viaProject)
+  }
+
   test("graft_count_in_set resolves in SQL; words must be literals") {
     GraftFunctions.register(spark)
     val got = spark.sql(
