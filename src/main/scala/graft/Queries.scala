@@ -36,6 +36,30 @@ object Queries {
 
   private val Dec152 = DecimalType(15, 2)
 
+  /** Batch sessionization over the events table (gap > 30 min starts a
+    * session): lag + running sum of start flags assigns session ids in
+    * two window passes over ONE shuffle (same partitioning), then one
+    * aggregate. Shared by the `events_sessionize` gate and the
+    * interval-join gate (events labeled with their containing session).
+    */
+  private def batchSessions(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val gapMs = 30L * 60 * 1000
+    val withFlag = Tables.events(s, dir)
+      .select(col("user_id"), col("ts"), col("event_id"), col("value"))
+      .withColumn("prev_ts", lag(col("ts"), 1).over(w))
+      .withColumn("new_session",
+        when(col("prev_ts").isNull ||
+          (unix_millis(col("ts")) - unix_millis(col("prev_ts"))) >= gapMs, 1L)
+          .otherwise(0L))
+      .withColumn("session_seq",
+        sum(col("new_session")).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    withFlag.groupBy(col("user_id"), col("session_seq"))
+      .agg(min(col("ts")).as("session_start"), max(col("ts")).as("session_end"),
+        count(lit(1)).as("n_events"),
+        sum(col("value").cast(DecimalType(18, 6))).cast(DoubleType).as("total_value"))
+  }
+
   /** Deterministic bronze income-JSON fixture derived from `orders`
     * (shared by pipeline_income_normalize / pipeline_run_state): per
     * `o_orderkey % 4`, rows exercise the ISO date, the truthiness
@@ -485,23 +509,7 @@ object Queries {
     // .sessionize): gap > 30 min starts a session; lag + running sum of
     // start flags assigns session ids in two window passes over ONE
     // shuffle (same partitioning), then one aggregate.
-    "events_sessionize" -> ((s, dir) => {
-      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
-      val gapMs = 30L * 60 * 1000
-      val withFlag = Tables.events(s, dir)
-        .select(col("user_id"), col("ts"), col("event_id"), col("value"))
-        .withColumn("prev_ts", lag(col("ts"), 1).over(w))
-        .withColumn("new_session",
-          when(col("prev_ts").isNull ||
-            (unix_millis(col("ts")) - unix_millis(col("prev_ts"))) >= gapMs, 1L)
-            .otherwise(0L))
-        .withColumn("session_seq",
-          sum(col("new_session")).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-      withFlag.groupBy(col("user_id"), col("session_seq"))
-        .agg(min(col("ts")).as("session_start"), max(col("ts")).as("session_end"),
-          count(lit(1)).as("n_events"),
-          sum(col("value").cast(DecimalType(18, 6))).cast(DoubleType).as("total_value"))
-    }),
+    "events_sessionize" -> ((s, dir) => batchSessions(s, dir)),
 
     // SQL-surface parity: the same engine running `spark.sql` over temp
     // views (per-nation revenue by quarter — the flagship shape in SQL).
@@ -938,6 +946,121 @@ object Queries {
         Seq("o_orderkey"), Seq("m_totalprice", "m_custkey"))
       Reshape.pivotToWide(long, Seq("o_orderkey"), "metric", "value",
         Seq("m_totalprice", "m_custkey"))
+    }),
+
+    // ---- repetition / quality (Gopher-style) ------------------------------
+    // Duplicate-token fraction + top-bigram fraction from the single-pass
+    // NgramStats kernel — scan-side repetition scoring, no per-signal
+    // corpus shuffle.
+    "text_repetition" -> ((s, dir) => {
+      val u = graft.functions.TextExpressions.ngramStats(col("toks"), 1)
+      val b = graft.functions.TextExpressions.ngramStats(col("toks"), 2)
+      t(s, dir, "documents")
+        .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("toks"))
+        .select(col("doc_id"), u.as("u"), b.as("b"))
+        .select(col("doc_id"),
+          when(col("u.total") > 0,
+            round(lit(1.0) - col("u.n_distinct").cast(DoubleType) /
+              col("u.total").cast(DoubleType), 6))
+            .otherwise(lit(0.0)).as("repetition_ratio"),
+          when(col("b.total") > 0,
+            round(col("b.max_count").cast(DoubleType) /
+              col("b.total").cast(DoubleType), 6))
+            .otherwise(lit(0.0)).as("top_bigram_frac"))
+    }),
+
+    // ---- embedding quantization -------------------------------------------
+    // Symmetric int8 quantization (4x smaller vectors for the ANN recall
+    // tier; floats re-read only at exact rescore). floor(x*scale + 0.5)
+    // is bit-replicable in DuckDB; the gate emits the code digest.
+    "vec_quantize_int8" -> ((s, dir) => {
+      val qz = graft.functions.VectorExpressions.int8Quantize(col("embedding"))
+      t(s, dir, "embeddings")
+        .select(col("vec_id"), qz.as("qz"))
+        .select(col("vec_id"),
+          round(col("qz.scale"), 6).as("scale_r6"),
+          md5(concat_ws(",", transform(col("qz.q"), x => x.cast(StringType))))
+            .as("q_md5"),
+          size(filter(col("qz.q"), x => abs(x) === 127)).cast(LongType).as("n_sat"))
+    }),
+
+    // ---- interval (range-containment) join --------------------------------
+    // Each event labeled with its containing session: equi-join on
+    // (user_id, hour-bin) + exact containment filter — never the
+    // |events| x |sessions| theta-join a naive BETWEEN plans into.
+    "interval_join_sessions" -> ((s, dir) => {
+      val sess = batchSessions(s, dir)
+        .select(col("user_id"), col("session_seq"),
+          col("session_start"), col("session_end"))
+      val ev = Tables.events(s, dir).select(col("user_id"), col("event_id"), col("ts"))
+      graft.ops.RangeJoin.intervalJoin(ev, sess, Seq("user_id"), "ts",
+          "session_start", "session_end", binWidth = 3600L * 1000000L)
+        .select(col("event_id"), col("user_id"), col("ts"), col("session_seq"))
+    }),
+
+    // ---- per-key quota cap ------------------------------------------------
+    // First-N-per-key cap (per-domain / per-user quota of corpus
+    // curation): WindowGroupLimit keeps k rows per group in memory.
+    "cap_per_key" -> ((s, dir) =>
+      Windows.topKPerGroup(
+        Tables.events(s, dir).select(col("user_id"), col("event_id"), col("ts")),
+        Seq("user_id"), Seq(col("ts").asc, col("event_id").asc), 5)),
+
+    // ---- bucketed co-located join -----------------------------------------
+    // Both sides written bucketed by the join key (io/Sinks
+    // .writeBucketedState), then joined through the catalog: the join
+    // reads co-located buckets and skips both shuffles (asserted
+    // exchange-free in LayoutSpec; this gate grades the results).
+    "join_bucketed" -> ((s, dir) => {
+      graft.io.Sinks.writeBucketedState(
+        t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"),
+          col("o_totalprice").cast(Dec152).as("o_price")),
+        "g_orders_bkt", buckets = 8, keys = Seq("o_custkey"))
+      graft.io.Sinks.writeBucketedState(
+        t(s, dir, "customer").select(col("c_custkey"), col("c_nationkey")),
+        "g_customer_bkt", buckets = 8, keys = Seq("c_custkey"))
+      s.table("g_orders_bkt")
+        .join(s.table("g_customer_bkt"), col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_nationkey"))
+        .agg(count(lit(1)).as("order_cnt"),
+          sum(col("o_price")).cast(DoubleType).as("revenue"))
+    }),
+
+    // ---- live streaming dedup ---------------------------------------------
+    // REAL dropDuplicatesWithinWatermark execution (state bounded by the
+    // watermark): file stream -> dedup -> parquet sink, AvailableNow.
+    // event_id is globally unique in the testdata, so the deduped output
+    // set is deterministic regardless of arrival order.
+    "streaming_dedup_live" -> ((s, dir) => {
+      val ckpt = graft.util.Scratch.dir("graft_sdedup_ck")
+      val out = graft.util.Scratch.dir("graft_sdedup_out") + "/t"
+      val q = graft.streaming.EventStreams
+        .dedupStream(Tables.eventsStream(s, dir), watermark = "2 hours")
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          col("ts"), col("value"))
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .format("parquet").option("path", out).start()
+      q.awaitTermination()
+      s.read.parquet(out)
+    }),
+
+    // ---- live stream-stream interval join ---------------------------------
+    // Clicks joined to same-user purchases within the prior hour, both
+    // sides watermarked (bounded join state) — the streaming as-of window,
+    // executed for real and graded against the batch theta-join oracle.
+    "streaming_join_live" -> ((s, dir) => {
+      val ckpt = graft.util.Scratch.dir("graft_sjoin_ck")
+      val out = graft.util.Scratch.dir("graft_sjoin_out") + "/t"
+      val q = graft.streaming.EventStreams
+        .clickPurchaseJoin(Tables.eventsStream(s, dir), watermark = "2 hours")
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .format("parquet").option("path", out).start()
+      q.awaitTermination()
+      s.read.parquet(out)
     })
   )
 
@@ -1864,6 +1987,103 @@ object Queries {
     // pivot(unpivot(wide)) is the identity on the wide table.
     "pivot_long_wide" ->
       """SELECT o_orderkey, CAST(o_totalprice AS DOUBLE) AS m_totalprice,
-        |  CAST(o_custkey AS DOUBLE) AS m_custkey FROM orders""".stripMargin
+        |  CAST(o_custkey AS DOUBLE) AS m_custkey FROM orders""".stripMargin,
+
+    // Token/bigram repetition signals replicated with list lambdas over
+    // the same tokenization.
+    "text_repetition" ->
+      """WITH t AS (SELECT doc_id,
+        |    CASE WHEN trim(text) = '' THEN []
+        |         ELSE regexp_split_to_array(trim(text), '\s+') END AS toks
+        |  FROM documents),
+        |s AS (SELECT doc_id, toks, len(toks) AS nt,
+        |    CASE WHEN len(toks) >= 2
+        |      THEN list_transform(generate_series(1, len(toks) - 1),
+        |             i -> toks[i] || ' ' || toks[i + 1])
+        |      ELSE [] END AS bi
+        |  FROM t)
+        |SELECT doc_id,
+        |  CASE WHEN nt > 0
+        |    THEN round(1 - CAST(len(list_distinct(toks)) AS DOUBLE) / nt, 6)
+        |    ELSE 0.0 END AS repetition_ratio,
+        |  CASE WHEN len(bi) > 0
+        |    THEN round(CAST(list_max(list_transform(list_distinct(bi),
+        |           g -> len(list_filter(bi, x -> x = g)))) AS DOUBLE) / len(bi), 6)
+        |    ELSE 0.0 END AS top_bigram_frac
+        |FROM s""".stripMargin,
+
+    // floor(x*scale + 0.5) quantization codes are exact double arithmetic
+    // in both engines (float -> double widening is lossless).
+    "vec_quantize_int8" ->
+      """WITH e AS (SELECT vec_id,
+        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+        |m AS (SELECT vec_id, v,
+        |    list_max(list_transform(v, x -> abs(x))) AS maxabs FROM e),
+        |sc AS (SELECT vec_id, v,
+        |    CASE WHEN maxabs > 0 THEN 127.0 / maxabs ELSE 0.0 END AS scale FROM m),
+        |q AS (SELECT vec_id, scale,
+        |    list_transform(v, x -> CAST(floor(x * scale + 0.5) AS BIGINT)) AS qv
+        |  FROM sc)
+        |SELECT vec_id, round(scale, 6) AS scale_r6,
+        |  md5(array_to_string(list_transform(qv, x -> CAST(x AS VARCHAR)), ',')) AS q_md5,
+        |  CAST(len(list_filter(qv, x -> abs(x) = 127)) AS BIGINT) AS n_sat
+        |FROM q""".stripMargin,
+
+    // The bin-join is graded against the plain theta-join semantics.
+    "interval_join_sessions" ->
+      """WITH f AS (
+        |  SELECT user_id, ts, event_id,
+        |    lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+        |  FROM events),
+        |g AS (
+        |  SELECT user_id, ts, event_id,
+        |    CASE WHEN prev_ts IS NULL
+        |           OR epoch_ms(ts) - epoch_ms(prev_ts) >= 1800000 THEN 1 ELSE 0 END AS new_session
+        |  FROM f),
+        |h AS (
+        |  SELECT user_id, ts, event_id,
+        |    SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+        |  FROM g),
+        |sess AS (
+        |  SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq,
+        |    MIN(ts) AS session_start, MAX(ts) AS session_end
+        |  FROM h GROUP BY 1, 2)
+        |SELECT e.event_id, e.user_id, CAST(e.ts AS TIMESTAMP) AS ts, s.session_seq
+        |FROM events e JOIN sess s
+        |  ON e.user_id = s.user_id
+        | AND e.ts >= s.session_start AND e.ts <= s.session_end""".stripMargin,
+
+    "cap_per_key" ->
+      """WITH r AS (SELECT user_id, event_id, ts,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+        |  FROM events)
+        |SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts
+        |FROM r WHERE rn <= 5""".stripMargin,
+
+    // Bucketing changes the physical layout only; results match the plain
+    // join over the source tables.
+    "join_bucketed" ->
+      """SELECT c_nationkey, count(*) AS order_cnt,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(15,2))) AS DOUBLE) AS revenue
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY 1""".stripMargin,
+
+    // event_id is unique, so watermarked dedup emits every event exactly
+    // once -> the oracle is the full projection.
+    "streaming_dedup_live" ->
+      """SELECT event_id, user_id, event_type, CAST(ts AS TIMESTAMP) AS ts, value
+        |FROM events""".stripMargin,
+
+    // AvailableNow drains the source before the watermark can evict
+    // unmatched state, so the live join emits exactly the batch theta-join.
+    "streaming_join_live" ->
+      """SELECT c.event_id AS click_id, c.user_id, CAST(c.ts AS TIMESTAMP) AS click_ts,
+        |  p.event_id AS purchase_id, CAST(p.ts AS TIMESTAMP) AS purchase_ts,
+        |  p.value AS purchase_value
+        |FROM events c JOIN events p
+        |  ON c.event_type = 'click' AND p.event_type = 'purchase'
+        | AND p.user_id = c.user_id
+        | AND p.ts <= c.ts AND p.ts >= c.ts - INTERVAL 1 HOUR""".stripMargin
   )
 }

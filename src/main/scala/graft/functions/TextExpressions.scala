@@ -275,4 +275,77 @@ object TextExpressions {
   /** Column-level single-pass text stats (see [[TextStats]]). */
   def textStats(text: Column, langWords: Seq[Seq[String]]): Column =
     GraftShims.column(TextStats(GraftShims.expression(text), langWords))
+
+  /** Word n-gram multiplicity statistics from a token array, in one pass:
+    * struct(total, n_distinct, max_count) where `total` counts ALL
+    * n-grams (with repeats, = max(len-n+1, 0)), `n_distinct` the distinct
+    * ones, and `max_count` the highest multiplicity of any single n-gram
+    * (0 when total is 0). The Gopher-style repetition signals
+    * (duplicate-token fraction, top-bigram fraction) are arithmetic over
+    * this struct — the composed alternative (explode n-grams, groupBy
+    * (doc, gram), re-aggregate per doc) costs a corpus-sized shuffle PER
+    * SIGNAL; this keeps repetition scoring scan-side at any corpus size.
+    */
+  case class NgramStats(child: Expression, n: Int) extends UnaryExpression {
+    require(n >= 1, "ngram width must be >= 1")
+
+    override def dataType: DataType = StructType(Seq(
+      StructField("total", IntegerType, nullable = false),
+      StructField("n_distinct", IntegerType, nullable = false),
+      StructField("max_count", IntegerType, nullable = false)))
+
+    override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+      child.dataType match {
+        case ArrayType(StringType, _) =>
+          org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+        case other =>
+          org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+            s"graft_ngram_stats requires array<string>, got $other")
+      }
+
+    override def nullSafeEval(input: Any): Any =
+      TextExpressions.computeNgramStats(input.asInstanceOf[ArrayData], n)
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, a =>
+        s"${ev.value} = graft.functions.TextExpressions.computeNgramStats($a, $n);")
+
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+
+    override def prettyName: String = "graft_ngram_stats"
+  }
+
+  /** Kernel shared by [[NgramStats]]'s eval and codegen paths. */
+  def computeNgramStats(toks: ArrayData, n: Int): org.apache.spark.sql.catalyst.InternalRow = {
+    val cnt = toks.numElements()
+    val total = math.max(cnt - n + 1, 0)
+    var distinct = 0
+    var maxCount = 0
+    if (total > 0) {
+      val counts = new java.util.HashMap[UTF8String, Integer](total * 2)
+      val parts = new Array[UTF8String](n)
+      var i = 0
+      while (i <= cnt - n) {
+        var j = 0
+        while (j < n) {
+          parts(j) = if (toks.isNullAt(i + j)) null else toks.getUTF8String(i + j)
+          j += 1
+        }
+        val g = UTF8String.concatWs(ShingleSep, parts: _*)
+        val prev = counts.get(g)
+        val c = if (prev == null) 1 else prev.intValue() + 1
+        counts.put(g, Integer.valueOf(c))
+        if (c > maxCount) maxCount = c
+        i += 1
+      }
+      distinct = counts.size()
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](total, distinct, maxCount))
+  }
+
+  /** Column-level n-gram multiplicity stats (see [[NgramStats]]). */
+  def ngramStats(toks: Column, n: Int): Column =
+    GraftShims.column(NgramStats(GraftShims.expression(toks), n))
 }

@@ -127,4 +127,122 @@ object VectorExpressions {
   def dotFast(a: Column, b: Column): Column =
     GraftShims.column(DotProduct(
       GraftShims.expression(a), GraftShims.expression(b)))
+
+  /** Symmetric int8 quantization of a numeric vector in ONE pass:
+    * struct(scale: double, q: array<int>) with
+    * `scale = 127.0 / max(abs(x))` and `q_i = floor(x_i * scale + 0.5)`
+    * (floor(x+0.5) — NOT half-even/half-up `round` — because floor is
+    * bit-identical across engines, so an independent replica can verify
+    * the quantized codes exactly). An all-zero or empty vector gets
+    * scale 0 and all-zero codes. Null array or null element -> null.
+    *
+    * This is the storage-/bandwidth-side primitive of embedding search at
+    * 100 TB: 4x smaller vectors, with the exact-rescore tier reading the
+    * original floats. Codes are emitted as int (not tinyint) so gate
+    * results stack into BIGINT-friendly oracles; the range is [-127,127].
+    * The composed HOF form (`transform` + `aggregate`) is CodegenFallback
+    * — interpreted per element; this is one compact codegen'd loop.
+    */
+  case class Int8Quantize(child: Expression)
+      extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+    override def dataType: DataType = StructType(Seq(
+      StructField("scale", DoubleType, nullable = false),
+      StructField("q", ArrayType(IntegerType, containsNull = false), nullable = false)))
+
+    override def nullable: Boolean = child.nullable || (child.dataType match {
+      case ArrayType(_, cn) => cn
+      case _ => true
+    })
+
+    override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+      child.dataType match {
+        case ArrayType(_: NumericType, _) =>
+          org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+        case other =>
+          org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+            s"graft_int8_quantize requires a numeric array, got $other")
+      }
+
+    private def elemType: NumericType =
+      child.dataType.asInstanceOf[ArrayType].elementType.asInstanceOf[NumericType]
+
+    override def nullSafeEval(input: Any): Any = {
+      val arr = input.asInstanceOf[ArrayData]
+      val n = arr.numElements()
+      val xs = new Array[Double](n)
+      var i = 0
+      while (i < n) {
+        if (arr.isNullAt(i)) return null
+        xs(i) = elemType match {
+          case FloatType => arr.getFloat(i).toDouble
+          case DoubleType => arr.getDouble(i)
+          case IntegerType => arr.getInt(i).toDouble
+          case LongType => arr.getLong(i).toDouble
+          case ShortType => arr.getShort(i).toDouble
+          case ByteType => arr.getByte(i).toDouble
+          case d: DecimalType => arr.getDecimal(i, d.precision, d.scale).toDouble
+        }
+        i += 1
+      }
+      VectorExpressions.quantizeRow(xs)
+    }
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val getter: (String, String) => String = (buf, idx) => elemType match {
+        case FloatType => s"(double) $buf.getFloat($idx)"
+        case DoubleType => s"$buf.getDouble($idx)"
+        case IntegerType => s"(double) $buf.getInt($idx)"
+        case LongType => s"(double) $buf.getLong($idx)"
+        case ShortType => s"(double) $buf.getShort($idx)"
+        case ByteType => s"(double) $buf.getByte($idx)"
+        case d: DecimalType => s"$buf.getDecimal($idx, ${d.precision}, ${d.scale}).toDouble()"
+      }
+      nullSafeCodeGen(ctx, ev, a => {
+        val i = ctx.freshName("i")
+        val n = ctx.freshName("n")
+        val xs = ctx.freshName("xs")
+        s"""
+           |int $n = $a.numElements();
+           |double[] $xs = new double[$n];
+           |for (int $i = 0; $i < $n; $i++) {
+           |  if ($a.isNullAt($i)) { ${ev.isNull} = true; break; }
+           |  $xs[$i] = ${getter(a, i)};
+           |}
+           |${ev.value} = ${ev.isNull}
+           |  ? null
+           |  : graft.functions.VectorExpressions.quantizeRow($xs);
+         """.stripMargin
+      })
+    }
+
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+
+    override def prettyName: String = "graft_int8_quantize"
+  }
+
+  /** Kernel shared by [[Int8Quantize]]'s eval and codegen paths. */
+  def quantizeRow(xs: Array[Double]): InternalRow = {
+    var maxAbs = 0.0
+    var i = 0
+    while (i < xs.length) {
+      val a = math.abs(xs(i))
+      if (a > maxAbs) maxAbs = a
+      i += 1
+    }
+    val scale = if (maxAbs > 0.0) 127.0 / maxAbs else 0.0
+    val q = new Array[Any](xs.length)
+    i = 0
+    while (i < xs.length) {
+      q(i) = math.floor(xs(i) * scale + 0.5).toInt
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(Array[Any](
+      scale, new org.apache.spark.sql.catalyst.util.GenericArrayData(q)))
+  }
+
+  /** Column-level int8 quantization (see [[Int8Quantize]]). */
+  def int8Quantize(vec: Column): Column =
+    GraftShims.column(Int8Quantize(GraftShims.expression(vec)))
 }

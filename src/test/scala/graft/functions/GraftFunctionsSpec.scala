@@ -90,6 +90,53 @@ class GraftFunctionsSpec extends SparkSpec {
     assert(viaFilter == viaProject)
   }
 
+  test("NgramStats == explode/groupBy reference on every input shape") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val df = Seq(
+      Seq("a", "b", "a", "b", "a"),     // bigrams: "a b" x2, "b a" x2
+      Seq("x", "x", "x", "x"),          // "x x" x3
+      Seq("solo"),                      // no bigrams
+      Seq.empty[String]).toDF("toks")
+      .union(Seq(null.asInstanceOf[Seq[String]]).toDF("toks"))
+    val rows = df.select(TextExpressions.ngramStats(col("toks"), 2).as("st"),
+        col("toks")).collect()
+    rows.foreach { r =>
+      if (r.isNullAt(1)) assert(r.isNullAt(0))
+      else {
+        val toks = r.getSeq[String](1)
+        val grams = toks.sliding(2).filter(_.size == 2).map(_.mkString(" ")).toSeq
+        val counts = grams.groupBy(identity).view.mapValues(_.size)
+        val st = r.getStruct(0)
+        assert(st.getInt(0) == grams.size, s"total: $toks")
+        assert(st.getInt(1) == counts.size, s"distinct: $toks")
+        assert(st.getInt(2) == (if (grams.isEmpty) 0 else counts.values.max), s"max: $toks")
+      }
+    }
+  }
+
+  test("Int8Quantize: saturation at ±127, zero/empty vectors, null element") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val df = Seq(
+      Seq(1.0f, -2.0f, 0.5f),
+      Seq(0.0f, 0.0f),
+      Seq.empty[Float]).toDF("v")
+    val rows = df.select(VectorExpressions.int8Quantize(col("v")).as("q")).collect()
+    val s0 = rows(0).getStruct(0)
+    assert(s0.getDouble(0) == 127.0 / 2.0)
+    assert(s0.getSeq[Int](1) == Seq(64, -127, 32)) // floor(x*63.5+0.5)
+    val s1 = rows(1).getStruct(0)
+    assert(s1.getDouble(0) == 0.0 && s1.getSeq[Int](1) == Seq(0, 0))
+    val s2 = rows(2).getStruct(0)
+    assert(s2.getDouble(0) == 0.0 && s2.getSeq[Int](1).isEmpty)
+    // Null element -> null result, on both the codegen and eval paths.
+    val withNull = Seq(Seq[java.lang.Float](1.0f, null)).toDF("v")
+    assert(withNull.select(VectorExpressions.int8Quantize(col("v"))).collect().head.isNullAt(0))
+    val filtered = withNull.where(VectorExpressions.int8Quantize(col("v")).isNull)
+    assert(filtered.count() == 1)
+  }
+
   test("graft_count_in_set resolves in SQL; words must be literals") {
     GraftFunctions.register(spark)
     val got = spark.sql(
