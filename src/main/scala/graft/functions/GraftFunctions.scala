@@ -71,23 +71,63 @@ object GraftFunctions {
     TextExpressions.WordShingles(children.head, n)
   }
 
-  /** Inject into an extensions hook (builder-time path). */
-  def inject(extensions: SparkSessionExtensions): Unit = {
-    extensions.injectFunction((FunctionIdentifier("graft_dot"), dotInfo, dotBuilder))
-    extensions.injectFunction((FunctionIdentifier("graft_topk"), topkInfo, topkBuilder))
-    extensions.injectFunction(
-      (FunctionIdentifier("graft_count_in_set"), countInSetInfo, countInSetBuilder))
-    extensions.injectFunction(
-      (FunctionIdentifier("graft_word_shingles"), shinglesInfo, shinglesBuilder))
+  private val textStatsInfo = new ExpressionInfo(
+    TextExpressions.TextStats.getClass.getCanonicalName, null, "graft_text_stats",
+    "graft_text_stats(text) - single-pass struct(n_tokens, n_chars, n_alpha, " +
+      "hits_<i> per built-in stopword list).",
+    "")
+
+  private def textStatsBuilder(children: Seq[Expression]): Expression = {
+    require(children.length == 1, s"graft_text_stats expects 1 argument, got ${children.length}")
+    TextExpressions.TextStats(children.head, graft.text.TextAnalysis.StopwordLists.map(_._2))
   }
 
-  /** Register on a live session (runtime path). */
-  def register(spark: SparkSession): Unit = {
-    org.apache.spark.sql.GraftShims.registerFunction(spark, "graft_dot", dotBuilder)
-    org.apache.spark.sql.GraftShims.registerFunction(spark, "graft_topk", topkBuilder)
-    org.apache.spark.sql.GraftShims.registerFunction(spark, "graft_count_in_set", countInSetBuilder)
-    org.apache.spark.sql.GraftShims.registerFunction(spark, "graft_word_shingles", shinglesBuilder)
+  private val ngramStatsInfo = new ExpressionInfo(
+    TextExpressions.NgramStats.getClass.getCanonicalName, null, "graft_ngram_stats",
+    "graft_ngram_stats(toks, n) - struct(total, n_distinct, max_count) over word n-grams.",
+    "")
+
+  private def ngramStatsBuilder(children: Seq[Expression]): Expression = {
+    require(children.length == 2, s"graft_ngram_stats expects 2 arguments, got ${children.length}")
+    val n = children(1) match {
+      case org.apache.spark.sql.catalyst.expressions.Literal(v: Number, _) => v.intValue()
+      case other => throw new IllegalArgumentException(
+        s"graft_ngram_stats n must be an integer literal, got $other")
+    }
+    TextExpressions.NgramStats(children.head, n)
   }
+
+  private val quantizeInfo = new ExpressionInfo(
+    VectorExpressions.Int8Quantize.getClass.getCanonicalName, null, "graft_int8_quantize",
+    "graft_int8_quantize(vec) - struct(scale, q): symmetric int8 quantization codes.",
+    "")
+
+  private def quantizeBuilder(children: Seq[Expression]): Expression = {
+    require(children.length == 1,
+      s"graft_int8_quantize expects 1 argument, got ${children.length}")
+    VectorExpressions.Int8Quantize(children.head)
+  }
+
+  private val all: Seq[(String, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
+    ("graft_dot", dotInfo, dotBuilder),
+    ("graft_topk", topkInfo, topkBuilder),
+    ("graft_count_in_set", countInSetInfo, countInSetBuilder),
+    ("graft_word_shingles", shinglesInfo, shinglesBuilder),
+    ("graft_text_stats", textStatsInfo, textStatsBuilder),
+    ("graft_ngram_stats", ngramStatsInfo, ngramStatsBuilder),
+    ("graft_int8_quantize", quantizeInfo, quantizeBuilder))
+
+  /** Inject into an extensions hook (builder-time path). */
+  def inject(extensions: SparkSessionExtensions): Unit =
+    all.foreach { case (name, info, builder) =>
+      extensions.injectFunction((FunctionIdentifier(name), info, builder))
+    }
+
+  /** Register on a live session (runtime path). */
+  def register(spark: SparkSession): Unit =
+    all.foreach { case (name, _, builder) =>
+      org.apache.spark.sql.GraftShims.registerFunction(spark, name, builder)
+    }
 }
 
 /** `spark.sql.extensions` entry point. */

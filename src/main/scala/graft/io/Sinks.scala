@@ -68,6 +68,20 @@ object Sinks {
   def writeBucketedState(df: DataFrame, tableName: String, buckets: Int,
                          keys: Seq[String], location: Option[String] = None): Unit = {
     require(keys.nonEmpty, "bucketed state needs at least one key column")
+    val spark = df.sparkSession
+    spark.sql(s"DROP TABLE IF EXISTS `$tableName`")
+    if (location.isEmpty) {
+      // A previous PROCESS may have left the managed location on disk
+      // while this process's fresh metastore has never heard of the
+      // table: DROP alone can't reclaim it and saveAsTable then fails
+      // with LOCATION_ALREADY_EXISTS. Remove the orphaned directory.
+      val wh = spark.conf.get("spark.sql.warehouse.dir")
+      val orphan = new Path(new Path(wh), tableName.toLowerCase)
+      val fs = orphan.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(orphan) && !fs.delete(orphan, true))
+        throw new java.io.IOException(
+          s"writeBucketedState: cannot reclaim orphaned location $orphan")
+    }
     val w = df.write.mode(SaveMode.Overwrite)
       .bucketBy(buckets, keys.head, keys.tail: _*)
       .sortBy(keys.head, keys.tail: _*)

@@ -27,7 +27,12 @@ object PlanDump {
       "sample_hash_split" -> "scan-side only: no exchange, no window",
       "text_top_tokens" -> "TakeOrderedAndProject (map-side partial top-k) + k^2 rank join",
       "dedup_embedding_lsh" -> "codegen'd graft_dot in both bucket assignment and verify",
-      "merge_upsert" -> "MERGE = one window shuffle on the natural key")
+      "merge_upsert" -> "MERGE = one window shuffle on the natural key",
+      "text_repetition" -> "repetition signals scan-side: single-pass kernels, zero shuffles",
+      "vec_quantize_int8" -> "int8 quantization: one codegen'd pass over the scan",
+      "interval_join_sessions" -> "range join as (key, bin) EQUI-join — hash exchanges, no theta explosion",
+      "join_bucketed" -> "bucketed scan both sides: no Exchange before the join",
+      "profile_orders" -> "multi-distinct Expand stays HashAggregate; var-width min/max in keyless side agg")
     val keep = Seq("Exchange", "Scan", "Join", "Aggregate", "Window", "Expand",
       "TakeOrdered", "Broadcast", "Sort", "Filter", "Project", "WholeStageCodegen")
     val sb = new StringBuilder
