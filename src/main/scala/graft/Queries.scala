@@ -612,13 +612,18 @@ object Queries {
         .select(col("event_type"),
           (abs(col("approx_users") - col("exact_users")).cast(DoubleType) /
             col("exact_users").cast(DoubleType) <= 0.05).as("within_tol"),
-          // 5%-wide error bucket: 0 whenever within_tol holds, so the gate
+          // 5%-wide error bucket: 0 whenever within_tol holds (gated on
+          // the SAME predicate — a bare floor(ratio/0.05) is 1 at a ratio
+          // of exactly 5%, contradicting within_tol's <=), so the gate
           // stays deterministic — but if a Spark upgrade ever moves the
           // HLL++ estimate out of tolerance, the mismatch dump shows HOW
           // far out (1 = 5-10%, 2 = 10-15%, ...) instead of an opaque
           // hash difference.
-          floor(abs(col("approx_users") - col("exact_users")).cast(DoubleType) /
-            col("exact_users").cast(DoubleType) / 0.05).cast(LongType).as("err_bucket"),
+          when(abs(col("approx_users") - col("exact_users")).cast(DoubleType) /
+            col("exact_users").cast(DoubleType) <= 0.05, lit(0L))
+            .otherwise(floor(abs(col("approx_users") - col("exact_users")).cast(DoubleType) /
+              col("exact_users").cast(DoubleType) / 0.05).cast(LongType))
+            .as("err_bucket"),
           col("exact_users"))),
 
     // One-scan column profiling (ops/Profile): null/distinct/min/max per

@@ -103,11 +103,20 @@ object VectorExpressions {
         val i = ctx.freshName("i")
         val n = ctx.freshName("n")
         val acc = ctx.freshName("acc")
+        // When the expression is non-nullable (both arrays and their
+        // elements are), `ev.isNull` is the FalseLiteral — an assignment
+        // to it would not compile and Janino would silently demote the
+        // whole stage to interpreted execution. Elements can't be null
+        // there, so the check is dead anyway.
+        val nullCheck =
+          if (nullable)
+            s"if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }"
+          else ""
         s"""
            |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
            |double $acc = 0.0;
            |for (int $i = 0; $i < $n; $i++) {
-           |  if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
+           |  $nullCheck
            |  $acc += (${getterFor(lt, a, i)}) * (${getterFor(rt, b, i)});
            |}
            |${ev.value} = $acc;
@@ -202,16 +211,25 @@ object VectorExpressions {
         val i = ctx.freshName("i")
         val n = ctx.freshName("n")
         val xs = ctx.freshName("xs")
+        // See DotProduct.doGenCode: `ev.isNull` is unassignable when the
+        // expression is non-nullable (and elements can't be null then).
+        val nullCheck =
+          if (nullable) s"if ($a.isNullAt($i)) { ${ev.isNull} = true; break; }"
+          else ""
+        val result =
+          if (nullable)
+            s"""${ev.value} = ${ev.isNull}
+               |  ? null
+               |  : graft.functions.VectorExpressions.quantizeRow($xs);""".stripMargin
+          else s"${ev.value} = graft.functions.VectorExpressions.quantizeRow($xs);"
         s"""
            |int $n = $a.numElements();
            |double[] $xs = new double[$n];
            |for (int $i = 0; $i < $n; $i++) {
-           |  if ($a.isNullAt($i)) { ${ev.isNull} = true; break; }
+           |  $nullCheck
            |  $xs[$i] = ${getter(a, i)};
            |}
-           |${ev.value} = ${ev.isNull}
-           |  ? null
-           |  : graft.functions.VectorExpressions.quantizeRow($xs);
+           |$result
          """.stripMargin
       })
     }

@@ -37,6 +37,16 @@ object RangeJoin {
     require(clash.isEmpty,
       s"intervalJoin reserves ${reserved.mkString(", ")}; rename ${clash.mkString(", ")}")
 
+    // All three time columns must be the same KIND: a TIMESTAMP left is
+    // binned in epoch micros while integral bounds bin in raw units — a
+    // mixed layout (e.g. epoch-millis longs on one side) would silently
+    // mis-bin by 1000x and drop genuinely-contained rows.
+    val kinds = Seq(left.schema(leftTimeCol).dataType,
+      right.schema(startCol).dataType, right.schema(endCol).dataType)
+      .map { case TimestampType => "timestamp"; case _ => "integral" }
+    require(kinds.distinct.size == 1,
+      s"intervalJoin time columns must agree in type: $leftTimeCol/$startCol/$endCol are " +
+        s"${kinds.mkString("/")} — convert to one representation first")
     def asLong(df: DataFrame, c: String): Column = df.schema(c).dataType match {
       case TimestampType => unix_micros(col(c))
       case _ => col(c).cast(LongType)

@@ -17,6 +17,8 @@ object Windows {
     * keeps only k rows in memory — safe under skew at 100 TB.
     */
   def topKPerGroup(df: DataFrame, partitionCols: Seq[String], order: Seq[Column], k: Int): DataFrame = {
+    require(!df.columns.contains("_rn"),
+      "topKPerGroup reserves column name _rn internally; rename the input column")
     val w = Window.partitionBy(partitionCols.map(col): _*).orderBy(order: _*)
     df.withColumn("_rn", row_number().over(w)).where(col("_rn") <= k).drop("_rn")
   }

@@ -137,6 +137,34 @@ class GraftFunctionsSpec extends SparkSpec {
     assert(filtered.count() == 1)
   }
 
+  test("non-nullable inputs stay on the codegen path (no Janino fallback)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // A column-derived array with literal padding is non-nullable with
+    // containsNull=false (and not constant-foldable): the generated code
+    // must not reference the unassignable isNull slot (the pre-fix code
+    // emitted `false = true`, failed Janino compilation, and silently
+    // demoted the whole stage to interpreted).
+    val arr = array(col("x").cast("double"), lit(4.0))
+    val df = Seq(3).toDF("x")
+      .select(VectorExpressions.dotFast(arr, arr).as("d"),
+        VectorExpressions.int8Quantize(arr).as("q"))
+    assert(!df.schema("d").nullable && !df.schema("q").nullable,
+      "test premise: the non-nullable codegen branch must be exercised")
+    // With fallback disabled, a codegen compilation failure THROWS
+    // instead of silently running interpreted.
+    val prev = spark.conf.getOption("spark.sql.codegen.fallback")
+    try {
+      spark.conf.set("spark.sql.codegen.fallback", "false")
+      val row = df.collect().head
+      assert(row.getDouble(0) == 25.0)
+      assert(row.getStruct(1).getSeq[Int](1) == Seq(95, 127)) // floor(x*31.75+0.5)
+    } finally prev match {
+      case Some(v) => spark.conf.set("spark.sql.codegen.fallback", v)
+      case None => spark.conf.unset("spark.sql.codegen.fallback")
+    }
+  }
+
   test("graft_count_in_set resolves in SQL; words must be literals") {
     GraftFunctions.register(spark)
     val got = spark.sql(
