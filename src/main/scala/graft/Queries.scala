@@ -1031,6 +1031,20 @@ object Queries {
           sum(col("o_price")).cast(DoubleType).as("revenue"))
     }),
 
+    // ---- sequence packing -------------------------------------------------
+    // Concat-and-chunk assignment (the pretraining packing pass): docs
+    // hash-sharded, shard-local running token sums map each doc to its
+    // (shard, chunk) span — nShards independent windows, never a global
+    // one-partition running sum. Gate uses the md5 hash so DuckDB
+    // replicates shards exactly.
+    "pack_chunks" -> ((s, dir) =>
+      graft.ops.Packing.chunkAssignments(
+          t(s, dir, "documents").select(col("doc_id"), col("text")),
+          "doc_id", TextAnalysis.tokenCount(col("text")),
+          maxTokens = 512, nShards = 8, hashFn = Dedup.Md5Hash60)
+        .select(col("doc_id"), col("shard"), col("n_tokens"),
+          col("start_offset"), col("start_chunk"), col("end_chunk"))),
+
     // ---- live streaming dedup ---------------------------------------------
     // REAL dropDuplicatesWithinWatermark execution (state bounded by the
     // watermark): file stream -> dedup -> parquet sink, AvailableNow.
@@ -2073,6 +2087,22 @@ object Queries {
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(15,2))) AS DOUBLE) AS revenue
         |FROM orders JOIN customer ON o_custkey = c_custkey
         |GROUP BY 1""".stripMargin,
+
+    // Shard-local running sums replicated with the md5-derived shard hash.
+    "pack_chunks" ->
+      s"""WITH d AS (SELECT doc_id,
+         |    CAST(CASE WHEN trim(text) = '' THEN 0
+         |         ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS BIGINT) AS n_tokens,
+         |    ${md5Hash60Sql("CAST(doc_id AS VARCHAR)")} % 8 AS shard
+         |  FROM documents),
+         |c AS (SELECT *, SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+         |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum FROM d)
+         |SELECT doc_id, shard, n_tokens,
+         |  CAST(cum - n_tokens AS BIGINT) AS start_offset,
+         |  CAST(floor(CAST(cum - n_tokens AS DOUBLE) / 512) AS BIGINT) AS start_chunk,
+         |  CAST(CASE WHEN n_tokens = 0 THEN floor(CAST(cum - n_tokens AS DOUBLE) / 512)
+         |       ELSE floor(CAST(cum - 1 AS DOUBLE) / 512) END AS BIGINT) AS end_chunk
+         |FROM c""".stripMargin,
 
     // event_id is unique, so watermarked dedup emits every event exactly
     // once -> the oracle is the full projection.
