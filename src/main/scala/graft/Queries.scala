@@ -1065,6 +1065,25 @@ object Queries {
       s.read.parquet(out)
     }),
 
+    // ---- live incremental MERGE sink ---------------------------------------
+    // foreachBatch MERGE into Parquet state, executed for real: the
+    // winner per key is a total order over state AND batch, so the final
+    // state equals a batch last-write-wins dedup over all events no
+    // matter how the stream micro-batched (the convergence contract).
+    "streaming_merge_live" -> ((s, dir) => {
+      val ckpt = graft.util.Scratch.dir("graft_smerge_ck")
+      val statePath = graft.util.Scratch.dir("graft_smerge_state") + "/state"
+      val q = graft.streaming.EventStreams.mergeSink(
+        Tables.eventsStream(s, dir)
+          .select(col("user_id"), col("event_type"), col("event_id"),
+            col("ts"), col("value")),
+        statePath, keys = Seq("user_id", "event_type"),
+        precedence = Seq(col("ts").desc, col("event_id").desc),
+        checkpoint = ckpt)
+      q.awaitTermination()
+      s.read.parquet(statePath)
+    }),
+
     // ---- live stream-stream interval join ---------------------------------
     // Clicks joined to same-user purchases within the prior hour, both
     // sides watermarked (bounded join state) — the streaming as-of window,
@@ -2109,6 +2128,16 @@ object Queries {
     "streaming_dedup_live" ->
       """SELECT event_id, user_id, event_type, CAST(ts AS TIMESTAMP) AS ts, value
         |FROM events""".stripMargin,
+
+    // The streaming merge converges to the batch last-write-wins dedup
+    // regardless of micro-batch boundaries.
+    "streaming_merge_live" ->
+      """WITH r AS (SELECT user_id, event_type, event_id, ts, value,
+        |    row_number() OVER (PARTITION BY user_id, event_type
+        |      ORDER BY ts DESC, event_id DESC) AS rn
+        |  FROM events)
+        |SELECT user_id, event_type, event_id, CAST(ts AS TIMESTAMP) AS ts, value
+        |FROM r WHERE rn = 1""".stripMargin,
 
     // AvailableNow drains the source before the watermark can evict
     // unmatched state, so the live join emits exactly the batch theta-join.

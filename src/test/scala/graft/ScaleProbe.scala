@@ -56,6 +56,40 @@ object ScaleProbe {
       s"minhash_pairs=$mh survivors=$clean val_split=$splitCnt " +
       s"contaminated=$contaminated/$n0")
 
+    // Round-3 operators at amplified scale: packing over the replicated
+    // corpus (shard-local windows — cost must grow linearly), interval
+    // join with a HOT key (one user owning 25% of events — the shape a
+    // theta join explodes on), and quantization throughput over a
+    // replicated embedding corpus.
+    val packed = time("pack_chunks_x4") {
+      ops.Packing.chunkAssignments(docs, "doc_id",
+        text.TextAnalysis.tokenCount(col("text")), maxTokens = 512, nShards = 8)
+        .agg(max(col("end_chunk"))).collect().head.getLong(0)
+    }
+    val ev0 = io.Tables.events(spark, "/root/testdata/sf0.1")
+      .select(col("user_id"), col("event_id"), col("ts"))
+    // Hot key: fold 25% of events onto user -1.
+    val evHot = ev0.select(
+      when(col("event_id") % 4 === 0, lit(-1L)).otherwise(col("user_id")).as("user_id"),
+      col("event_id"), col("ts")).cache()
+    evHot.count()
+    val intervals = evHot.groupBy("user_id")
+      .agg(min(col("ts")).as("s"), max(col("ts")).as("e"))
+      .select(col("user_id"), col("s"), col("e"))
+    val ijCnt = time("interval_join_hotkey") {
+      ops.RangeJoin.intervalJoin(evHot, intervals, Seq("user_id"),
+        "ts", "s", "e", binWidth = 6L * 3600L * 1000000L).count()
+    }
+    val emb0 = spark.read.parquet("/root/testdata/sf0.1/embeddings.parquet")
+    val embBig = (0 until 8).map(i =>
+        emb0.select((col("vec_id") + lit(i * 1000000)).as("vec_id"), col("embedding")))
+      .reduce(_ unionByName _)
+    val qCnt = time("int8_quantize_x8") {
+      embBig.select(functions.VectorExpressions.int8Quantize(col("embedding")).as("q"))
+        .where(col("q.scale") >= 0).count()
+    }
+    println(s"PROBE pack_max_chunk=$packed interval_join_rows=$ijCnt quantized=$qCnt")
+
     // Skew probe: a pathological hot key (half of all rows on ONE key)
     // joined to a small build side, plain vs salted, AQE off so the
     // salting itself — not AQE's skew splitting — carries the load. The
