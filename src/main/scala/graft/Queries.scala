@@ -1039,11 +1039,9 @@ object Queries {
     // replicates shards exactly.
     "pack_chunks" -> ((s, dir) =>
       graft.ops.Packing.chunkAssignments(
-          t(s, dir, "documents").select(col("doc_id"), col("text")),
-          "doc_id", TextAnalysis.tokenCount(col("text")),
-          maxTokens = 512, nShards = 8, hashFn = Dedup.Md5Hash60)
-        .select(col("doc_id"), col("shard"), col("n_tokens"),
-          col("start_offset"), col("start_chunk"), col("end_chunk"))),
+        t(s, dir, "documents").select(col("doc_id"), col("text")),
+        "doc_id", TextAnalysis.tokenCount(col("text")),
+        maxTokens = 512, nShards = 8, hashFn = Dedup.Md5Hash60)),
 
     // ---- live streaming dedup ---------------------------------------------
     // REAL dropDuplicatesWithinWatermark execution (state bounded by the
@@ -2110,7 +2108,7 @@ object Queries {
     // Shard-local running sums replicated with the md5-derived shard hash.
     "pack_chunks" ->
       s"""WITH d AS (SELECT doc_id,
-         |    CAST(CASE WHEN trim(text) = '' THEN 0
+         |    CAST(CASE WHEN text IS NULL OR trim(text) = '' THEN 0
          |         ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS BIGINT) AS n_tokens,
          |    ${md5Hash60Sql("CAST(doc_id AS VARCHAR)")} % 8 AS shard
          |  FROM documents),

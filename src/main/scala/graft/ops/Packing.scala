@@ -41,7 +41,13 @@ object Packing {
     val clash = docs.columns.filter(reserved.contains)
     require(clash.isEmpty,
       s"chunkAssignments reserves ${reserved.mkString(", ")}; rename ${clash.mkString(", ")}")
-    val w = Window.partitionBy(col("shard")).orderBy(col(idCol))
+    // Order by (id, token count): ids SHOULD be unique, but if an
+    // upstream union duplicates a doc the secondary key keeps the order
+    // total whenever the duplicates differ, and exact duplicates (same
+    // id, same count) are interchangeable — the output multiset is
+    // identical either way. Without the tiebreaker, duplicate ids would
+    // make offsets physical-order dependent (retry-unstable).
+    val w = Window.partitionBy(col("shard")).orderBy(col(idCol), col("_tok"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     docs
       .withColumn("shard", pmod(hashFn(col(idCol).cast("string")), lit(nShards.toLong)))

@@ -44,6 +44,19 @@ class PackingSpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("duplicate ids: output multiset is physical-order independent") {
+    // Same id twice with DIFFERENT counts: the (id, tok) tiebreak makes
+    // the order total. Same id+count: rows are interchangeable, so the
+    // output multiset is identical either way.
+    val rows = Seq((5L, 10), (5L, 20), (9L, 7), (9L, 7))
+    val a = Packing.chunkAssignments(rows.toDF("id", "n"), "id", col("n"), 16, 1)
+      .collect().map(_.toSeq).toSet
+    val b = Packing.chunkAssignments(rows.reverse.toDF("id", "n").repartition(3),
+        "id", col("n"), 16, 1)
+      .collect().map(_.toSeq).toSet
+    assert(a == b)
+  }
+
   test("reserved names rejected") {
     intercept[IllegalArgumentException] {
       Packing.chunkAssignments(Seq((1L, 1)).toDF("shard", "n"), "shard", col("n"), 8, 2)
