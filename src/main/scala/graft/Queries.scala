@@ -1031,6 +1031,30 @@ object Queries {
           sum(col("o_price")).cast(DoubleType).as("revenue"))
     }),
 
+    // ---- filter-with-reasons audit ----------------------------------------
+    // Per-document keep/drop with per-rule booleans (the corpus-curation
+    // audit report: a pipeline that silently drops documents is
+    // undebuggable at 100 TB). One scan — every rule is a scan-side
+    // kernel; the report doubles as the filter (keep == all rules pass).
+    "corpus_filter_report" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id"), col("text"), TextAnalysis.tokens(col("text")).as("toks"))
+        .select(col("doc_id"), col("text"),
+          graft.functions.TextExpressions.ngramStats(col("toks"), 1).as("u0"))
+        .select(col("doc_id"),
+          (TextAnalysis.langId(col("text")) === "en").as("pass_lang"),
+          (round(TextAnalysis.qualityScore(col("text")), 6) >= 0.45).as("pass_quality"),
+          (when(col("u0.total") > 0,
+            lit(1.0) - col("u0.n_distinct").cast(DoubleType) /
+              col("u0.total").cast(DoubleType))
+            .otherwise(lit(0.0)) < 0.6).as("pass_repetition"),
+          (TextAnalysis.patternCount(col("text"),
+            TextAnalysis.FilterPatterns.collectFirst { case ("long_digits", p) => p }.get) === 0)
+            .as("pass_no_digit_runs"))
+        .withColumn("keep",
+          col("pass_lang") && col("pass_quality") &&
+            col("pass_repetition") && col("pass_no_digit_runs"))),
+
     // ---- sequence packing -------------------------------------------------
     // Concat-and-chunk assignment (the pretraining packing pass): docs
     // hash-sharded, shard-local running token sums map each doc to its
@@ -2104,6 +2128,39 @@ object Queries {
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(15,2))) AS DOUBLE) AS revenue
         |FROM orders JOIN customer ON o_custkey = c_custkey
         |GROUP BY 1""".stripMargin,
+
+    // All four rules re-derived from the same tokenization; pass_lang is
+    // h_en = best AND best > 0 (en wins ties, so that IS langId == 'en').
+    "corpus_filter_report" -> {
+      val toks = "regexp_split_to_array(trim(text), '\\s+')"
+      val hits = TextAnalysis.StopwordLists.map { case (lang, words) =>
+        s"${hitsSql(toks, words)} AS h_$lang"
+      }.mkString(",\n    ")
+      val best = s"greatest(${TextAnalysis.StopwordLists.map(l => s"h_${l._1}").mkString(", ")})"
+      s"""WITH b AS (
+         |  SELECT doc_id, text,
+         |    CAST(length(text) AS DOUBLE) AS n_char,
+         |    CAST(len($toks) AS DOUBLE) AS n_tok,
+         |    CAST(len(list_distinct($toks)) AS DOUBLE) AS n_tok_distinct,
+         |    CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE) AS n_alpha,
+         |    $hits
+         |  FROM documents),
+         |m AS (SELECT *, $best AS best,
+         |    round(
+         |      (CASE WHEN n_char > 0 THEN n_alpha / n_char ELSE 0.0 END) * 0.4
+         |    + (CASE WHEN n_tok > 0 THEN h_en / n_tok ELSE 0.0 END) * 0.3
+         |    + least(n_tok / 100.0, 1.0) * 0.3, 6) AS quality,
+         |    CASE WHEN n_tok > 0 THEN 1 - n_tok_distinct / n_tok ELSE 0.0 END AS rep
+         |  FROM b)
+         |SELECT doc_id,
+         |  (h_en = best AND best > 0) AS pass_lang,
+         |  quality >= 0.45 AS pass_quality,
+         |  rep < 0.6 AS pass_repetition,
+         |  len(regexp_extract_all(text, '[0-9]{6,}')) = 0 AS pass_no_digit_runs,
+         |  (h_en = best AND best > 0) AND quality >= 0.45 AND rep < 0.6
+         |    AND len(regexp_extract_all(text, '[0-9]{6,}')) = 0 AS keep
+         |FROM m""".stripMargin
+    },
 
     // Shard-local running sums replicated with the md5-derived shard hash.
     "pack_chunks" ->
