@@ -166,9 +166,11 @@ object Dedup {
                       hashFn: Column => Column = XxHash): DataFrame = {
     // The index feeds the signature aggregate AND both verify-join sides
     // (3 evaluations of tokenize+explode+hot-cap without the cache).
-    // See ngramJaccardPairs for the cache-lifecycle contract.
-    val idx = cache(shingleIndex(docs, idCol, textCol, n, maxDocFreq, hashFn))
-    val sig = minHashSignatures(idx, p)
+    // Cached WITH the per-doc shingle counts: the counts ride the cached
+    // blocks once instead of re-running the doc_id window per verify
+    // side. See ngramJaccardPairs for the cache-lifecycle contract.
+    val idx = cache(withShingleCounts(shingleIndex(docs, idCol, textCol, n, maxDocFreq, hashFn)))
+    val sig = minHashSignatures(idx.select(col("doc_id"), col("shingle")), p)
     val bandCols = (0 until p.bands).map { b =>
       val ks = (0 until p.rowsPerBand).map(r => col(s"mh_${b * p.rowsPerBand + r}").cast(StringType))
       struct(lit(b).as("band"), concat_ws(":", ks: _*).as("key"))
@@ -180,9 +182,9 @@ object Dedup {
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
       .distinct()
     // Exact verification of candidates only (candidate set << all pairs);
-    // per-doc sizes ride along on the index edges (window) instead of two
+    // per-doc sizes ride along on the cached index edges instead of two
     // extra size joins.
-    val idxN = withShingleCounts(idx)
+    val idxN = idx
     cand
       .join(idxN.select(col("doc_id").as("doc_a"), col("nsh").as("na"), col("shingle")), Seq("doc_a"))
       .join(idxN.select(col("doc_id").as("doc_b"), col("nsh").as("nb"),
