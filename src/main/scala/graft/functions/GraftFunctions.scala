@@ -118,16 +118,22 @@ object GraftFunctions {
     ("graft_int8_quantize", quantizeInfo, quantizeBuilder))
 
   /** Inject into an extensions hook (builder-time path). */
-  def inject(extensions: SparkSessionExtensions): Unit =
+  def inject(extensions: SparkSessionExtensions): Unit = {
     all.foreach { case (name, info, builder) =>
       extensions.injectFunction((FunctionIdentifier(name), info, builder))
     }
+    extensions.injectOptimizerRule(_ => RewriteCountInSet)
+  }
 
   /** Register on a live session (runtime path). */
-  def register(spark: SparkSession): Unit =
+  def register(spark: SparkSession): Unit = {
     all.foreach { case (name, _, builder) =>
       org.apache.spark.sql.GraftShims.registerFunction(spark, name, builder)
     }
+    if (!spark.experimental.extraOptimizations.contains(RewriteCountInSet))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ RewriteCountInSet
+  }
 }
 
 /** `spark.sql.extensions` entry point. */

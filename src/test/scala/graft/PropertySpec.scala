@@ -37,6 +37,82 @@ class PropertySpec extends SparkSpec {
       twice.collect().map(_.getDecimal(0)).toSeq)
   }
 
+  test("TextStats agrees with the composed split/regex/probe form on random text") {
+    import graft.text.TextAnalysis
+    import org.apache.spark.sql.types._
+    // Strings over a hostile alphabet: whitespace variants, multi-byte
+    // chars, stopwords, digits, punctuation.
+    val alphabet = Seq(" ", "\t", "\n", "\r", "\f", "", "the", "und", "der",
+      "a", "Z", "0", "9", "é", "中", ".", "$")
+    val texts = (0 until 300).flatMap { _ =>
+      Gen.chooseNum(0, 12).flatMap(n => Gen.listOfN(n, Gen.oneOf(alphabet)))
+        .map(_.mkString("")).sample
+    }
+    val df = texts.toDF("text")
+    val toks = when(trim(col("text")) === "", array().cast(ArrayType(StringType)))
+      .otherwise(split(trim(col("text")), "\\s+"))
+    val rows = df.select(
+      TextAnalysis.textStats(col("text")).as("st"),
+      size(toks).as("ref_tokens"),
+      length(col("text")).as("ref_chars"),
+      length(regexp_replace(col("text"), "[^A-Za-z]", "")).as("ref_alpha"),
+      graft.functions.TextExpressions.countInSet(toks,
+        TextAnalysis.StopwordLists.head._2).as("ref_en")).collect()
+    rows.foreach { r =>
+      val st = r.getStruct(0)
+      assert(st.getInt(0) == r.getInt(1), s"n_tokens: ${r}")
+      assert(st.getInt(1) == r.getInt(2), s"n_chars: ${r}")
+      assert(st.getInt(2) == r.getInt(3), s"n_alpha: ${r}")
+      assert(st.getInt(3) == r.getInt(4), s"hits_en: ${r}")
+    }
+  }
+
+  test("NgramStats invariants on random token arrays") {
+    val arrays = (0 until 300).flatMap { _ =>
+      Gen.chooseNum(0, 20).flatMap(n =>
+        Gen.listOfN(n, Gen.oneOf("a", "b", "c", "ab", ""))).sample
+    }
+    for (n <- Seq(1, 2, 3)) {
+      val rows = arrays.toDF("toks")
+        .select(col("toks"), graft.functions.TextExpressions.ngramStats(col("toks"), n).as("st"))
+        .collect()
+      rows.foreach { r =>
+        val toks = r.getSeq[String](0)
+        val st = r.getStruct(1)
+        val (total, distinct, maxc) = (st.getInt(0), st.getInt(1), st.getInt(2))
+        val grams = toks.sliding(n).filter(_.size == n).map(_.mkString(" ")).toSeq
+        assert(total == grams.size)
+        assert(distinct == grams.distinct.size)
+        assert(maxc == (if (grams.isEmpty) 0
+          else grams.groupBy(identity).values.map(_.size).max))
+        assert(distinct <= total && maxc <= total)
+        assert((total == 0) == (maxc == 0))
+      }
+    }
+  }
+
+  test("Int8Quantize round trip: dequantized codes within half a step of the input") {
+    import graft.functions.VectorExpressions
+    val vecs = (0 until 200).flatMap { _ =>
+      Gen.chooseNum(1, 16).flatMap(n =>
+        Gen.listOfN(n, Gen.chooseNum(-1000.0, 1000.0))).sample
+    }.map(_.map(_.toFloat))
+    val rows = vecs.toDF("v")
+      .select(col("v"), VectorExpressions.int8Quantize(col("v")).as("q"))
+      .collect()
+    rows.foreach { r =>
+      val v = r.getSeq[Float](0)
+      val st = r.getStruct(1)
+      val (scale, q) = (st.getDouble(0), st.getSeq[Int](1))
+      assert(q.forall(c => c >= -127 && c <= 127), s"saturation: $q")
+      if (scale > 0) v.zip(q).foreach { case (x, c) =>
+        // |x - c/scale| <= 0.5/scale (floor(x*scale+0.5) is nearest-code)
+        assert(math.abs(x.toDouble - c / scale) <= 0.5 / scale + 1e-9,
+          s"x=$x c=$c scale=$scale")
+      }
+    }
+  }
+
   test("TopKBuffer: random inserts + merges agree with sort-based reference") {
     import graft.functions.TopKAggregate.TopKBuffer
     val rng = new scala.util.Random(42)

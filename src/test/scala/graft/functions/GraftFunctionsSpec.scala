@@ -137,6 +137,38 @@ class GraftFunctionsSpec extends SparkSpec {
     assert(filtered.count() == 1)
   }
 
+  test("RewriteCountInSet: size(filter(toks, IN-literals)) becomes the kernel, same results") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    GraftFunctions.register(spark)
+    // range-based input: a local Seq would be collapsed whole by
+    // ConvertToLocalRelation and leave no expressions to inspect.
+    val df = spark.range(1, 5).select(col("id"),
+      when(col("id") === 1, array(lit("the"), lit("cat"), lit("the")))
+        .when(col("id") === 2, array(lit("dog")))
+        .when(col("id") === 3, array().cast(org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.StringType)))
+        .as("toks")) // id 4 -> null array
+    val hof = df.select(col("id"),
+      size(filter(col("toks"), t => t.isin("the", "a"))).as("c"))
+    // The optimized plan must carry the kernel, not the HOF chain...
+    val optimized = hof.queryExecution.optimizedPlan.toString
+    assert(optimized.contains("graft_count_in_set"), optimized)
+    // ...and agree with the unrewritten semantics (null array -> null,
+    // null elements skipped) computed via the direct kernel call.
+    val direct = df.select(col("id"),
+      TextExpressions.countInSet(col("toks"), Seq("the", "a")).as("c"))
+    assert(hof.collect().map(_.toString).toSeq ==
+      direct.collect().map(_.toString).toSeq)
+    // SQL surface too (IN list may become InSet under OptimizeIn).
+    df.createOrReplaceTempView("rw_v")
+    val sqlForm = spark.sql(
+      "SELECT id, size(filter(toks, t -> t IN ('the', 'a'))) AS c FROM rw_v")
+    assert(sqlForm.queryExecution.optimizedPlan.toString.contains("graft_count_in_set"))
+    assert(sqlForm.collect().map(_.toString).toSeq ==
+      direct.collect().map(_.toString).toSeq)
+  }
+
   test("non-nullable inputs stay on the codegen path (no Janino fallback)") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
