@@ -1087,6 +1087,33 @@ object Queries {
       s.read.parquet(out)
     }),
 
+    // ---- live custom-state sessionization ----------------------------------
+    // flatMapGroupsWithState executed for real. A session emits either
+    // when a later event of its user arrives past the gap, or when the
+    // trailing no-data batch fires its event-time timeout (set to last
+    // event + gap) against the final watermark — so only final sessions
+    // ending within the gap of the stream's max timestamp stay in state.
+    // The oracle expresses exactly that set. total_value is a sequential
+    // fold in (ts, event_id) order on both engines (DuckDB's ordered SUM
+    // is the same left fold — verified).
+    "streaming_sessionize_live" -> ((s, dir) => {
+      import s.implicits._
+      val ckpt = graft.util.Scratch.dir("graft_ssess_ck")
+      val out = graft.util.Scratch.dir("graft_ssess_out") + "/t"
+      val evs = Tables.eventsStream(s, dir)
+        .select(col("event_id"), col("ts"), col("user_id"),
+          col("event_type"), col("value"))
+        .as[graft.streaming.EventStreams.Event]
+      val q = graft.streaming.EventStreams.sessionize(evs, gapMs = 30L * 60 * 1000)
+        .toDF()
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .format("parquet").option("path", out).start()
+      q.awaitTermination()
+      s.read.parquet(out)
+    }),
+
     // ---- live incremental MERGE sink ---------------------------------------
     // foreachBatch MERGE into Parquet state, executed for real: the
     // winner per key is a total order over state AND batch, so the final
@@ -2183,6 +2210,41 @@ object Queries {
     "streaming_dedup_live" ->
       """SELECT event_id, user_id, event_type, CAST(ts AS TIMESTAMP) AS ts, value
         |FROM events""".stripMargin,
+
+    // Emitted sessions = sessions closed by a later event PLUS final
+    // sessions whose event-time timeout (last event ms + gap) fell at or
+    // before the final watermark (max event ms) — fired in the trailing
+    // no-data batch. Only final sessions ending within the gap of the
+    // stream's max timestamp stay open. total_value replicated as
+    // DuckDB's ordered SUM (same left fold).
+    "streaming_sessionize_live" ->
+      """WITH f AS (
+        |  SELECT user_id, ts, event_id, value,
+        |    lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+        |  FROM events),
+        |g AS (
+        |  SELECT user_id, ts, event_id, value,
+        |    CASE WHEN prev_ts IS NULL
+        |           OR epoch_ms(ts) - epoch_ms(prev_ts) >= 1800000 THEN 1 ELSE 0 END AS new_session
+        |  FROM f),
+        |h AS (
+        |  SELECT user_id, ts, event_id, value,
+        |    SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+        |  FROM g),
+        |sess AS (
+        |  SELECT user_id, session_seq,
+        |    MIN(ts) AS session_start, MAX(ts) AS session_end,
+        |    count(*) AS n_events, SUM(value ORDER BY ts, event_id) AS total_value
+        |  FROM h GROUP BY 1, 2),
+        |last AS (SELECT user_id, MAX(session_seq) AS mx FROM sess GROUP BY 1),
+        |wm AS (SELECT epoch_us(MAX(ts)) // 1000 AS wm_ms FROM events)
+        |SELECT s.user_id, CAST(s.session_start AS TIMESTAMP) AS session_start,
+        |  CAST(s.session_end AS TIMESTAMP) AS session_end,
+        |  s.n_events, s.total_value
+        |FROM sess s JOIN last l ON s.user_id = l.user_id, wm
+        |WHERE s.session_seq < l.mx
+        |   OR epoch_us(s.session_end) // 1000 + 1800000 <= wm.wm_ms""".stripMargin,
 
     // The streaming merge converges to the batch last-write-wins dedup
     // regardless of micro-batch boundaries.
