@@ -699,6 +699,18 @@ object Queries {
           col("neighbor_id"), round(col("sim"), 6).as("sim"))
     }),
 
+    // Two-tier quantized search: int8-code recall tier (4x less data per
+    // comparison), exact float rescore of k*4 candidates — the shape a
+    // 100 TB vector corpus actually ships. Codes, approx ranks and the
+    // rescore are all replicated exactly by the oracle.
+    "sim_quantized_rescore" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.quantizedTopK(emb.where(col("vec_id") < 8), emb, "vec_id",
+          "embedding", k = 5, rescoreFactor = 4)
+        .select(col("query_id"), col("rank").cast(LongType).as("rank"),
+          col("neighbor_id"), round(col("sim"), 6).as("sim"))
+    }),
+
     // Embedding-cosine near-dup: exact O(n^2) tier with a brute-force
     // DuckDB twin; norms precomputed per vector, not per pair.
     "dedup_embedding" -> ((s, dir) =>
@@ -1850,6 +1862,38 @@ object Queries {
         |          ORDER BY CASE WHEN n > 0 THEN d / n END DESC, neighbor_id) AS rank
         |      FROM s)
         |SELECT query_id, rank, neighbor_id, round(sim, 6) AS sim FROM r WHERE rank <= 5""".stripMargin,
+
+    // Quantization replicated per vec_quantize_int8; the int-code dot is
+    // exact in double (|products| <= 127^2 * dim), so the recall ranking
+    // matches bit-for-bit, and the rescore reuses the float cosine.
+    "sim_quantized_rescore" ->
+      """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |           FROM embeddings),
+        |m AS (SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) AS maxabs FROM e),
+        |z AS (SELECT vec_id, v,
+        |        CASE WHEN maxabs > 0 THEN 127.0 / maxabs ELSE 0.0 END AS scale,
+        |        list_transform(v, x ->
+        |          floor(x * (CASE WHEN maxabs > 0 THEN 127.0 / maxabs ELSE 0.0 END) + 0.5)) AS qv
+        |      FROM m),
+        |p AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |        q.v AS qf, c.v AS cf,
+        |        CASE WHEN q.scale > 0 AND c.scale > 0
+        |          THEN list_dot_product(q.qv, c.qv) / (q.scale * c.scale)
+        |          ELSE 0.0 END AS approx
+        |      FROM z q CROSS JOIN z c
+        |      WHERE q.vec_id < 8 AND c.vec_id <> q.vec_id),
+        |a AS (SELECT *, row_number() OVER (PARTITION BY query_id
+        |        ORDER BY approx DESC, neighbor_id) AS arank FROM p),
+        |r AS (SELECT query_id, neighbor_id,
+        |        list_dot_product(qf, cf) AS d,
+        |        sqrt(list_dot_product(qf, qf)) * sqrt(list_dot_product(cf, cf)) AS n
+        |      FROM a WHERE arank <= 20),
+        |s AS (SELECT query_id, neighbor_id,
+        |        CASE WHEN n > 0 THEN d / n END AS sim,
+        |        row_number() OVER (PARTITION BY query_id
+        |          ORDER BY CASE WHEN n > 0 THEN d / n END DESC, neighbor_id) AS rank
+        |      FROM r)
+        |SELECT query_id, rank, neighbor_id, round(sim, 6) AS sim FROM s WHERE rank <= 5""".stripMargin,
 
     "sim_brute_topk_agg" ->
       """WITH q AS (SELECT vec_id AS query_id,

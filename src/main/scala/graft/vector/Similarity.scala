@@ -75,6 +75,43 @@ object Similarity {
         col("pair.id").as("neighbor_id"), col("pair.score").as("sim"))
   }
 
+  /** Two-tier quantized search: rank candidates by the INT8-code dot
+    * product (4x less data per comparison — at 100 TB the recall tier
+    * reads only the quantized column), keep `k * rescoreFactor` per
+    * query, then rescore exactly over the float vectors and emit the true
+    * top-k. The approximate score `dot(q8, c8) / (qscale * cscale)`
+    * approximates the float dot; a vector whose true rank is inside k
+    * but whose quantized rank falls outside k * rescoreFactor is missed —
+    * the standard, tunable recall/cost trade. Zero-scale (all-zero)
+    * vectors score 0 in the recall tier, like their float counterparts.
+    *
+    * At gate scale the float vectors simply travel alongside the codes;
+    * a production corpus re-joins the float column by id for the rescore
+    * set only (k * rescoreFactor rows per query, not the corpus).
+    */
+  def quantizedTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
+                    vecCol: String, k: Int, rescoreFactor: Int = 4): DataFrame = {
+    import graft.functions.VectorExpressions.int8Quantize
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qvec"),
+      int8Quantize(col(vecCol)).as("qq"))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cvec"),
+      int8Quantize(col(vecCol)).as("cq"))
+    val scored = c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
+      .withColumn("approx",
+        when(col("qq.scale") > 0 && col("cq.scale") > 0,
+          dot(col("qq.q"), col("cq.q")) / (col("qq.scale") * col("cq.scale")))
+          .otherwise(lit(0.0)))
+    val wA = Window.partitionBy(col("query_id"))
+      .orderBy(col("approx").desc, col("neighbor_id").asc)
+    val candidates = scored.withColumn("arank", row_number().over(wA))
+      .where(col("arank") <= k * rescoreFactor)
+    val wE = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("neighbor_id").asc)
+    candidates.withColumn("sim", cosine(col("qvec"), col("cvec")))
+      .withColumn("rank", row_number().over(wE)).where(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("sim"))
+  }
+
   /** Centroids from a labeled corpus: per-label mean vector, computed by
     * positional explode + per-(label, pos) average — one shuffle keyed on
     * (label, pos), then re-assembled into arrays. At corpus scale this is

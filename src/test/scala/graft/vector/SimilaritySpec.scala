@@ -76,6 +76,28 @@ class SimilaritySpec extends SparkSpec {
     assert(got(2L) == Seq((2L, 2.0)))
   }
 
+  test("quantizedTopK: wide rescore pool == exact brute force; narrow pool is a subset") {
+    val exact = Similarity.bruteForceTopK(vecs.where(col("vec_id") < 2), vecs,
+        "vec_id", "embedding", 3)
+      .select("query_id", "rank", "neighbor_id")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    // rescoreFactor covering the whole corpus -> identical to exact.
+    val wide = Similarity.quantizedTopK(vecs.where(col("vec_id") < 2), vecs,
+        "vec_id", "embedding", k = 3, rescoreFactor = 10)
+      .select("query_id", "rank", "neighbor_id")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(wide == exact)
+    // Narrow pool: k results still emitted, every one a true corpus id.
+    val narrow = Similarity.quantizedTopK(vecs.where(col("vec_id") < 2), vecs,
+        "vec_id", "embedding", k = 2, rescoreFactor = 1)
+    assert(narrow.groupBy("query_id").count().collect().forall(_.getLong(1) == 2L))
+    // Zero vector: quantized tier scores it 0, never crashes.
+    val withZero = vecs.union(Seq((9L, Array(0.0f, 0.0f, 0.0f), 3)).toDF)
+    val z = Similarity.quantizedTopK(withZero.where(col("vec_id") === 9L), withZero,
+      "vec_id", "embedding", k = 2, rescoreFactor = 2)
+    assert(z.count() == 2L)
+  }
+
   test("nearDupPairs: finds the near-identical pair, orders ids, excludes self") {
     val pairs = Similarity.nearDupPairs(vecs, "vec_id", "embedding", 0.95)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
