@@ -32,7 +32,9 @@ object PlanDump {
       "vec_quantize_int8" -> "int8 quantization: one codegen'd pass over the scan",
       "interval_join_sessions" -> "range join as (key, bin) EQUI-join — hash exchanges, no theta explosion",
       "join_bucketed" -> "bucketed scan both sides: no Exchange before the join",
-      "profile_orders" -> "multi-distinct Expand stays HashAggregate; var-width min/max in keyless side agg")
+      "profile_orders" -> "multi-distinct Expand stays HashAggregate; var-width min/max in keyless side agg",
+      "sim_quantized_rescore" -> "int8 recall tier + float rescore: codegen'd graft_dot on code arrays, broadcast queries",
+      "pack_chunks" -> "shard-local running sums: ONE hash exchange, no global single-partition window")
     val keep = Seq("Exchange", "Scan", "Join", "Aggregate", "Window", "Expand",
       "TakeOrdered", "Broadcast", "Sort", "Filter", "Project", "WholeStageCodegen")
     val sb = new StringBuilder
