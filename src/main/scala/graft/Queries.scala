@@ -1103,11 +1103,15 @@ object Queries {
     // flatMapGroupsWithState executed for real. A session emits either
     // when a later event of its user arrives past the gap, or when the
     // trailing no-data batch fires its event-time timeout (set to last
-    // event + gap) against the final watermark — so only final sessions
-    // ending within the gap of the stream's max timestamp stay in state.
-    // The oracle expresses exactly that set. total_value is a sequential
-    // fold in (ts, event_id) order on both engines (DuckDB's ordered SUM
-    // is the same left fold — verified).
+    // event ms + gap; Spark fires on timeout STRICTLY below the
+    // watermark — verified against FlatMapGroupsWithStateExec) — so only
+    // final sessions ending within the gap of the stream's max timestamp
+    // stay in state. The oracle expresses exactly that set. total_value
+    // is a sequential fold in (ts, event_id) order on both engines
+    // (DuckDB's ordered SUM is the same left fold — verified). The gate
+    // relies on the file source delivering all files in ONE batch
+    // (maxFilesPerTrigger unset — see EventStreams.sessionize's
+    // single-wave ordering contract).
     "streaming_sessionize_live" -> ((s, dir) => {
       import s.implicits._
       val ckpt = graft.util.Scratch.dir("graft_ssess_ck")
@@ -2256,11 +2260,12 @@ object Queries {
         |FROM events""".stripMargin,
 
     // Emitted sessions = sessions closed by a later event PLUS final
-    // sessions whose event-time timeout (last event ms + gap) fell at or
-    // before the final watermark (max event ms) — fired in the trailing
-    // no-data batch. Only final sessions ending within the gap of the
-    // stream's max timestamp stay open. total_value replicated as
-    // DuckDB's ordered SUM (same left fold).
+    // sessions whose event-time timeout (last event ms + gap) fell
+    // STRICTLY before the final watermark (max event ms) — Spark's
+    // timeout predicate is `timeoutTimestamp < watermark`. Final
+    // sessions at or within the gap of the stream's max timestamp stay
+    // open. total_value replicated as DuckDB's ordered SUM (same left
+    // fold).
     "streaming_sessionize_live" ->
       """WITH f AS (
         |  SELECT user_id, ts, event_id, value,
@@ -2288,7 +2293,7 @@ object Queries {
         |  s.n_events, s.total_value
         |FROM sess s JOIN last l ON s.user_id = l.user_id, wm
         |WHERE s.session_seq < l.mx
-        |   OR epoch_us(s.session_end) // 1000 + 1800000 <= wm.wm_ms""".stripMargin,
+        |   OR epoch_us(s.session_end) // 1000 + 1800000 < wm.wm_ms""".stripMargin,
 
     // The streaming merge converges to the batch last-write-wins dedup
     // regardless of micro-batch boundaries.

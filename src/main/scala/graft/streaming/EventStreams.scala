@@ -67,6 +67,20 @@ object EventStreams {
     * processing-time timeout would re-trigger forever). State per key is a
     * fixed-size summary (start/last/n/total), not the event list — O(keys)
     * state, never O(events).
+    *
+    * Gap decisions compare MILLISECOND-floored event times (matching the
+    * batch twin's `unix_millis` arithmetic and the timeout clock, which
+    * is ms-granular) — sub-ms jitter can't flip a session split that the
+    * batch form wouldn't. Session bounds keep full micro precision.
+    *
+    * Ordering contract: events are sorted (ts, event_id) WITHIN each
+    * delivery wave; an event older than its user's current state that
+    * arrives in a LATER wave would be folded at arrival position (and a
+    * row older than the watermark is dropped before reaching state).
+    * Single-wave delivery (AvailableNow over a snapshot, as in the live
+    * gate) is therefore exactly the batch semantics; for at-least-once
+    * multi-wave sources, [[mergeSink]]'s total-order merge is the
+    * replay-correct path.
     */
   def sessionize(events: Dataset[Event], gapMs: Long,
                  watermark: String = "0 seconds"): Dataset[Session] = {
@@ -77,7 +91,6 @@ object EventStreams {
       .flatMapGroupsWithState[SessionState, Session](
         OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
         (userId: Long, rows: Iterator[Event], state: GroupState[SessionState]) =>
-          val gapUs = gapMs * 1000L
           if (state.hasTimedOut) {
             val s = state.get
             state.remove()
@@ -89,7 +102,10 @@ object EventStreams {
             sorted.foreach { e =>
               val t = tsMicros(e.ts)
               cur match {
-                case Some(s) if t - s.last < gapUs =>
+                // ms-floored gap comparison (see scaladoc): aligns the
+                // split decision with the batch twin and the ms-granular
+                // timeout clock on sub-ms timestamps.
+                case Some(s) if Math.floorDiv(t, 1000L) - Math.floorDiv(s.last, 1000L) < gapMs =>
                   cur = Some(s.copy(last = t, n = s.n + 1, total = s.total + e.value))
                 case Some(s) =>
                   closed += Session(userId, microsTs(s.start), microsTs(s.last), s.n, s.total)
