@@ -36,6 +36,20 @@ object Queries {
 
   private val Dec152 = DecimalType(15, 2)
 
+  /** Run `body` with `spark.sql.shuffle.partitions` scoped to `n`,
+    * restoring the session value after. The live-streaming gates use
+    * this: every stateful streaming op materializes ONE state store per
+    * shuffle partition, so partition count should track stateful-key
+    * cardinality (~150 users / few-k windows here), not CPU count —
+    * 32 state stores for 150 keys is pure per-batch overhead. At real
+    * scale the same knob is sized UP with the keyspace (SCALE.md knobs).
+    */
+  private def withShufflePartitions[T](s: SparkSession, n: Int)(body: => T): T = {
+    val prev = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", n.toString)
+    try body finally s.conf.set("spark.sql.shuffle.partitions", prev)
+  }
+
   /** Batch sessionization over the events table (gap > 30 min starts a
     * session): lag + running sum of start flags assigns session ids in
     * two window passes over ONE shuffle (same partitioning), then one
@@ -457,13 +471,15 @@ object Queries {
     "streaming_tumbling_live" -> ((s, dir) => {
       val ckpt = graft.util.Scratch.dir("graft_stream_ck")
       val out = graft.util.Scratch.dir("graft_stream_out") + "/agg"
-      val q = graft.streaming.EventStreams
-        .tumblingAgg(Tables.eventsStream(s, dir), watermark = "0 seconds")
-        .writeStream.outputMode("append")
-        .option("checkpointLocation", ckpt)
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .format("parquet").option("path", out).start()
-      q.awaitTermination()
+      withShufflePartitions(s, 8) {
+        val q = graft.streaming.EventStreams
+          .tumblingAgg(Tables.eventsStream(s, dir), watermark = "0 seconds")
+          .writeStream.outputMode("append")
+          .option("checkpointLocation", ckpt)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .format("parquet").option("path", out).start()
+        q.awaitTermination()
+      }
       s.read.parquet(out)
         .select(col("hour_start"), col("event_type"), col("cnt"),
           col("sum_value").cast(DoubleType).as("sum_value"))
@@ -1087,15 +1103,17 @@ object Queries {
     "streaming_dedup_live" -> ((s, dir) => {
       val ckpt = graft.util.Scratch.dir("graft_sdedup_ck")
       val out = graft.util.Scratch.dir("graft_sdedup_out") + "/t"
-      val q = graft.streaming.EventStreams
-        .dedupStream(Tables.eventsStream(s, dir), watermark = "2 hours")
-        .select(col("event_id"), col("user_id"), col("event_type"),
-          col("ts"), col("value"))
-        .writeStream.outputMode("append")
-        .option("checkpointLocation", ckpt)
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .format("parquet").option("path", out).start()
-      q.awaitTermination()
+      withShufflePartitions(s, 8) {
+        val q = graft.streaming.EventStreams
+          .dedupStream(Tables.eventsStream(s, dir), watermark = "2 hours")
+          .select(col("event_id"), col("user_id"), col("event_type"),
+            col("ts"), col("value"))
+          .writeStream.outputMode("append")
+          .option("checkpointLocation", ckpt)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .format("parquet").option("path", out).start()
+        q.awaitTermination()
+      }
       s.read.parquet(out)
     }),
 
@@ -1120,13 +1138,15 @@ object Queries {
         .select(col("event_id"), col("ts"), col("user_id"),
           col("event_type"), col("value"))
         .as[graft.streaming.EventStreams.Event]
-      val q = graft.streaming.EventStreams.sessionize(evs, gapMs = 30L * 60 * 1000)
-        .toDF()
-        .writeStream.outputMode("append")
-        .option("checkpointLocation", ckpt)
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .format("parquet").option("path", out).start()
-      q.awaitTermination()
+      withShufflePartitions(s, 8) {
+        val q = graft.streaming.EventStreams.sessionize(evs, gapMs = 30L * 60 * 1000)
+          .toDF()
+          .writeStream.outputMode("append")
+          .option("checkpointLocation", ckpt)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .format("parquet").option("path", out).start()
+        q.awaitTermination()
+      }
       s.read.parquet(out)
     }),
 
@@ -1138,14 +1158,16 @@ object Queries {
     "streaming_merge_live" -> ((s, dir) => {
       val ckpt = graft.util.Scratch.dir("graft_smerge_ck")
       val statePath = graft.util.Scratch.dir("graft_smerge_state") + "/state"
-      val q = graft.streaming.EventStreams.mergeSink(
-        Tables.eventsStream(s, dir)
-          .select(col("user_id"), col("event_type"), col("event_id"),
-            col("ts"), col("value")),
-        statePath, keys = Seq("user_id", "event_type"),
-        precedence = Seq(col("ts").desc, col("event_id").desc),
-        checkpoint = ckpt)
-      q.awaitTermination()
+      withShufflePartitions(s, 8) {
+        val q = graft.streaming.EventStreams.mergeSink(
+          Tables.eventsStream(s, dir)
+            .select(col("user_id"), col("event_type"), col("event_id"),
+              col("ts"), col("value")),
+          statePath, keys = Seq("user_id", "event_type"),
+          precedence = Seq(col("ts").desc, col("event_id").desc),
+          checkpoint = ckpt)
+        q.awaitTermination()
+      }
       s.read.parquet(statePath)
     }),
 
@@ -1156,13 +1178,15 @@ object Queries {
     "streaming_join_live" -> ((s, dir) => {
       val ckpt = graft.util.Scratch.dir("graft_sjoin_ck")
       val out = graft.util.Scratch.dir("graft_sjoin_out") + "/t"
-      val q = graft.streaming.EventStreams
-        .clickPurchaseJoin(Tables.eventsStream(s, dir), watermark = "2 hours")
-        .writeStream.outputMode("append")
-        .option("checkpointLocation", ckpt)
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .format("parquet").option("path", out).start()
-      q.awaitTermination()
+      withShufflePartitions(s, 8) {
+        val q = graft.streaming.EventStreams
+          .clickPurchaseJoin(Tables.eventsStream(s, dir), watermark = "2 hours")
+          .writeStream.outputMode("append")
+          .option("checkpointLocation", ckpt)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .format("parquet").option("path", out).start()
+        q.awaitTermination()
+      }
       s.read.parquet(out)
     })
   )
