@@ -659,6 +659,24 @@ object Queries {
         .select(col("o_orderstatus"), col("prob"),
           round(col("q_value"), 6).as("q_value"))),
 
+    // The 100 TB profiling variant: approx_percentile (t-digest,
+    // map-side combinable — exact per-group sorts don't scale) graded
+    // like agg_approx_distinct: the deterministic within-tolerance check
+    // next to the exact value, plus a self-explaining error bucket.
+    "profile_quantiles_approx" -> ((s, dir) => {
+      val df = t(s, dir, "orders")
+        .groupBy(col("o_orderstatus"))
+        .agg(
+          percentile_approx(col("o_totalprice"), lit(0.5), lit(10000)).as("approx_med"),
+          percentile(col("o_totalprice"), lit(0.5)).as("exact_med"))
+      val rel = abs(col("approx_med") - col("exact_med")) / col("exact_med")
+      df.select(col("o_orderstatus"),
+        (rel <= 0.01).as("within_tol"),
+        when(rel <= 0.01, lit(0L))
+          .otherwise(floor(rel / 0.01).cast(LongType)).as("err_bucket"),
+        round(col("exact_med"), 6).as("exact_med"))
+    }),
+
     // The composed training-data cleaning flow (text/CorpusPipeline):
     // language filter -> quality filter -> exact-dedup keeper ->
     // near-dup keeper, one lazy plan.
@@ -1057,6 +1075,28 @@ object Queries {
         .groupBy(col("c_nationkey"))
         .agg(count(lit(1)).as("order_cnt"),
           sum(col("o_price")).cast(DoubleType).as("revenue"))
+    }),
+
+    // ---- incrementally-maintained rollup ----------------------------------
+    // Three batch summaries folded into one state (ops/IncrementalAgg)
+    // must equal the single-shot aggregate — the algebraic-merge
+    // property that replaces O(history) re-aggregation with O(batch)
+    // maintenance. The oracle IS the single-shot form.
+    "incremental_rollup" -> ((s, dir) => {
+      val orders = t(s, dir, "orders").select(col("o_orderstatus"),
+        col("o_totalprice").cast(Dec152).as("price"), col("o_orderkey"))
+      val batches = (0 until 3).map(i =>
+        orders.where(pmod(col("o_orderkey"), lit(3)) === i))
+      val init = graft.ops.IncrementalAgg.summarize(
+        batches.head, Seq("o_orderstatus"), col("price"))
+      val state = batches.tail.foldLeft(init)((st, b) =>
+        graft.ops.IncrementalAgg.merge(st,
+          graft.ops.IncrementalAgg.summarize(b, Seq("o_orderstatus"), col("price")),
+          Seq("o_orderstatus")))
+      state.select(col("o_orderstatus"), col("cnt"),
+        col("sum_v").cast(DoubleType).as("sum_v"),
+        col("min_v").cast(DoubleType).as("min_v"),
+        col("max_v").cast(DoubleType).as("max_v"))
     }),
 
     // ---- filter-with-reasons audit ----------------------------------------
@@ -2227,6 +2267,22 @@ object Queries {
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(15,2))) AS DOUBLE) AS revenue
         |FROM orders JOIN customer ON o_custkey = c_custkey
         |GROUP BY 1""".stripMargin,
+
+    // merge(summarize(b1..b3)) == summarize(all): the oracle is the
+    // single-shot aggregate the incremental state must reproduce.
+    "incremental_rollup" ->
+      """SELECT o_orderstatus, count(*) AS cnt,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(15,2))) AS DOUBLE) AS sum_v,
+        |  CAST(MIN(CAST(o_totalprice AS DECIMAL(15,2))) AS DOUBLE) AS min_v,
+        |  CAST(MAX(CAST(o_totalprice AS DECIMAL(15,2))) AS DOUBLE) AS max_v
+        |FROM orders GROUP BY 1""".stripMargin,
+
+    // Spark's t-digest estimate is deterministic; the oracle emits the
+    // expected TRUE/0 next to the exact median it can compute itself.
+    "profile_quantiles_approx" ->
+      """SELECT o_orderstatus, TRUE AS within_tol, CAST(0 AS BIGINT) AS err_bucket,
+        |  round(CAST(quantile_cont(o_totalprice, 0.5) AS DOUBLE), 6) AS exact_med
+        |FROM orders GROUP BY 1""".stripMargin,
 
     // All four rules re-derived from the same tokenization; pass_lang is
     // h_en = best AND best > 0 (en wins ties, so that IS langId == 'en').

@@ -1,0 +1,75 @@
+package graft
+
+import graft.SparkSpec
+
+/** Plan-shape regression contract: the physical properties SCALE.md and
+  * PLANS.md claim must actually hold for the headline queries. Each
+  * assertion pins the plan FEATURE (broadcast, group-limit, pushdown,
+  * kernel substitution), not the whole plan text, so unrelated plan
+  * changes don't flap the suite — but losing a load-bearing property
+  * (a broadcast silently becoming a sort-merge join, a WindowGroupLimit
+  * disappearing, a custom kernel falling out of a plan) fails loudly.
+  */
+class PlanContractSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def plan(name: String): String =
+    Queries.queries(name)(spark, dir).queryExecution.executedPlan.toString
+
+  test("join_fk_resolve broadcasts the dim side") {
+    assert(plan("join_fk_resolve").contains("BroadcastHashJoin"))
+  }
+
+  test("window_topk_quarters carries WindowGroupLimit (O(k) per group)") {
+    assert(plan("window_topk_quarters").contains("WindowGroupLimit"))
+  }
+
+  test("text_top_tokens is TakeOrderedAndProject, never a global window") {
+    val p = plan("text_top_tokens")
+    assert(p.contains("TakeOrderedAndProject"))
+    assert(!p.contains("Window "), "global window would single-partition the vocabulary")
+  }
+
+  test("filter_golden_row pushes the key predicate into the parquet scan") {
+    assert(plan("filter_golden_row").contains("PushedFilters: [IsNotNull(o_orderkey), EqualTo(o_orderkey,100)"))
+  }
+
+  test("unpivot_wide_long is Expand with zero exchanges") {
+    val p = plan("unpivot_wide_long")
+    assert(p.contains("Expand") && !p.contains("Exchange"))
+  }
+
+  test("similarity paths run on the codegen'd graft_dot kernel") {
+    assert(plan("sim_brute_topk").contains("graft_dot"))
+    assert(plan("sim_quantized_rescore").contains("graft_dot"))
+    assert(plan("dedup_embedding_lsh").contains("graft_dot"))
+  }
+
+  test("text scans run on the single-pass kernels, not regex chains") {
+    assert(plan("text_langid").contains("graft_text_stats"))
+    assert(plan("text_repetition").contains("graft_ngram_stats"))
+    assert(plan("dedup_ngram_jaccard").contains("graft_word_shingles"))
+    assert(plan("vec_quantize_int8").contains("graft_int8_quantize"))
+  }
+
+  test("sampling is scan-side only (no exchange, no window)") {
+    val p = plan("sample_hash_split")
+    assert(!p.contains("Exchange") && !p.contains("Window"))
+  }
+
+  test("profile keeps the multi-distinct pipeline in HashAggregate") {
+    val p = plan("profile_orders")
+    assert(p.contains("HashAggregate"))
+    // The only SortAggregates allowed are the keyless var-width min/max
+    // side (no Sort operator may feed them).
+    assert(!p.contains("+- Sort "), s"unexpected sort in profile plan:\n$p")
+  }
+
+  test("pack_chunks shuffles once on the shard key, no global window") {
+    val p = plan("pack_chunks")
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(exchanges == 1, s"expected exactly one hash exchange, got $exchanges")
+    assert(!p.contains("SinglePartition"), "packing must never single-partition")
+  }
+}
