@@ -521,6 +521,20 @@ object Queries {
         .select(col("event_id"), col("user_id"), col("ts"), col("purchase_value"))
     }),
 
+    // merge_asof tolerance: the matched ROW is still the nearest prior
+    // purchase; its carried value nulls out when that row is farther
+    // than 10 minutes (the match travels as one struct, so the
+    // tolerance gates the row the value came from — pandas semantics).
+    "asof_join_tolerance" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val clicks = ev.where(col("event_type") === "click")
+      val purchases = ev.where(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"), col("value").as("purchase_value"), col("event_id"))
+      AsOf.asofJoinBackward(clicks, purchases, Seq("user_id"), "ts",
+          Seq("purchase_value"), col("event_id"), toleranceMs = Some(10L * 60 * 1000))
+        .select(col("event_id"), col("user_id"), col("ts"), col("purchase_value"))
+    }),
+
     // Batch sessionization (the batch twin of streaming/EventStreams
     // .sessionize): gap > 30 min starts a session; lag + running sum of
     // start flags assigns session ids in two window passes over ONE
@@ -1704,6 +1718,17 @@ object Queries {
         |  (SELECT r.value FROM events r
         |   WHERE r.event_type = 'purchase' AND r.user_id = l.user_id AND r.ts >= l.ts
         |   ORDER BY r.ts ASC, r.event_id ASC LIMIT 1) AS purchase_value
+        |FROM events l WHERE l.event_type = 'click'""".stripMargin,
+
+    // The correlated twin selects the SAME nearest row, then nulls its
+    // value past the tolerance — matching the matched-row-struct gating.
+    "asof_join_tolerance" ->
+      """SELECT l.event_id, l.user_id, CAST(l.ts AS TIMESTAMP) AS ts,
+        |  (SELECT CASE WHEN abs(epoch_ms(l.ts) - epoch_ms(r.ts)) <= 600000
+        |            THEN r.value END
+        |   FROM events r
+        |   WHERE r.event_type = 'purchase' AND r.user_id = l.user_id AND r.ts <= l.ts
+        |   ORDER BY r.ts DESC, r.event_id DESC LIMIT 1) AS purchase_value
         |FROM events l WHERE l.event_type = 'click'""".stripMargin,
 
     "json_props_extract" ->
