@@ -683,7 +683,13 @@ object Queries {
         .agg(
           percentile_approx(col("o_totalprice"), lit(0.5), lit(10000)).as("approx_med"),
           percentile(col("o_totalprice"), lit(0.5)).as("exact_med"))
-      val rel = abs(col("approx_med") - col("exact_med")) / col("exact_med")
+      // Zero-median guard: ANSI mode would throw DIVIDE_BY_ZERO on a
+      // group whose exact median is 0 — grade it instead (equal -> in
+      // tolerance, else maximally out).
+      val rel = when(col("exact_med") =!= 0,
+          abs(col("approx_med") - col("exact_med")) / col("exact_med"))
+        .otherwise(when(col("approx_med") === col("exact_med"), lit(0.0))
+          .otherwise(lit(1e18)))
       df.select(col("o_orderstatus"),
         (rel <= 0.01).as("within_tol"),
         when(rel <= 0.01, lit(0L))

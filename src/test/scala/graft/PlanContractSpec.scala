@@ -17,8 +17,36 @@ class PlanContractSpec extends SparkSpec {
   private def plan(name: String): String =
     Queries.queries(name)(spark, dir).queryExecution.executedPlan.toString
 
-  test("join_fk_resolve broadcasts the dim side") {
+  private def hasSort(p: String): Boolean =
+    p.linesIterator.exists(l => l.matches(".*[+:]- Sort .*") || l.startsWith("Sort "))
+
+  test("join_fk_resolve broadcasts the dim side (hinted)") {
     assert(plan("join_fk_resolve").contains("BroadcastHashJoin"))
+  }
+
+  test("sql_revenue_rollup auto-broadcasts BOTH dim joins (stats-driven, no hints)") {
+    // The SQL form carries no hints: this pins the threshold/stat-driven
+    // broadcast decision itself, not a hint the planner must honor.
+    val p = plan("sql_revenue_rollup")
+    assert("BroadcastHashJoin".r.findAllIn(p).size == 2, p.take(400))
+    assert(!p.contains("SortMergeJoin"))
+  }
+
+  test("merge_upsert is one window pass over one exchange on the key") {
+    val p = plan("merge_upsert")
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1)
+    assert(p.contains("RunningWindowFunction") || p.contains("Window"))
+  }
+
+  test("interval_join_sessions is an equi-join, never a nested-loop theta join") {
+    val p = plan("interval_join_sessions")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p.take(400))
+  }
+
+  test("sim_brute_topk_agg reduces map-side via the bounded-heap aggregate") {
+    val p = plan("sim_brute_topk_agg")
+    assert(p.contains("partial_graft_topk") ||
+      (p.contains("graft_topk") && p.contains("ObjectHashAggregate")), p.take(400))
   }
 
   test("window_topk_quarters carries WindowGroupLimit (O(k) per group)") {
@@ -62,8 +90,8 @@ class PlanContractSpec extends SparkSpec {
     val p = plan("profile_orders")
     assert(p.contains("HashAggregate"))
     // The only SortAggregates allowed are the keyless var-width min/max
-    // side (no Sort operator may feed them).
-    assert(!p.contains("+- Sort "), s"unexpected sort in profile plan:\n$p")
+    // side (no Sort operator may feed them, in ANY tree position).
+    assert(!hasSort(p), s"unexpected sort in profile plan:\n$p")
   }
 
   test("pack_chunks shuffles once on the shard key, no global window") {
