@@ -712,6 +712,17 @@ object Queries {
       Dedup.ngramJaccardPairs(t(s, dir, "documents"), "doc_id", "text",
         n = 3, threshold = 0.5, maxDocFreq = 100L)),
 
+    // Pairs -> whole-cluster dedup: every document labeled with the
+    // smallest doc_id reachable through the Jaccard pair graph
+    // (iterative min-label propagation; the oracle's recursive CTE
+    // computes the same reachability fixpoint).
+    "dedup_cluster_reps" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+        n = 3, threshold = 0.5, maxDocFreq = 100L)
+      Dedup.clusterRepresentatives(docs, "doc_id", pairs)
+    }),
+
     // Sketch-based near-dup. Gate configuration uses the md5-derived
     // 60-bit term hash (Dedup.Md5Hash60) so DuckDB can replicate the
     // MinHash signatures, banding, and verification EXACTLY; production
@@ -1258,6 +1269,30 @@ object Queries {
     s"len(list_filter($toksExpr, t -> t IN (${words.map(w => s"'$w'").mkString(", ")})))"
 
   private val EnWords = TextAnalysis.StopwordLists.head._2
+
+  /** Shared DuckDB replica of the trigram-Jaccard pair generation
+    * (shingle index, hot cap 100, threshold 0.5) ending in CTE
+    * `jpairs(doc_a, doc_b, jaccard)` — used by the pair gate and as the
+    * edge set of the cluster-representative fixpoint. */
+  private val jaccardPairsCte: String =
+    """t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks FROM documents),
+      |sh AS (SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(toks) - 1),
+      |         i -> array_to_string(toks[i:i+2], ' ')))) AS shingle
+      |       FROM t),
+      |hot AS (SELECT shingle FROM sh GROUP BY 1 HAVING count(*) > 100),
+      |idx AS (SELECT doc_id, shingle FROM sh WHERE shingle NOT IN (SELECT shingle FROM hot)),
+      |sizes AS (SELECT doc_id, count(*) AS nsh FROM idx GROUP BY 1),
+      |inter AS (
+      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+      |  FROM idx a JOIN idx b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2),
+      |jpairs AS (
+      |  SELECT doc_a, doc_b,
+      |    CAST(i AS DOUBLE) / (sa.nsh + sb.nsh - i) AS jaccard
+      |  FROM inter
+      |  JOIN sizes sa ON doc_a = sa.doc_id
+      |  JOIN sizes sb ON doc_b = sb.doc_id
+      |  WHERE CAST(i AS DOUBLE) / (sa.nsh + sb.nsh - i) >= 0.5)""".stripMargin
 
   /** DuckDB twin of [[Dedup.Md5Hash60]] (60-bit md5-derived term hash). */
   private def md5Hash60Sql(e: String): String =
@@ -1926,23 +1961,20 @@ object Queries {
         |GROUP BY 1""".stripMargin,
 
     "dedup_ngram_jaccard" ->
-      """WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks FROM documents),
-        |sh AS (SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(toks) - 1),
-        |         i -> array_to_string(toks[i:i+2], ' ')))) AS shingle
-        |       FROM t),
-        |hot AS (SELECT shingle FROM sh GROUP BY 1 HAVING count(*) > 100),
-        |idx AS (SELECT doc_id, shingle FROM sh WHERE shingle NOT IN (SELECT shingle FROM hot)),
-        |sizes AS (SELECT doc_id, count(*) AS nsh FROM idx GROUP BY 1),
-        |inter AS (
-        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
-        |  FROM idx a JOIN idx b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-        |  GROUP BY 1, 2)
-        |SELECT doc_a, doc_b,
-        |  CAST(i AS DOUBLE) / (sa.nsh + sb.nsh - i) AS jaccard
-        |FROM inter
-        |JOIN sizes sa ON doc_a = sa.doc_id
-        |JOIN sizes sb ON doc_b = sb.doc_id
-        |WHERE CAST(i AS DOUBLE) / (sa.nsh + sb.nsh - i) >= 0.5""".stripMargin,
+      s"""WITH $jaccardPairsCte
+         |SELECT doc_a, doc_b, jaccard FROM jpairs""".stripMargin,
+
+    // Reachability fixpoint over the same pair graph: min reachable id
+    // per node == the propagation-converged representative.
+    "dedup_cluster_reps" ->
+      s"""WITH RECURSIVE $jaccardPairsCte,
+         |edges AS (SELECT doc_a AS src, doc_b AS dst FROM jpairs
+         |          UNION ALL SELECT doc_b, doc_a FROM jpairs),
+         |reach(node, root) AS (
+         |  SELECT doc_id, doc_id FROM documents
+         |  UNION
+         |  SELECT e.dst, r.root FROM reach r JOIN edges e ON e.src = r.node)
+         |SELECT node AS doc_id, MIN(root) AS rep FROM reach GROUP BY 1""".stripMargin,
 
     "sim_brute_topk" ->
       """WITH q AS (SELECT vec_id AS query_id,

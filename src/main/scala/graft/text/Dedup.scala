@@ -197,6 +197,49 @@ object Dedup {
       .select("doc_a", "doc_b", "jaccard")
   }
 
+  /** Connected-component representatives over near-dup PAIRS: each node
+    * labeled with the smallest id reachable through the pair graph — the
+    * step that turns pairwise similarity into whole-cluster dedup (pair
+    * output alone under-deletes: A~B, B~C leaves A and C both "kept" by
+    * a pair-local keeper policy).
+    *
+    * Iterative min-label propagation: each round, every node takes the
+    * min of its own label and its neighbors' labels; converges in
+    * O(cluster diameter) rounds — near-dup clusters are shallow (stars /
+    * short chains), so 3-5 rounds in practice, `maxIters` as the guard.
+    * This is the engine's ONE deliberate driver-coordinated loop: each
+    * round is a fully distributed join+aggregate, the driver only checks
+    * the converged count (the same shape GraphX/GraphFrames use for CC).
+    * Labels persist per round and release the previous round's blocks.
+    */
+  def clusterRepresentatives(nodes: DataFrame, idCol: String, pairs: DataFrame,
+                             aCol: String = "doc_a", bCol: String = "doc_b",
+                             maxIters: Int = 25): DataFrame = {
+    val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
+      .unionByName(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
+      .persist()
+    var labels = nodes.select(col(idCol).as("node"), col(idCol).as("label")).persist()
+    var iter = 0
+    var converged = false
+    while (!converged && iter < maxIters) {
+      val neighborMin = edges.join(labels, col("dst") === col("node"))
+        .groupBy(col("src")).agg(min(col("label")).as("nlabel"))
+      val next = labels.join(neighborMin, col("node") === col("src"), "left")
+        .select(col("node"),
+          least(col("label"), col("nlabel")).as("label"),
+          (col("nlabel") < col("label")).as("_changed"))
+        .persist()
+      converged = next.where(col("_changed")).limit(1).count() == 0L
+      val prev = labels
+      labels = next.select(col("node"), col("label")).persist()
+      next.unpersist(false)
+      prev.unpersist(false)
+      iter += 1
+    }
+    edges.unpersist(false)
+    labels.select(col("node").as(idCol), col("label").as("rep"))
+  }
+
   /** Benchmark-contamination report (the decontamination pass every
     * training corpus needs): for each benchmark document, how many corpus
     * documents share its exact normalized-text fingerprint, and the

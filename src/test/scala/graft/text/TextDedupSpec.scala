@@ -91,6 +91,23 @@ class TextDedupSpec extends SparkSpec {
     assert(pairs.get((0L, 3L)).contains(0)) // exact dup -> identical simhash
   }
 
+  test("clusterRepresentatives: chains collapse to the component min, singletons self-label") {
+    // Chain 1-2-3-4 (only adjacent pairs), star 10-{11,12}, singleton 20:
+    // propagation needs diameter (3) rounds to pull 4 down to 1.
+    val nodes = Seq(1L, 2L, 3L, 4L, 10L, 11L, 12L, 20L).toDF("id")
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L), (10L, 12L))
+      .toDF("doc_a", "doc_b")
+    val got = Dedup.clusterRepresentatives(nodes, "id", pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L))
+    // Direction of pair ids must not matter.
+    val flipped = Dedup.clusterRepresentatives(nodes, "id",
+      pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(flipped == got)
+  }
+
   test("hot-shingle cap removes high-df shingles from the index") {
     val repeated = (0L until 20L).map(i => (i, "same same same same text")).toDF("doc_id", "text")
     val idx = Dedup.shingleIndex(repeated, "doc_id", "text", 3, maxDocFreq = 5L)
