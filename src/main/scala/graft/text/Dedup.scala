@@ -206,37 +206,51 @@ object Dedup {
     * Iterative min-label propagation: each round, every node takes the
     * min of its own label and its neighbors' labels; converges in
     * O(cluster diameter) rounds — near-dup clusters are shallow (stars /
-    * short chains), so 3-5 rounds in practice, `maxIters` as the guard.
-    * This is the engine's ONE deliberate driver-coordinated loop: each
-    * round is a fully distributed join+aggregate, the driver only checks
-    * the converged count (the same shape GraphX/GraphFrames use for CC).
-    * Labels persist per round and release the previous round's blocks.
+    * short chains), so 3-5 rounds in practice. A cluster deeper than
+    * `maxIters` THROWS rather than silently returning partially-propagated
+    * labels (which would under-delete exactly the way this operator
+    * exists to prevent) — raise `maxIters` for pathological chain-shaped
+    * clusters. This is the engine's ONE deliberate driver-coordinated
+    * loop: each round is a fully distributed join+aggregate, the driver
+    * only checks convergence (the GraphX/GraphFrames CC shape).
+    *
+    * Cache lifecycle: each round is FULLY materialized (count) before the
+    * previous round's blocks are released — persist() alone only
+    * registers the cache entry, and releasing the parent first would
+    * re-execute every prior round per action, O(iters^2). The edge set
+    * and the final labels go through `cache` (CacheScope contract, like
+    * the sibling dedup operators): long-lived sessions pass a scope and
+    * close it after consuming the result.
     */
   def clusterRepresentatives(nodes: DataFrame, idCol: String, pairs: DataFrame,
                              aCol: String = "doc_a", bCol: String = "doc_b",
-                             maxIters: Int = 25): DataFrame = {
-    val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
-      .unionByName(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
-      .persist()
-    var labels = nodes.select(col(idCol).as("node"), col(idCol).as("label")).persist()
+                             maxIters: Int = 25,
+                             cache: DataFrame => DataFrame = graft.util.CacheScope.untracked): DataFrame = {
+    val edges = cache(pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
+      .unionByName(pairs.select(col(bCol).as("src"), col(aCol).as("dst"))))
+    var labels = cache(nodes.select(col(idCol).as("node"), col(idCol).as("label")))
+    labels.count() // materialize before the first release cycle
     var iter = 0
     var converged = false
     while (!converged && iter < maxIters) {
       val neighborMin = edges.join(labels, col("dst") === col("node"))
         .groupBy(col("src")).agg(min(col("label")).as("nlabel"))
-      val next = labels.join(neighborMin, col("node") === col("src"), "left")
-        .select(col("node"),
-          least(col("label"), col("nlabel")).as("label"),
-          (col("nlabel") < col("label")).as("_changed"))
-        .persist()
-      converged = next.where(col("_changed")).limit(1).count() == 0L
-      val prev = labels
-      labels = next.select(col("node"), col("label")).persist()
-      next.unpersist(false)
-      prev.unpersist(false)
+      val next = cache(
+        labels.select(col("node"), col("label"))
+          .join(neighborMin, col("node") === col("src"), "left")
+          .select(col("node"),
+            least(col("label"), col("nlabel")).as("label"),
+            (col("nlabel") < col("label")).as("_changed")))
+      next.count() // fully materialize THIS round before releasing the last
+      converged = next.where(col("_changed")).limit(1).count() == 0L // cache read
+      labels.unpersist(false)
+      labels = next
       iter += 1
     }
-    edges.unpersist(false)
+    if (!converged)
+      throw new IllegalStateException(
+        s"clusterRepresentatives did not converge within $maxIters rounds — " +
+          "a cluster's diameter exceeds the guard; raise maxIters")
     labels.select(col("node").as(idCol), col("label").as("rep"))
   }
 

@@ -106,6 +106,11 @@ class TextDedupSpec extends SparkSpec {
       pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(flipped == got)
+    // Exceeding the round guard must FAIL, never return partial labels.
+    val e = intercept[IllegalStateException] {
+      Dedup.clusterRepresentatives(nodes, "id", pairs, maxIters = 2)
+    }
+    assert(e.getMessage.contains("maxIters"))
   }
 
   test("hot-shingle cap removes high-df shingles from the index") {
