@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 import graft.io.Tables
-import graft.ops.{AsOf, Merge, Normalize, Quality, Reshape, Summary, Windows}
+import graft.ops.{AsOf, BloomPrune, Merge, Normalize, Quality, Reshape, Summary, Windows}
 import graft.text.{Dedup, TextAnalysis}
 import graft.vector.Similarity
 import graft.multimodal.BinaryOps
@@ -1000,6 +1000,60 @@ object Queries {
       t(s, dir, "documents").select(col("doc_id") +: counts: _*)
     }),
 
+    // PII redaction: the corpus carries no PII, so both engines append the
+    // same synthetic email/URL/digit-run suffix, then redact with the
+    // FilterPatterns chain in list order. Pure scan-side projection.
+    "text_redact" -> ((s, dir) =>
+      t(s, dir, "documents").select(col("doc_id"),
+          concat(col("text"),
+            lit(" contact user"), col("doc_id").cast(StringType),
+            lit("@example.com via https://www.Example"),
+            col("doc_id").cast(StringType),
+            lit(".com/a id 90000"), col("doc_id").cast(StringType)).as("text"))
+        .select(col("doc_id"), TextAnalysis.redact(col("text")).as("redacted"))),
+
+    // Per-domain provenance accounting: extract+normalize every URL host
+    // (deterministic synthetic URLs appended — the corpus has none), one
+    // row per occurrence. Scan-side regex, explode, no shuffle.
+    "text_url_hosts" -> ((s, dir) =>
+      t(s, dir, "documents").select(col("doc_id"),
+          concat(col("text"),
+            lit(" see https://www.Mirror"),
+            pmod(col("doc_id"), lit(7)).cast(StringType),
+            lit(".net/x and http://cdn"),
+            pmod(col("doc_id"), lit(3)).cast(StringType),
+            lit(".example.org:8080/y")).as("text"))
+        .select(col("doc_id"),
+          posexplode(TextAnalysis.urlHosts(col("text"))).as(Seq("url_idx", "host")))
+        .select(col("doc_id"), col("url_idx").cast(LongType).as("url_idx"),
+          col("host"))),
+
+    // Overlapping token-window chunking (size 32, stride 16) for
+    // context-window packing / RAG indexing; chunk content surfaces as an
+    // md5 digest (the driver's hasher can't sort raw arrays).
+    "text_chunks" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("toks"))
+        .select(col("doc_id"),
+          explode(TextAnalysis.overlappingChunks(col("toks"), 32, 16)).as("c"))
+        .select(col("doc_id"),
+          col("c.chunk_idx").cast(LongType).as("chunk_idx"),
+          size(col("c.chunk_toks")).cast(LongType).as("n_toks"),
+          md5(concat_ws(" ", col("c.chunk_toks"))).as("chunk_digest"))),
+
+    // C4/CCNet boilerplate-line removal over a synthetic page fixture
+    // (nav/footer/unsubscribe lines shared across >=10 docs are stripped;
+    // each doc's own text line survives).
+    "text_remove_boilerplate" -> ((s, dir) =>
+      Dedup.removeBoilerplateLines(
+        t(s, dir, "documents").select(col("doc_id"),
+          concat_ws("\n",
+            concat(lit("nav: "), col("source")),
+            col("text"),
+            concat(lit("(c) footer "), col("lang")),
+            lit("unsubscribe here")).as("text")),
+        "doc_id", "text", minDocFreq = 10)),
+
     // Benchmark decontamination: exact-fingerprint matches of a benchmark
     // set (doc_id % 10 == 0 stands in) against the full corpus.
     "contamination_report" -> ((s, dir) => {
@@ -1107,6 +1161,24 @@ object Queries {
         .agg(count(lit(1)).as("order_cnt"),
           sum(col("o_price")).cast(DoubleType).as("revenue"))
     }),
+
+    // Bloom-pruned shuffle join: the fact side is pre-filtered by a Bloom
+    // digest of the dimension keys before the exact join, so the fact
+    // exchange carries |matching ∪ fpp| rows instead of |fact|. Result is
+    // IDENTICAL to the plain join (false positives die in the join), so
+    // the oracle is simply the plain join.
+    "join_bloom_pruned" -> ((s, dir) =>
+      BloomPrune.bloomPrunedJoin(
+          t(s, dir, "lineitem")
+            .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity")),
+          "l_orderkey",
+          t(s, dir, "orders").where(col("o_orderstatus") === "F")
+            .select(col("o_orderkey"), col("o_totalprice")),
+          "o_orderkey", expectedItems = 200000L)
+        .select(col("l_orderkey"),
+          col("l_linenumber").cast(LongType).as("l_linenumber"),
+          col("l_quantity").cast(DoubleType).as("quantity"),
+          col("o_totalprice").cast(DoubleType).as("o_totalprice"))),
 
     // ---- incrementally-maintained rollup ----------------------------------
     // Three batch summaries folded into one state (ops/IncrementalAgg)
@@ -2230,6 +2302,76 @@ object Queries {
       }.mkString(",\n  ")
       s"SELECT doc_id,\n  $cols\nFROM documents"
     },
+
+    "text_redact" ->
+      """WITH f AS (SELECT doc_id,
+        |    text || ' contact user' || doc_id || '@example.com via https://www.Example'
+        |      || doc_id || '.com/a id 90000' || doc_id AS text
+        |  FROM documents)
+        |SELECT doc_id,
+        |  regexp_replace(regexp_replace(regexp_replace(text,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<email>', 'g'),
+        |    'https?://[^\s]+', '<url>', 'g'),
+        |    '[0-9]{6,}', '<long_digits>', 'g') AS redacted
+        |FROM f""".stripMargin,
+
+    "text_url_hosts" ->
+      """WITH f AS (SELECT doc_id,
+        |    text || ' see https://www.Mirror' || (doc_id % 7) || '.net/x and http://cdn'
+        |      || (doc_id % 3) || '.example.org:8080/y' AS text
+        |  FROM documents),
+        |h AS (SELECT doc_id,
+        |    list_transform(regexp_extract_all(text, 'https?://([^/\s:]+)', 1),
+        |      x -> regexp_replace(lower(x), '^www\.', '')) AS hosts
+        |  FROM f)
+        |SELECT doc_id, CAST(u.i - 1 AS BIGINT) AS url_idx, u.x AS host
+        |FROM (SELECT doc_id,
+        |        unnest(list_transform(hosts, (x, i) -> {'x': x, 'i': i})) AS u
+        |      FROM h)""".stripMargin,
+
+    "text_chunks" ->
+      """WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+        |  FROM documents WHERE text IS NOT NULL AND trim(text) <> ''),
+        |s AS (SELECT doc_id, toks,
+        |    unnest(generate_series(0, len(toks) - 1, 16)) AS start
+        |  FROM t)
+        |SELECT doc_id,
+        |  CAST(start // 16 AS BIGINT) AS chunk_idx,
+        |  CAST(len(toks[start + 1 : start + 32]) AS BIGINT) AS n_toks,
+        |  md5(array_to_string(toks[start + 1 : start + 32], ' ')) AS chunk_digest
+        |FROM s""".stripMargin,
+
+    "text_remove_boilerplate" ->
+      """WITH f AS (SELECT doc_id,
+        |    concat_ws(chr(10), 'nav: ' || source, text,
+        |              '(c) footer ' || lang, 'unsubscribe here') AS text
+        |  FROM documents),
+        |l AS (SELECT doc_id, u.x AS line, u.i AS pos
+        |  FROM (SELECT doc_id,
+        |          unnest(list_transform(string_split(text, chr(10)),
+        |            (x, i) -> {'x': x, 'i': i})) AS u
+        |        FROM f)),
+        |b AS (SELECT k FROM (
+        |    SELECT DISTINCT doc_id, trim(line) AS k FROM l WHERE trim(line) <> '')
+        |  GROUP BY k HAVING count(*) >= 10),
+        |kept AS (SELECT l.doc_id,
+        |    string_agg(l.line, chr(10) ORDER BY l.pos) AS clean_text,
+        |    count(*) AS n_kept_lines
+        |  FROM l LEFT JOIN b ON trim(l.line) = b.k
+        |  WHERE b.k IS NULL GROUP BY l.doc_id)
+        |SELECT f.doc_id,
+        |  COALESCE(kept.clean_text, '') AS clean_text,
+        |  CAST(COALESCE(kept.n_kept_lines, 0) AS BIGINT) AS n_kept_lines,
+        |  CAST(len(string_split(f.text, chr(10)))
+        |       - COALESCE(kept.n_kept_lines, 0) AS BIGINT) AS n_removed_lines
+        |FROM f LEFT JOIN kept ON f.doc_id = kept.doc_id""".stripMargin,
+
+    "join_bloom_pruned" ->
+      """SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,
+        |  CAST(l_quantity AS DOUBLE) AS quantity,
+        |  CAST(o_totalprice AS DOUBLE) AS o_totalprice
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE o_orderstatus = 'F'""".stripMargin,
 
     "contamination_report" ->
       """WITH fp AS (SELECT doc_id,

@@ -214,7 +214,8 @@ object Dedup {
     * loop: each round is a fully distributed join+aggregate, the driver
     * only checks convergence (the GraphX/GraphFrames CC shape).
     *
-    * Cache lifecycle: each round is FULLY materialized (count) before the
+    * Cache lifecycle: each round is FULLY materialized (one full-scan
+    * aggregate that doubles as the convergence check) before the
     * previous round's blocks are released — persist() alone only
     * registers the cache entry, and releasing the parent first would
     * re-execute every prior round per action, O(iters^2). The edge set
@@ -241,8 +242,13 @@ object Dedup {
           .select(col("node"),
             least(col("label"), col("nlabel")).as("label"),
             (col("nlabel") < col("label")).as("_changed")))
-      next.count() // fully materialize THIS round before releasing the last
-      converged = next.where(col("_changed")).limit(1).count() == 0L // cache read
+      // ONE action per round: the full-scan aggregate both materializes
+      // this round's cache (before the previous round's blocks go away)
+      // and returns the convergence signal — halves the per-round job count
+      // vs a count() + changed-probe pair.
+      val nChanged = next.agg(count(when(col("_changed"), 1)).as("c"))
+        .first().getLong(0)
+      converged = nChanged == 0L
       labels.unpersist(false)
       labels = next
       iter += 1
@@ -252,6 +258,54 @@ object Dedup {
         s"clusterRepresentatives did not converge within $maxIters rounds — " +
           "a cluster's diameter exceeds the guard; raise maxIters")
     labels.select(col("node").as(idCol), col("label").as("rep"))
+  }
+
+  /** C4/CCNet-style boilerplate LINE removal: drop every line whose
+    * trimmed form appears in at least `minDocFreq` DISTINCT documents
+    * (nav bars, cookie banners, license footers), rebuild each document
+    * from its surviving lines in original order. Blank lines are never
+    * counted as boilerplate (they'd match across every document) and are
+    * kept verbatim.
+    *
+    * Shape at scale: three key-partitioned shuffles, none corpus-pairwise —
+    * (1) distinct (doc, line-key) + count per line-key (map-side partial
+    * aggregation; the line-frequency table is |distinct lines|, not
+    * |corpus|); (2) left_anti join of the exploded lines against the
+    * boilerplate keys (shuffle on the line hash — the boilerplate set can
+    * exceed broadcast size at web scale, so it is NOT collected); (3)
+    * regroup by document id to reassemble. Reassembly sorts each doc's
+    * surviving lines by position inside the aggregate (array_sort on
+    * (pos, line) structs) — no window, no per-doc skew beyond document
+    * length itself.
+    */
+  def removeBoilerplateLines(docs: DataFrame, idCol: String, textCol: String,
+                             minDocFreq: Int): DataFrame = {
+    require(minDocFreq >= 2, "minDocFreq < 2 would drop every non-blank line")
+    val lines = docs.select(col(idCol),
+        posexplode(split(col(textCol), "\n")).as(Seq("pos", "line")))
+      .withColumn("k", trim(col("line")))
+    val boiler = lines.where(col("k") =!= "")
+      .select(col(idCol), col("k")).distinct()
+      .groupBy("k").agg(count(lit(1)).as("n_docs"))
+      .where(col("n_docs") >= minDocFreq)
+      .select("k")
+    val rebuilt = lines.join(boiler, Seq("k"), "left_anti")
+      .groupBy(col(idCol))
+      .agg(
+        concat_ws("\n",
+          transform(array_sort(collect_list(struct(col("pos"), col("line")))),
+            s => s.getField("line"))).as("clean_text"),
+        count(lit(1)).cast(LongType).as("n_kept_lines"))
+    // Documents whose every line was boilerplate drop out of `rebuilt`;
+    // restore them as empty documents so the operator is total.
+    docs.select(col(idCol),
+        size(split(col(textCol), "\n")).cast(LongType).as("_n_lines"))
+      .join(rebuilt, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("clean_text"), lit("")).as("clean_text"),
+        coalesce(col("n_kept_lines"), lit(0L)).as("n_kept_lines"),
+        (col("_n_lines") - coalesce(col("n_kept_lines"), lit(0L)))
+          .as("n_removed_lines"))
   }
 
   /** Benchmark-contamination report (the decontamination pass every

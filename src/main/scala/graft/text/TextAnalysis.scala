@@ -145,6 +145,53 @@ object TextAnalysis {
   def patternCount(text: Column, pattern: String): Column =
     size(regexp_extract_all(text, lit(pattern), lit(0)))
 
+  /** PII / unsafe-pattern redaction: every match of each [[FilterPatterns]]
+    * entry replaced with its `<name>` sentinel, applied IN LIST ORDER
+    * (order is part of the contract — an email inside a URL is redacted by
+    * whichever pattern runs first). Pure scan-side regexp_replace chain:
+    * redacting a 100 TB corpus is one codegen'd projection over the scan,
+    * no shuffle, and composes with the quality/language kernels in the
+    * same pass. Patterns stay in the Java/RE2-identical subset so an
+    * independent engine produces byte-identical redactions.
+    */
+  def redact(text: Column,
+             patterns: Seq[(String, String)] = FilterPatterns): Column =
+    patterns.foldLeft(text) { case (c, (name, p)) =>
+      regexp_replace(c, p, s"<$name>")
+    }
+
+  /** Hosts of every http(s) URL in the document, normalized for domain
+    * accounting: lowercased, `www.` stripped, port dropped. The unit of
+    * per-domain corpus quotas (cap crawl domination) and provenance
+    * aggregation. Group-1 extraction keeps it one regex pass.
+    */
+  def urlHosts(text: Column): Column =
+    transform(
+      regexp_extract_all(text, lit("https?://([^/\\s:]+)"), lit(1)),
+      h => regexp_replace(lower(h), "^www\\.", ""))
+
+  /** Overlapping token-window chunks (size `chunkSize`, step `stride`) from
+    * a PRE-TOKENIZED array column — the standard concat-and-chunk
+    * alternative for context-window packing and RAG indexing. Returns an
+    * array of {chunk_idx, chunk_toks} structs; callers `posexplode` to
+    * rows. Chunk starts at 0, stride, 2*stride ... while < n_tokens, so
+    * the last chunk may be short; an empty token array yields no chunks.
+    * Scan-side sequence+slice — no shuffle, no driver loop; the
+    * per-document work is O(n_tokens * chunkSize / stride).
+    */
+  def overlappingChunks(toks: Column, chunkSize: Int, stride: Int): Column = {
+    require(chunkSize >= 1 && stride >= 1, "chunkSize and stride must be >= 1")
+    when(size(toks) > 0,
+      transform(
+        sequence(lit(0), (size(toks) - 1).cast(IntegerType), lit(stride)),
+        (start, i) => struct(
+          i.as("chunk_idx"),
+          slice(toks, start + 1, lit(chunkSize)).as("chunk_toks"))))
+      .otherwise(array().cast(ArrayType(StructType(Seq(
+        StructField("chunk_idx", IntegerType, nullable = false),
+        StructField("chunk_toks", ArrayType(StringType), nullable = true))))))
+  }
+
   /** Exact-duplicate fingerprint: md5 of the whitespace-normalized text. */
   def exactFingerprint(text: Column): Column =
     md5(concat_ws(" ", tokens(text)))
