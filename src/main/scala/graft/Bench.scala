@@ -41,6 +41,10 @@ object Bench {
       try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
       catch { case e: Throwable => System.err.println(s"[bench] $name failed: $e") }
       val dt = (System.nanoTime() - t0) / 1e9
+      // One parse-safe line per query AS IT COMPLETES: a bounded stdout
+      // tail capture that truncates the final summary line still keeps
+      // the per-query timings (they're the most recent lines).
+      println(f"""{"query":"$name","sec":$dt%.3f}""")
       // Release each query's untracked persists between measurements so
       // leaked cache blocks never skew (or accidentally speed up) later
       // queries.
@@ -50,7 +54,14 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val line =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    println(line)
+    // Durable copy of the full artifact: survives any stdout truncation.
+    val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_local.json")
+    java.nio.file.Files.write(java.nio.file.Paths.get(out),
+      (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    System.err.println(s"[bench] full artifact written to $out")
     spark.stop()
   }
 }

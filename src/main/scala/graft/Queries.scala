@@ -764,6 +764,18 @@ object Queries {
           col("neighbor_id"), round(col("sim"), 6).as("sim"))
     }),
 
+    // Bulk-labeling IVF path: probe set too big to broadcast (corpus-as-
+    // queries), so it shuffles and equi-joins on centroid_id instead.
+    // Same semantics, same oracle — only the join strategy differs (both
+    // shapes pinned in PlanContractSpec).
+    "sim_ivf_topk_bulk" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.ivfTopK(emb.where(col("vec_id") < 8), emb, "vec_id", "embedding",
+          "label", k = 5, nprobe = 3, broadcastProbes = false)
+        .select(col("query_id"), col("rank").cast(LongType).as("rank"),
+          col("neighbor_id"), round(col("sim"), 6).as("sim"))
+    }),
+
     // Two-tier quantized search: int8-code recall tier (4x less data per
     // comparison), exact float rescore of k*4 candidates — the shape a
     // 100 TB vector corpus actually ships. Codes, approx ranks and the
@@ -2177,6 +2189,7 @@ object Queries {
     "dedup_simhash" -> simHashOracleSql,
 
     "sim_ivf_topk" -> ivfOracleSql,
+    "sim_ivf_topk_bulk" -> ivfOracleSql,
 
     "dedup_embedding_lsh" -> embeddingLshOracleSql,
 

@@ -203,53 +203,75 @@ object Dedup {
     * output alone under-deletes: A~B, B~C leaves A and C both "kept" by
     * a pair-local keeper policy).
     *
-    * Iterative min-label propagation: each round, every node takes the
-    * min of its own label and its neighbors' labels; converges in
-    * O(cluster diameter) rounds — near-dup clusters are shallow (stars /
-    * short chains), so 3-5 rounds in practice. A cluster deeper than
-    * `maxIters` THROWS rather than silently returning partially-propagated
-    * labels (which would under-delete exactly the way this operator
-    * exists to prevent) — raise `maxIters` for pathological chain-shaped
-    * clusters. This is the engine's ONE deliberate driver-coordinated
-    * loop: each round is a fully distributed join+aggregate, the driver
+    * Each round does min-label propagation (every node takes the min of
+    * its own and its neighbors' labels) PLUS a pointer-jumping shortcut
+    * (label := label(label), a self-join on the label table). The
+    * shortcut roughly doubles the propagation distance per round, so a
+    * cluster of diameter d converges in O(log d) rounds instead of the
+    * O(d) of propagation alone — a 1000-link pathological chain costs
+    * ~11 rounds, not 1000. A cluster deeper than the `maxIters` guard
+    * THROWS rather than silently returning partially-propagated labels
+    * (which would under-delete exactly the way this operator exists to
+    * prevent). This is the engine's ONE deliberate driver-coordinated
+    * loop: each round is fully distributed joins+aggregate, the driver
     * only checks convergence (the GraphX/GraphFrames CC shape).
     *
-    * Cache lifecycle: each round is FULLY materialized (one full-scan
-    * aggregate that doubles as the convergence check) before the
-    * previous round's blocks are released — persist() alone only
-    * registers the cache entry, and releasing the parent first would
-    * re-execute every prior round per action, O(iters^2). The edge set
-    * and the final labels go through `cache` (CacheScope contract, like
-    * the sibling dedup operators): long-lived sessions pass a scope and
-    * close it after consuming the result.
+    * Lineage: each round's label table is `localCheckpoint`ed (eager).
+    * The shortcut step references the round's tables twice, so plain
+    * caching would still grow the LOGICAL plan 4x per round —
+    * exponential in rounds; checkpointing truncates it to constant size
+    * (the standard shape for iterative graph algorithms — GraphFrames
+    * CC does the same). Superseded rounds' blocks are dropped by the
+    * ContextCleaner as their references expire; the edge set, reused
+    * every round, goes through `cache` (CacheScope contract, like the
+    * sibling dedup operators).
     */
   def clusterRepresentatives(nodes: DataFrame, idCol: String, pairs: DataFrame,
                              aCol: String = "doc_a", bCol: String = "doc_b",
                              maxIters: Int = 25,
-                             cache: DataFrame => DataFrame = graft.util.CacheScope.untracked): DataFrame = {
+                             cache: DataFrame => DataFrame = graft.util.CacheScope.untracked): DataFrame =
+    clusterRepresentativesWithRounds(nodes, idCol, pairs, aCol, bCol, maxIters, cache)._1
+
+  /** [[clusterRepresentatives]] plus the number of rounds it took to
+    * converge (including the final no-change detection round) — exposed
+    * so the round-complexity contract (O(log diameter)) is testable.
+    */
+  def clusterRepresentativesWithRounds(nodes: DataFrame, idCol: String, pairs: DataFrame,
+                                       aCol: String = "doc_a", bCol: String = "doc_b",
+                                       maxIters: Int = 25,
+                                       cache: DataFrame => DataFrame = graft.util.CacheScope.untracked): (DataFrame, Int) = {
     val edges = cache(pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
       .unionByName(pairs.select(col(bCol).as("src"), col(aCol).as("dst"))))
-    var labels = cache(nodes.select(col(idCol).as("node"), col(idCol).as("label")))
-    labels.count() // materialize before the first release cycle
+    var labels = nodes.select(col(idCol).as("node"), col(idCol).as("label"))
+      .localCheckpoint()
     var iter = 0
     var converged = false
     while (!converged && iter < maxIters) {
+      // Step A — propagate: every node takes min(own, neighbors') label.
       val neighborMin = edges.join(labels, col("dst") === col("node"))
         .groupBy(col("src")).agg(min(col("label")).as("nlabel"))
-      val next = cache(
+      // Eager checkpoint: materializes before the shortcut self-join
+      // (which reads it twice) and truncates lineage.
+      val propagated =
         labels.select(col("node"), col("label"))
           .join(neighborMin, col("node") === col("src"), "left")
           .select(col("node"),
             least(col("label"), col("nlabel")).as("label"),
-            (col("nlabel") < col("label")).as("_changed")))
-      // ONE action per round: the full-scan aggregate both materializes
-      // this round's cache (before the previous round's blocks go away)
-      // and returns the convergence signal — halves the per-round job count
-      // vs a count() + changed-probe pair.
+            (col("nlabel") < col("label")).as("_chA"))
+          .localCheckpoint()
+      // Step B — shortcut (pointer jump): label := label(label). Every
+      // label IS a node id (it's a min over ids), so the lookup is total;
+      // the left join + coalesce is belt and braces.
+      val lut = propagated.select(col("node").as("_ln"), col("label").as("_ll"))
+      val next =
+        propagated.join(lut, col("label") === col("_ln"), "left")
+          .select(col("node"),
+            coalesce(col("_ll"), col("label")).as("label"),
+            (col("_chA") || (col("_ll") < col("label"))).as("_changed"))
+          .localCheckpoint()
       val nChanged = next.agg(count(when(col("_changed"), 1)).as("c"))
         .first().getLong(0)
       converged = nChanged == 0L
-      labels.unpersist(false)
       labels = next
       iter += 1
     }
@@ -257,7 +279,7 @@ object Dedup {
       throw new IllegalStateException(
         s"clusterRepresentatives did not converge within $maxIters rounds — " +
           "a cluster's diameter exceeds the guard; raise maxIters")
-    labels.select(col("node").as(idCol), col("label").as("rep"))
+    (labels.select(col("node").as(idCol), col("label").as("rep")), iter)
   }
 
   /** C4/CCNet-style boilerplate LINE removal: drop every line whose

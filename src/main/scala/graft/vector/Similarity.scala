@@ -134,12 +134,21 @@ object Similarity {
   }
 
   /** IVF approximate top-k: assign every query to its `nprobe` nearest
-    * centroids (broadcast — centroid count is tiny), then search only
-    * corpus vectors whose label falls in the probed cells. Same output
-    * shape as [[bruteForceTopK]]; recall < 1 by construction.
+    * centroids (the centroid table is tiny and always broadcast), then
+    * search only corpus vectors whose label falls in the probed cells.
+    * Same output shape as [[bruteForceTopK]]; recall < 1 by construction.
+    *
+    * `broadcastProbes` picks the probe-side join strategy: `true` (the
+    * default, right for interactive query batches) broadcasts the
+    * |queries| x nprobe probe rows — each carrying a full float vector —
+    * to every corpus partition; `false` is the bulk-labeling path
+    * (corpus-as-queries), where that broadcast would overflow: the probe
+    * set is shuffled and equi-joined on `centroid_id` instead. Both
+    * shapes are pinned in PlanContractSpec.
     */
   def ivfTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
-              vecCol: String, labelCol: String, k: Int, nprobe: Int): DataFrame = {
+              vecCol: String, labelCol: String, k: Int, nprobe: Int,
+              broadcastProbes: Boolean = true): DataFrame = {
     val cents = centroids(corpus, labelCol, vecCol)
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qvec"))
     val probeW = Window.partitionBy(col("query_id"))
@@ -151,7 +160,9 @@ object Similarity {
       .select(col("query_id"), col("qvec"), col("centroid_id"))
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("nvec"),
       col(labelCol).as("centroid_id"))
-    val scored = c.join(broadcast(probes), Seq("centroid_id"))
+    val probeSide = if (broadcastProbes) broadcast(probes)
+                    else probes.hint("shuffle_hash")
+    val scored = c.join(probeSide, Seq("centroid_id"))
       .where(col("query_id") =!= col("neighbor_id"))
       .withColumn("sim", cosine(col("qvec"), col("nvec")))
     // Map-side partial top-k (bounded heap) — the exchange carries k pairs

@@ -94,6 +94,15 @@ class PlanContractSpec extends SparkSpec {
     assert(!hasSort(p), s"unexpected sort in profile plan:\n$p")
   }
 
+  test("ivf probe join: broadcast for query batches, shuffled hash for bulk labeling") {
+    // Interactive path ships the probe rows to every corpus partition…
+    assert(plan("sim_ivf_topk").contains("BroadcastHashJoin"))
+    // …bulk path must NOT broadcast the (potentially corpus-sized) probe
+    // set: the probe join is a shuffled hash join on centroid_id.
+    val bulk = plan("sim_ivf_topk_bulk")
+    assert(bulk.contains("ShuffledHashJoin"), bulk.take(600))
+  }
+
   test("pack_chunks shuffles once on the shard key, no global window") {
     val p = plan("pack_chunks")
     val exchanges = "Exchange hashpartitioning".r.findAllIn(p).size

@@ -108,9 +108,23 @@ class TextDedupSpec extends SparkSpec {
     assert(flipped == got)
     // Exceeding the round guard must FAIL, never return partial labels.
     val e = intercept[IllegalStateException] {
-      Dedup.clusterRepresentatives(nodes, "id", pairs, maxIters = 2)
+      Dedup.clusterRepresentatives(nodes, "id", pairs, maxIters = 1)
     }
     assert(e.getMessage.contains("maxIters"))
+  }
+
+  test("clusterRepresentatives: pathological chain converges in O(log diameter) rounds") {
+    // Chain of 33 nodes (diameter 32). Pure min-label propagation needs 32
+    // rounds; the pointer-jumping shortcut must close it in
+    // <= log2(32) + 1 = 6 rounds (including the no-change detection round).
+    val n = 33
+    val nodes = (1 to n).map(_.toLong).toDF("id")
+    val pairs = (1 until n).map(i => (i.toLong, (i + 1).toLong)).toDF("doc_a", "doc_b")
+    val (labels, rounds) =
+      Dedup.clusterRepresentativesWithRounds(nodes, "id", pairs, maxIters = 10)
+    val got = labels.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.values.toSet == Set(1L), "every chain node must label to the min id")
+    assert(rounds <= 6, s"expected <= log2(d)+1 = 6 rounds, took $rounds")
   }
 
   test("hot-shingle cap removes high-df shingles from the index") {
