@@ -49,10 +49,31 @@ object Sinks {
 
   /** Ordered CSV export (reference S7+O-O1): global sort, then a single
     * header file. `coalesce(1)` is deliberate and ONLY valid at export
-    * grain — state tables stay partition-parallel.
+    * grain — state tables stay partition-parallel — so the sink REFUSES
+    * datasets past `maxRows` (one task would write the world): the probe
+    * is a short-circuiting `limit(maxRows+1)` count, not a full count.
+    * Oversized exports belong in [[exportCsvPartitioned]].
     */
-  def exportCsv(df: DataFrame, dir: String, sortCols: Seq[org.apache.spark.sql.Column]): Unit =
+  def exportCsv(df: DataFrame, dir: String, sortCols: Seq[org.apache.spark.sql.Column],
+                maxRows: Long = 10000000L): Unit = {
+    val probe = df.limit((maxRows + 1).min(Int.MaxValue.toLong).toInt).count()
+    if (probe > maxRows)
+      throw new IllegalArgumentException(
+        s"exportCsv: dataset exceeds $maxRows rows — a single-file export would " +
+          "funnel the write through one task; use exportCsvPartitioned (range-" +
+          "ordered multi-file) or raise maxRows deliberately")
     df.orderBy(sortCols: _*).coalesce(1)
+      .write.mode(SaveMode.Overwrite).option("header", "true").csv(dir)
+  }
+
+  /** Scale-grade ordered CSV export: range-partition on the sort key and
+    * sort within partitions — the concatenation of the part files in
+    * filename order IS the global order, but every task writes its own
+    * slice in parallel. The form to use when [[exportCsv]] refuses.
+    */
+  def exportCsvPartitioned(df: DataFrame, dir: String,
+                           sortCols: Seq[org.apache.spark.sql.Column]): Unit =
+    df.repartitionByRange(sortCols: _*).sortWithinPartitions(sortCols: _*)
       .write.mode(SaveMode.Overwrite).option("header", "true").csv(dir)
 
   /** Write a state table BUCKETED (+ sorted) by the merge key: every

@@ -72,6 +72,27 @@ class PipelineSpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("exportCsv refuses oversized datasets; partitioned export preserves global order") {
+    val big = spark.range(0, 100).toDF("id")
+    val e = intercept[IllegalArgumentException] {
+      Sinks.exportCsv(big, Files.createTempDirectory("graft_csv_cap").toString + "/x",
+        Seq(col("id").asc), maxRows = 50L)
+    }
+    assert(e.getMessage.contains("exportCsvPartitioned"))
+    // The pointer target: range-partitioned export, part files in filename
+    // order concatenate to the global order.
+    val dir = Files.createTempDirectory("graft_csv_part").toString + "/y"
+    Sinks.exportCsvPartitioned(big, dir, Seq(col("id").asc))
+    val parts = new java.io.File(dir).listFiles()
+      .filter(f => f.getName.startsWith("part-") && f.getName.endsWith(".csv"))
+      .sortBy(_.getName)
+    assert(parts.length > 1, "range export should produce multiple part files")
+    val ids = parts.flatMap(f =>
+      scala.io.Source.fromFile(f).getLines().drop(1).map(_.toLong).toList)
+    assert(ids.toList == (0L until 100L).toList,
+      "filename-ordered concatenation must equal the global sort order")
+  }
+
   test("atomic swap write never leaves a missing table") {
     val path = Files.createTempDirectory("graft_swap").toString + "/t"
     Sinks.atomicSwapWrite(spark, Seq((1, "a")).toDF("k", "v"), path)
