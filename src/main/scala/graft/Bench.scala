@@ -47,8 +47,14 @@ object Bench {
       println(f"""{"query":"$name","sec":$dt%.3f}""")
       // Release each query's untracked persists between measurements so
       // leaked cache blocks never skew (or accidentally speed up) later
-      // queries.
+      // queries. clearCache() only drops catalog-tracked relations —
+      // localCheckpoint blocks (dedup_cluster_reps checkpoints per CC
+      // round) and raw .persist()s live in getPersistentRDDs, and
+      // shuffle/broadcast blocks are reclaimed by the ContextCleaner
+      // only after their references are GC'd — hence all three steps.
       spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
+      System.gc()
       name -> dt
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }

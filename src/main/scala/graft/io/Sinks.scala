@@ -70,11 +70,22 @@ object Sinks {
     * sort within partitions — the concatenation of the part files in
     * filename order IS the global order, but every task writes its own
     * slice in parallel. The form to use when [[exportCsv]] refuses.
+    * `numPartitions` pins the output file count (sized so one slice fits
+    * a downstream consumer comfortably); left empty, Spark — including
+    * AQE, which may coalesce small exports to fewer files — picks it.
     */
   def exportCsvPartitioned(df: DataFrame, dir: String,
-                           sortCols: Seq[org.apache.spark.sql.Column]): Unit =
-    df.repartitionByRange(sortCols: _*).sortWithinPartitions(sortCols: _*)
+                           sortCols: Seq[org.apache.spark.sql.Column],
+                           numPartitions: Option[Int] = None): Unit = {
+    val ranged = numPartitions match {
+      case Some(n) =>
+        require(n > 0, s"exportCsvPartitioned: numPartitions must be positive, got $n")
+        df.repartitionByRange(n, sortCols: _*)
+      case None => df.repartitionByRange(sortCols: _*)
+    }
+    ranged.sortWithinPartitions(sortCols: _*)
       .write.mode(SaveMode.Overwrite).option("header", "true").csv(dir)
+  }
 
   /** Write a state table BUCKETED (+ sorted) by the merge key: every
     * subsequent merge/join keyed on `keys` reads co-located buckets and

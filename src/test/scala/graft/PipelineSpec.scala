@@ -82,7 +82,9 @@ class PipelineSpec extends SparkSpec {
     // The pointer target: range-partitioned export, part files in filename
     // order concatenate to the global order.
     val dir = Files.createTempDirectory("graft_csv_part").toString + "/y"
-    Sinks.exportCsvPartitioned(big, dir, Seq(col("id").asc))
+    // Pin the file count explicitly — without it AQE may legitimately
+    // coalesce a 100-row shuffle to one partition.
+    Sinks.exportCsvPartitioned(big, dir, Seq(col("id").asc), numPartitions = Some(4))
     val parts = new java.io.File(dir).listFiles()
       .filter(f => f.getName.startsWith("part-") && f.getName.endsWith(".csv"))
       .sortBy(_.getName)
