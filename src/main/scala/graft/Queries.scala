@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 import graft.io.Tables
-import graft.ops.{AsOf, BloomPrune, Merge, Normalize, Quality, Reshape, Summary, Windows}
+import graft.ops.{AsOf, BloomPrune, Merge, Normalize, Quality, Recall, Reshape, Summary, Windows}
 import graft.text.{Dedup, TextAnalysis}
 import graft.vector.Similarity
 import graft.multimodal.BinaryOps
@@ -794,12 +794,60 @@ object Queries {
       Similarity.nearDupPairs(t(s, dir, "embeddings"), "vec_id", "embedding", 0.45)
         .select(col("doc_a"), col("doc_b"), round(col("sim"), 6).as("sim"))),
 
-    // LSH-bucketed variant (candidates = shared hyperplane bucket;
-    // recall < 1, verified exactly -> rows-only check).
+    // LSH-bucketed variant: candidates share a hyperplane bucket in any of
+    // three seeded hash tables (multi-table LSH — the production recall
+    // knob; measured recall ~3x the single-table form), verified exactly.
     "dedup_embedding_lsh" -> ((s, dir) =>
       Similarity.lshNearDupPairs(t(s, dir, "embeddings"), "vec_id", "embedding",
-          dim = 64, threshold = 0.45, nbits = 4)
+          dim = 64, threshold = 0.45, nbits = 4, seeds = lshSeeds)
         .select(col("doc_a"), col("doc_b"), round(col("sim"), 6).as("sim"))),
+
+    // ---- recall audits for the approximate tiers --------------------------
+    // One-row reports: recall of each approximate tier vs its exact twin,
+    // integer-count arithmetic only (deterministic under any partitioning).
+    // The oracle replicates the VALUE but hard-codes meets_floor = TRUE,
+    // so a parameter change that silently tanks recall flips the Spark row
+    // false and the gate red (the agg_approx_distinct tripwire pattern).
+    // Floors sit ~60% of measured recall at the test SFs: a real
+    // regression (halved recall) trips them; SF-to-SF noise does not.
+    // (IVF measured 0.33-0.43 — nprobe 3 of 10 cells whose labels are NOT
+    // learned clusters, so ~nprobe/ncells is the intrinsic ceiling here.)
+    "recall_ivf_topk" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val q = emb.where(col("vec_id") < 8)
+      Recall.topKRecall(
+        Similarity.ivfTopK(q, emb, "vec_id", "embedding", "label", k = 5, nprobe = 3),
+        Similarity.bruteForceTopK(q, emb, "vec_id", "embedding", 5),
+        k = 5, floor = 0.2)
+    }),
+
+    "recall_quantized_rescore" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val q = emb.where(col("vec_id") < 8)
+      Recall.topKRecall(
+        Similarity.quantizedTopK(q, emb, "vec_id", "embedding", k = 5, rescoreFactor = 4),
+        Similarity.bruteForceTopK(q, emb, "vec_id", "embedding", 5),
+        k = 5, floor = 0.6)
+    }),
+
+    "recall_embedding_lsh" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Recall.pairRecall(
+        Similarity.lshNearDupPairs(emb, "vec_id", "embedding",
+          dim = 64, threshold = 0.45, nbits = 4, seeds = lshSeeds),
+        Similarity.nearDupPairs(emb, "vec_id", "embedding", 0.45),
+        floor = 0.3)
+    }),
+
+    "recall_minhash_lsh" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      Recall.pairRecall(
+        Dedup.minHashLshPairs(docs, "doc_id", "text",
+          n = 3, threshold = 0.5, maxDocFreq = 100L, hashFn = Dedup.Md5Hash60),
+        Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+          n = 3, threshold = 0.5, maxDocFreq = 100L),
+        floor = 0.5)
+    }),
 
     // The custom codegen'd expression through the SQL surface: graft_dot
     // registered on the session, invoked from spark.sql in the graded gate.
@@ -1543,24 +1591,135 @@ object Queries {
        |      FROM sc)
        |SELECT query_id, rank, neighbor_id, round(sim, 6) AS sim FROM r WHERE rank <= 5""".stripMargin
 
-  /** DuckDB replica of the random-hyperplane LSH near-dup path: the exact
-    * plane coefficients from [[Similarity.hyperplaneCoef]] embedded as
-    * literals, bucket equi-join, exact cosine verification.
+  /** Hash-table seeds for the multi-table LSH near-dup gate (shared by the
+    * Spark side, its oracle, and the recall audit). */
+  private val lshSeeds = Seq(42L, 43L, 44L)
+
+  /** DuckDB replica of the multi-table random-hyperplane LSH near-dup
+    * path: per-seed bucket ids from the exact plane coefficients of
+    * [[Similarity.hyperplaneCoef]] embedded as literals, candidates =
+    * bucket match in ANY table (distinct pair ids), exact cosine
+    * verification once per surviving pair.
     */
   private def embeddingLshOracleSql: String = {
-    val planes = (0 until 4).map { b =>
-      val arr = (0 until 64)
-        .map(p => java.lang.Double.toString(Similarity.hyperplaneCoef(42L, b, p)))
-        .mkString(", ")
-      s"(CASE WHEN list_dot_product(v, [$arr]) > 0 THEN (1::BIGINT << $b) ELSE 0::BIGINT END)"
-    }.mkString(" | ")
+    val bucketExprs = lshSeeds.zipWithIndex.map { case (seed, i) =>
+      val planes = (0 until 4).map { b =>
+        val arr = (0 until 64)
+          .map(p => java.lang.Double.toString(Similarity.hyperplaneCoef(seed, b, p)))
+          .mkString(", ")
+        s"(CASE WHEN list_dot_product(v, [$arr]) > 0 THEN (1::BIGINT << $b) ELSE 0::BIGINT END)"
+      }.mkString(" | ")
+      s"$planes AS b$i"
+    }
+    val anyTable = lshSeeds.indices.map(i => s"a.b$i = b.b$i").mkString(" OR ")
     s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
-       |bkt AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm, $planes AS bucket FROM e),
-       |p AS (SELECT a.vec_id AS doc_a, b.vec_id AS doc_b,
-       |        list_dot_product(a.v, b.v) / (a.nrm * b.nrm) AS sim
-       |      FROM bkt a JOIN bkt b ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
+       |bkt AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm, ${bucketExprs.mkString(", ")} FROM e),
+       |cand AS (SELECT DISTINCT a.vec_id AS doc_a, b.vec_id AS doc_b
+       |         FROM bkt a JOIN bkt b ON a.vec_id < b.vec_id AND ($anyTable)),
+       |p AS (SELECT c.doc_a, c.doc_b,
+       |        list_dot_product(x.v, y.v) / (x.nrm * y.nrm) AS sim
+       |      FROM cand c JOIN bkt x ON x.vec_id = c.doc_a
+       |                  JOIN bkt y ON y.vec_id = c.doc_b)
        |SELECT doc_a, doc_b, round(sim, 6) AS sim FROM p WHERE sim >= 0.45""".stripMargin
   }
+
+  /** DuckDB twin of the exact brute-force cosine top-k (shared by both
+    * brute gates and, as the exact reference, by the recall audits).
+    */
+  private val bruteTopKOracleSql: String =
+    """WITH q AS (SELECT vec_id AS query_id,
+      |             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
+      |           FROM embeddings WHERE vec_id < 8),
+      |c AS (SELECT vec_id AS neighbor_id,
+      |        list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cv
+      |      FROM embeddings),
+      |s AS (SELECT query_id, neighbor_id,
+      |        list_dot_product(qv, cv) AS d,
+      |        sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv)) AS n
+      |      FROM q CROSS JOIN c WHERE query_id <> neighbor_id),
+      |r AS (SELECT query_id, neighbor_id,
+      |        CASE WHEN n > 0 THEN d / n END AS sim,
+      |        row_number() OVER (PARTITION BY query_id
+      |          ORDER BY CASE WHEN n > 0 THEN d / n END DESC, neighbor_id) AS rank
+      |      FROM s)
+      |SELECT query_id, rank, neighbor_id, round(sim, 6) AS sim FROM r WHERE rank <= 5""".stripMargin
+
+  /** Recall-audit oracle: approximate top-k vs exact top-k, nested-WITH
+    * composition of the two full replicas; meets_floor is the literal-TRUE
+    * tripwire (see the recall_* gate comments).
+    */
+  private def topKRecallOracleSql(approxSql: String): String =
+    s"""WITH approx AS ($approxSql),
+       |exact AS ($bruteTopKOracleSql),
+       |hits AS (SELECT a.query_id, count(*) AS hits
+       |         FROM approx a JOIN exact e
+       |           ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id
+       |         GROUP BY 1),
+       |per AS (SELECT q.query_id, COALESCE(h.hits, 0) AS hits
+       |        FROM (SELECT DISTINCT query_id FROM exact) q
+       |        LEFT JOIN hits h ON q.query_id = h.query_id)
+       |SELECT count(*) AS n_queries,
+       |  round(CAST(SUM(hits) AS DOUBLE) / (count(*) * 5), 6) AS mean_recall,
+       |  round(CAST(MIN(hits) AS DOUBLE) / 5, 6) AS min_recall,
+       |  TRUE AS meets_floor
+       |FROM per""".stripMargin
+
+  /** DuckDB twin of the two-tier quantized search (shared by its gate and
+    * its recall audit): quantization per vec_quantize_int8, int-code dot
+    * exact in double, rescore over the float cosine.
+    */
+  private val quantizedRescoreOracleSql: String =
+    """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      |           FROM embeddings),
+      |m AS (SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) AS maxabs FROM e),
+      |z AS (SELECT vec_id, v,
+      |        CASE WHEN maxabs > 0 THEN 127.0 / maxabs ELSE 0.0 END AS scale,
+      |        list_transform(v, x ->
+      |          floor(x * (CASE WHEN maxabs > 0 THEN 127.0 / maxabs ELSE 0.0 END) + 0.5)) AS qv
+      |      FROM m),
+      |p AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+      |        q.v AS qf, c.v AS cf,
+      |        CASE WHEN q.scale > 0 AND c.scale > 0
+      |          THEN list_dot_product(q.qv, c.qv) / (q.scale * c.scale)
+      |          ELSE 0.0 END AS approx
+      |      FROM z q CROSS JOIN z c
+      |      WHERE q.vec_id < 8 AND c.vec_id <> q.vec_id),
+      |a AS (SELECT *, row_number() OVER (PARTITION BY query_id
+      |        ORDER BY approx DESC, neighbor_id) AS arank FROM p),
+      |r AS (SELECT query_id, neighbor_id,
+      |        list_dot_product(qf, cf) AS d,
+      |        sqrt(list_dot_product(qf, qf)) * sqrt(list_dot_product(cf, cf)) AS n
+      |      FROM a WHERE arank <= 20),
+      |s AS (SELECT query_id, neighbor_id,
+      |        CASE WHEN n > 0 THEN d / n END AS sim,
+      |        row_number() OVER (PARTITION BY query_id
+      |          ORDER BY CASE WHEN n > 0 THEN d / n END DESC, neighbor_id) AS rank
+      |      FROM r)
+      |SELECT query_id, rank, neighbor_id, round(sim, 6) AS sim FROM s WHERE rank <= 5""".stripMargin
+
+  /** DuckDB twin of the exact embedding near-dup pair set (shared by its
+    * gate and the LSH recall audit). */
+  private val embeddingExactPairsOracleSql: String =
+    """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      |           FROM embeddings),
+      |n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
+      |p AS (SELECT a.vec_id AS doc_a, b.vec_id AS doc_b,
+      |        list_dot_product(a.v, b.v) / (a.nrm * b.nrm) AS sim
+      |      FROM n a JOIN n b ON a.vec_id < b.vec_id)
+      |SELECT doc_a, doc_b, round(sim, 6) AS sim FROM p WHERE sim >= 0.45""".stripMargin
+
+  /** Recall-audit oracle for verified pair sets (doc_a < doc_b). */
+  private def pairRecallOracleSql(approxSql: String, exactSql: String): String =
+    s"""WITH approx AS ($approxSql),
+       |exact AS ($exactSql),
+       |h AS (SELECT count(*) AS n_hits FROM approx a JOIN exact e
+       |        ON a.doc_a = e.doc_a AND a.doc_b = e.doc_b),
+       |na AS (SELECT count(*) AS n_approx FROM approx),
+       |ne AS (SELECT count(*) AS n_exact FROM exact)
+       |SELECT ne.n_exact, na.n_approx,
+       |  round(CAST(h.n_hits AS DOUBLE) / ne.n_exact, 6) AS recall,
+       |  TRUE AS meets_floor
+       |FROM ne, na, h""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
     "q1_agg" ->
@@ -2060,82 +2219,24 @@ object Queries {
          |  SELECT e.dst, r.root FROM reach r JOIN edges e ON e.src = r.node)
          |SELECT node AS doc_id, MIN(root) AS rep FROM reach GROUP BY 1""".stripMargin,
 
-    "sim_brute_topk" ->
-      """WITH q AS (SELECT vec_id AS query_id,
-        |             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
-        |           FROM embeddings WHERE vec_id < 8),
-        |c AS (SELECT vec_id AS neighbor_id,
-        |        list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cv
-        |      FROM embeddings),
-        |s AS (SELECT query_id, neighbor_id,
-        |        list_dot_product(qv, cv) AS d,
-        |        sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv)) AS n
-        |      FROM q CROSS JOIN c WHERE query_id <> neighbor_id),
-        |r AS (SELECT query_id, neighbor_id,
-        |        CASE WHEN n > 0 THEN d / n END AS sim,
-        |        row_number() OVER (PARTITION BY query_id
-        |          ORDER BY CASE WHEN n > 0 THEN d / n END DESC, neighbor_id) AS rank
-        |      FROM s)
-        |SELECT query_id, rank, neighbor_id, round(sim, 6) AS sim FROM r WHERE rank <= 5""".stripMargin,
+    "sim_brute_topk" -> bruteTopKOracleSql,
 
     // Quantization replicated per vec_quantize_int8; the int-code dot is
     // exact in double (|products| <= 127^2 * dim), so the recall ranking
     // matches bit-for-bit, and the rescore reuses the float cosine.
-    "sim_quantized_rescore" ->
-      """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-        |           FROM embeddings),
-        |m AS (SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) AS maxabs FROM e),
-        |z AS (SELECT vec_id, v,
-        |        CASE WHEN maxabs > 0 THEN 127.0 / maxabs ELSE 0.0 END AS scale,
-        |        list_transform(v, x ->
-        |          floor(x * (CASE WHEN maxabs > 0 THEN 127.0 / maxabs ELSE 0.0 END) + 0.5)) AS qv
-        |      FROM m),
-        |p AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
-        |        q.v AS qf, c.v AS cf,
-        |        CASE WHEN q.scale > 0 AND c.scale > 0
-        |          THEN list_dot_product(q.qv, c.qv) / (q.scale * c.scale)
-        |          ELSE 0.0 END AS approx
-        |      FROM z q CROSS JOIN z c
-        |      WHERE q.vec_id < 8 AND c.vec_id <> q.vec_id),
-        |a AS (SELECT *, row_number() OVER (PARTITION BY query_id
-        |        ORDER BY approx DESC, neighbor_id) AS arank FROM p),
-        |r AS (SELECT query_id, neighbor_id,
-        |        list_dot_product(qf, cf) AS d,
-        |        sqrt(list_dot_product(qf, qf)) * sqrt(list_dot_product(cf, cf)) AS n
-        |      FROM a WHERE arank <= 20),
-        |s AS (SELECT query_id, neighbor_id,
-        |        CASE WHEN n > 0 THEN d / n END AS sim,
-        |        row_number() OVER (PARTITION BY query_id
-        |          ORDER BY CASE WHEN n > 0 THEN d / n END DESC, neighbor_id) AS rank
-        |      FROM r)
-        |SELECT query_id, rank, neighbor_id, round(sim, 6) AS sim FROM s WHERE rank <= 5""".stripMargin,
+    "sim_quantized_rescore" -> quantizedRescoreOracleSql,
 
-    "sim_brute_topk_agg" ->
-      """WITH q AS (SELECT vec_id AS query_id,
-        |             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
-        |           FROM embeddings WHERE vec_id < 8),
-        |c AS (SELECT vec_id AS neighbor_id,
-        |        list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cv
-        |      FROM embeddings),
-        |s AS (SELECT query_id, neighbor_id,
-        |        list_dot_product(qv, cv) AS d,
-        |        sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv)) AS n
-        |      FROM q CROSS JOIN c WHERE query_id <> neighbor_id),
-        |r AS (SELECT query_id, neighbor_id,
-        |        CASE WHEN n > 0 THEN d / n END AS sim,
-        |        row_number() OVER (PARTITION BY query_id
-        |          ORDER BY CASE WHEN n > 0 THEN d / n END DESC, neighbor_id) AS rank
-        |      FROM s)
-        |SELECT query_id, rank, neighbor_id, round(sim, 6) AS sim FROM r WHERE rank <= 5""".stripMargin,
+    "recall_ivf_topk" -> topKRecallOracleSql(ivfOracleSql),
+    "recall_quantized_rescore" -> topKRecallOracleSql(quantizedRescoreOracleSql),
+    "recall_embedding_lsh" ->
+      pairRecallOracleSql(embeddingLshOracleSql, embeddingExactPairsOracleSql),
+    "recall_minhash_lsh" ->
+      pairRecallOracleSql(minHashLshOracleSql,
+        s"WITH $jaccardPairsCte SELECT doc_a, doc_b FROM jpairs"),
 
-    "dedup_embedding" ->
-      """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-        |           FROM embeddings),
-        |n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
-        |p AS (SELECT a.vec_id AS doc_a, b.vec_id AS doc_b,
-        |        list_dot_product(a.v, b.v) / (a.nrm * b.nrm) AS sim
-        |      FROM n a JOIN n b ON a.vec_id < b.vec_id)
-        |SELECT doc_a, doc_b, round(sim, 6) AS sim FROM p WHERE sim >= 0.45""".stripMargin,
+    "sim_brute_topk_agg" -> bruteTopKOracleSql,
+
+    "dedup_embedding" -> embeddingExactPairsOracleSql,
 
     "sql_graft_dot" ->
       """SELECT vec_id,

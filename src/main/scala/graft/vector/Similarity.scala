@@ -193,23 +193,38 @@ object Similarity {
   }
 
   /** LSH-bucketed embedding near-dup: candidates share a random-hyperplane
-    * bucket (equi-join on the bucket id — partitions cleanly at corpus
-    * scale), then exact cosine verification. Recall < 1 by construction
-    * (pairs split across buckets are missed); raise recall by lowering
-    * `nbits` or unioning several seeds.
+    * bucket in at least one of the `seeds` hash tables (equi-join on
+    * (table, bucket id) — partitions cleanly at corpus scale), then exact
+    * cosine verification. Recall < 1 by construction (pairs split across
+    * buckets in EVERY table are missed); each extra table multiplies the
+    * miss probability by (1 - p) for per-table collision rate p — the
+    * standard multi-table LSH recall knob (lowering `nbits` is the other).
+    *
+    * Candidate pair ids are deduplicated BEFORE verification (a near pair
+    * collides in several tables) and the vectors re-attached by id, so
+    * the distinct shuffles only id pairs, never embeddings, and each
+    * surviving pair is verified exactly once.
     */
   def lshNearDupPairs(corpus: DataFrame, idCol: String, vecCol: String,
                       dim: Int, threshold: Double, nbits: Int = 8,
-                      seed: Long = 42L): DataFrame = {
-    val bucketed = corpus.select(col(idCol).as("id"), col(vecCol).as("v"),
-      lshBucket(col(vecCol), dim, nbits, seed).as("bucket"))
+                      seeds: Seq[Long] = Seq(42L)): DataFrame = {
+    require(seeds.nonEmpty, "lshNearDupPairs needs at least one hash-table seed")
+    val base = corpus.select(col(idCol).as("id"), col(vecCol).as("v"))
       .withColumn("nrm", sqrt(dot(col("v"), col("v"))))
-    val a = bucketed.select(col("id").as("doc_a"), col("v").as("va"),
-      col("nrm").as("na"), col("bucket"))
-    val b = bucketed.select(col("id").as("doc_b"), col("v").as("vb"),
-      col("nrm").as("nb"), col("bucket"))
-    a.join(b, Seq("bucket"))
+    val tables = array(seeds.zipWithIndex.map { case (s, i) =>
+      struct(lit(i).as("tbl"), lshBucket(col("v"), dim, nbits, s).as("bucket"))
+    }: _*)
+    val bucketed = base
+      .select(col("id"), explode(tables).as("tb"))
+      .select(col("id"), col("tb.tbl").as("tbl"), col("tb.bucket").as("bucket"))
+    val cand = bucketed.select(col("id").as("doc_a"), col("tbl"), col("bucket"))
+      .join(bucketed.select(col("id").as("doc_b"), col("tbl"), col("bucket")),
+        Seq("tbl", "bucket"))
       .where(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b")).distinct()
+    cand
+      .join(base.select(col("id").as("doc_a"), col("v").as("va"), col("nrm").as("na")), Seq("doc_a"))
+      .join(base.select(col("id").as("doc_b"), col("v").as("vb"), col("nrm").as("nb")), Seq("doc_b"))
       .withColumn("sim", dot(col("va"), col("vb")) / (col("na") * col("nb")))
       .where(col("sim") >= threshold)
       .select(col("doc_a"), col("doc_b"), col("sim"))

@@ -1,0 +1,55 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scale-dataset generator (`sbt 'Test/runMain graft.ScaleData [src out factor]'`):
+  * replicates the fact tables of an sf directory `factor`x with
+  * primary-key offsets — orders/lineitem share the orderkey offset so
+  * their join keys stay consistent — while dimension tables are copied
+  * unchanged (real datasets grow facts, not dims). Replicated documents /
+  * embeddings keep their text/vector payloads, so every original row
+  * gains `factor - 1` exact duplicates: the dedup families see a
+  * duplicate-heavy corpus, which is exactly the workload they exist for.
+  *
+  * The output directory serves as a drop-in SPARK_GRAFT_SF_DIR for Bench:
+  * sf0.1 x 10 ~ sf1 for every per-row and per-group cost. The events
+  * table is written with the nanos column as BIGINT (Spark cannot write
+  * TIMESTAMP(NANOS)); [[graft.io.Tables.events]] already branches on the
+  * column type, so readers are unaffected.
+  */
+object ScaleData {
+  def main(args: Array[String]): Unit = {
+    val src = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val out = args.lift(1).getOrElse("/tmp/graft_sf1")
+    val factor = args.lift(2).map(_.toInt).getOrElse(10)
+    val spark = SparkSession.builder().master("local[8]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    def replicate(df: DataFrame, keyCols: Seq[String], offset: Long): DataFrame =
+      (0 until factor).map { i =>
+        keyCols.foldLeft(df)((d, k) => d.withColumn(k, col(k) + lit(i * offset)))
+      }.reduce(_ unionByName _)
+
+    def write(df: DataFrame, name: String): Unit = {
+      df.write.mode("overwrite").parquet(s"$out/$name.parquet")
+      println(s"SCALEDATA $name rows=${spark.read.parquet(s"$out/$name.parquet").count()}")
+    }
+
+    val t = (n: String) => spark.read.parquet(s"$src/$n.parquet")
+    for (dim <- Seq("region", "nation", "customer", "supplier", "part"))
+      write(t(dim), dim)
+    // orders/lineitem share the orderkey offset so l_orderkey still
+    // resolves to its replica's order.
+    write(replicate(t("orders"), Seq("o_orderkey"), 100000000L), "orders")
+    write(replicate(t("lineitem"), Seq("l_orderkey"), 100000000L), "lineitem")
+    write(replicate(t("events"), Seq("event_id"), 100000000L), "events")
+    write(replicate(t("documents"), Seq("doc_id"), 100000000L), "documents")
+    write(replicate(t("embeddings"), Seq("vec_id"), 100000000L), "embeddings")
+    spark.stop()
+  }
+}

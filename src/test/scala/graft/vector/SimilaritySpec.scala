@@ -115,6 +115,16 @@ class SimilaritySpec extends SparkSpec {
     assert(lsh.subsetOf(exact))
   }
 
+  test("multi-table LSH recovers at least the single-table pairs, no duplicates") {
+    def pairs(seeds: Seq[Long]) = Similarity.lshNearDupPairs(vecs, "vec_id",
+        "embedding", dim = 3, threshold = 0.95, nbits = 2, seeds = seeds)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val single = pairs(Seq(42L))
+    val multi = pairs(Seq(42L, 43L, 44L))
+    assert(single.toSet.subsetOf(multi.toSet)) // table 0 shares the seed
+    assert(multi.size == multi.toSet.size) // cross-table collisions dedup'd
+  }
+
   test("LSH bucket: identical vectors share a bucket, deterministic across runs") {
     val df = Seq((0L, Array(1.0f, 2.0f, 3.0f)), (1L, Array(1.0f, 2.0f, 3.0f)),
       (2L, Array(-1.0f, -2.0f, -3.0f))).toDF("id", "v")
