@@ -1262,6 +1262,40 @@ object Queries {
         col("max_v").cast(DoubleType).as("max_v"))
     }),
 
+    // ---- incrementally-maintained quantile sketch -------------------------
+    // Three batch sketches folded into one state (ops/QuantileSketch, the
+    // HDR-histogram state) must equal the single-shot histogram — same
+    // algebraic-merge contract as incremental_rollup, for quantiles.
+    // p50/p90 read off the merged sketch are replicated exactly by the
+    // oracle's single-shot histogram; the *_within_tol columns compare
+    // them to Spark's exact percentile (bucket width 1/16 -> tolerance
+    // 0.1) with a literal-TRUE oracle twin — the tripwire that fires if
+    // a precision change silently degrades the sketch.
+    "incremental_quantiles" -> ((s, dir) => {
+      import graft.ops.QuantileSketch
+      val orders = t(s, dir, "orders").select(col("o_orderstatus"),
+        (col("o_totalprice").cast(Dec152) * 100).cast(LongType).as("cents"),
+        col("o_orderkey"))
+      val batches = (0 until 3).map(i =>
+        orders.where(pmod(col("o_orderkey"), lit(3)) === i))
+      val init = QuantileSketch.summarize(batches.head, Seq("o_orderstatus"), col("cents"))
+      val state = batches.tail.foldLeft(init)((st, b) =>
+        QuantileSketch.merge(st,
+          QuantileSketch.summarize(b, Seq("o_orderstatus"), col("cents")),
+          Seq("o_orderstatus")))
+      val sketched = QuantileSketch.quantiles(state, Seq("o_orderstatus"),
+        Seq(("p50_cents", 1, 2), ("p90_cents", 9, 10)))
+      val exact = orders.groupBy(col("o_orderstatus")).agg(
+        expr("percentile(cents, 0.5d)").as("e50"),
+        expr("percentile(cents, 0.9d)").as("e90"))
+      sketched.join(exact, Seq("o_orderstatus"))
+        .select(col("o_orderstatus"), col("n"), col("p50_cents"), col("p90_cents"),
+          (abs(col("p50_cents").cast(DoubleType) / col("e50") - 1) <= 0.1)
+            .as("p50_within_tol"),
+          (abs(col("p90_cents").cast(DoubleType) / col("e90") - 1) <= 0.1)
+            .as("p90_within_tol"))
+    }),
+
     // ---- filter-with-reasons audit ----------------------------------------
     // Per-document keep/drop with per-rule booleans (the corpus-curation
     // audit report: a pipeline that silently drops documents is
@@ -1364,6 +1398,50 @@ object Queries {
       withShufflePartitions(s, 8) {
         val q = graft.streaming.EventStreams.mergeSink(
           Tables.eventsStream(s, dir)
+            .select(col("user_id"), col("event_type"), col("event_id"),
+              col("ts"), col("value")),
+          statePath, keys = Seq("user_id", "event_type"),
+          precedence = Seq(col("ts").desc, col("event_id").desc),
+          checkpoint = ckpt)
+        q.awaitTermination()
+      }
+      s.read.parquet(statePath)
+    }),
+
+    // ---- multi-wave delivery twins ----------------------------------------
+    // The same sessionize / merge pipelines driven through the waved
+    // fixture (Tables.wavedEventsStream): three time-ordered micro-batches
+    // via maxFilesPerTrigger=1, so sessions span batches, event-time
+    // timeouts fire BETWEEN batches as the watermark advances wave to
+    // wave, and the merge folds three partial states. The oracles are
+    // IDENTICAL to the _live twins: re-batching must not change a single
+    // answer — that is the cross-micro-batch state contract.
+    "streaming_sessionize_waves" -> ((s, dir) => {
+      import s.implicits._
+      val ckpt = graft.util.Scratch.dir("graft_ssessw_ck")
+      val out = graft.util.Scratch.dir("graft_ssessw_out") + "/t"
+      val evs = Tables.wavedEventsStream(s, dir, nWaves = 3)
+        .select(col("event_id"), col("ts"), col("user_id"),
+          col("event_type"), col("value"))
+        .as[graft.streaming.EventStreams.Event]
+      withShufflePartitions(s, 8) {
+        val q = graft.streaming.EventStreams.sessionize(evs, gapMs = 30L * 60 * 1000)
+          .toDF()
+          .writeStream.outputMode("append")
+          .option("checkpointLocation", ckpt)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .format("parquet").option("path", out).start()
+        q.awaitTermination()
+      }
+      s.read.parquet(out)
+    }),
+
+    "streaming_merge_waves" -> ((s, dir) => {
+      val ckpt = graft.util.Scratch.dir("graft_smergew_ck")
+      val statePath = graft.util.Scratch.dir("graft_smergew_state") + "/state"
+      withShufflePartitions(s, 8) {
+        val q = graft.streaming.EventStreams.mergeSink(
+          Tables.wavedEventsStream(s, dir, nWaves = 3)
             .select(col("user_id"), col("event_type"), col("event_id"),
               col("ts"), col("value")),
           statePath, keys = Seq("user_id", "event_type"),
@@ -1720,6 +1798,54 @@ object Queries {
        |  round(CAST(h.n_hits AS DOUBLE) / ne.n_exact, 6) AS recall,
        |  TRUE AS meets_floor
        |FROM ne, na, h""".stripMargin
+
+  /** DuckDB replica of the emitted-session set (shared by the single-wave
+    * live gate and the multi-wave twin): sessions closed by a later event
+    * plus final sessions whose event-time timeout (last event ms + gap)
+    * fell STRICTLY before the final watermark (max event ms) — Spark's
+    * timeout predicate is `timeoutTimestamp < watermark`. total_value is
+    * DuckDB's ordered SUM, the same left fold the stream computes.
+    */
+  private val sessionizeEmittedOracleSql: String =
+      """WITH f AS (
+        |  SELECT user_id, ts, event_id, value,
+        |    lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+        |  FROM events),
+        |g AS (
+        |  SELECT user_id, ts, event_id, value,
+        |    CASE WHEN prev_ts IS NULL
+        |           OR epoch_ms(ts) - epoch_ms(prev_ts) >= 1800000 THEN 1 ELSE 0 END AS new_session
+        |  FROM f),
+        |h AS (
+        |  SELECT user_id, ts, event_id, value,
+        |    SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+        |  FROM g),
+        |sess AS (
+        |  SELECT user_id, session_seq,
+        |    MIN(ts) AS session_start, MAX(ts) AS session_end,
+        |    count(*) AS n_events, SUM(value ORDER BY ts, event_id) AS total_value
+        |  FROM h GROUP BY 1, 2),
+        |last AS (SELECT user_id, MAX(session_seq) AS mx FROM sess GROUP BY 1),
+        |wm AS (SELECT epoch_us(MAX(ts)) // 1000 AS wm_ms FROM events)
+        |SELECT s.user_id, CAST(s.session_start AS TIMESTAMP) AS session_start,
+        |  CAST(s.session_end AS TIMESTAMP) AS session_end,
+        |  s.n_events, s.total_value
+        |FROM sess s JOIN last l ON s.user_id = l.user_id, wm
+        |WHERE s.session_seq < l.mx
+        |   OR epoch_us(s.session_end) // 1000 + 1800000 < wm.wm_ms""".stripMargin
+
+  /** DuckDB replica of the converged merge state (shared by the live and
+    * multi-wave merge gates): batch last-write-wins over all events —
+    * micro-batch boundaries cannot change it.
+    */
+  private val mergeLwwOracleSql: String =
+    """WITH r AS (SELECT user_id, event_type, event_id, ts, value,
+      |    row_number() OVER (PARTITION BY user_id, event_type
+      |      ORDER BY ts DESC, event_id DESC) AS rn
+      |  FROM events)
+      |SELECT user_id, event_type, event_id, CAST(ts AS TIMESTAMP) AS ts, value
+      |FROM r WHERE rn = 1""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
     "q1_agg" ->
@@ -2596,6 +2722,35 @@ object Queries {
         |  CAST(MAX(CAST(o_totalprice AS DECIMAL(15,2))) AS DOUBLE) AS max_v
         |FROM orders GROUP BY 1""".stripMargin,
 
+    // Single-shot replica of the merged HDR sketch: identical integer
+    // bucketing (msb via length(bin()), shift, integer-compare rank
+    // selection), so p50/p90 match bit-for-bit; the tolerance columns are
+    // the literal-TRUE tripwire.
+    "incremental_quantiles" ->
+      """WITH src AS (SELECT o_orderstatus,
+        |    CAST(CAST(o_totalprice AS DECIMAL(15,2)) * 100 AS BIGINT) AS cents
+        |  FROM orders),
+        |b AS (SELECT o_orderstatus, cents,
+        |        greatest(length(bin(cents)) - 1 - 4, 0) AS shift FROM src),
+        |h AS (SELECT o_orderstatus, shift * 16 + (cents >> shift) AS bucket,
+        |        count(*) AS cnt
+        |      FROM b GROUP BY 1, 2),
+        |n AS (SELECT o_orderstatus, CAST(SUM(cnt) AS BIGINT) AS n FROM h GROUP BY 1),
+        |c AS (SELECT o_orderstatus, bucket, cnt,
+        |        SUM(cnt) OVER (PARTITION BY o_orderstatus ORDER BY bucket) AS cum
+        |      FROM h),
+        |sel AS (SELECT c.o_orderstatus, n.n,
+        |          MIN(CASE WHEN cum * 2 >= n * 1 THEN bucket END) AS b50,
+        |          MIN(CASE WHEN cum * 10 >= n * 9 THEN bucket END) AS b90
+        |        FROM c JOIN n ON c.o_orderstatus = n.o_orderstatus GROUP BY 1, 2)
+        |SELECT o_orderstatus, n,
+        |  CASE WHEN b50 < 32 THEN b50
+        |       ELSE ((b50 - (b50 // 16 - 1) * 16 + 1) << (b50 // 16 - 1)) - 1 END AS p50_cents,
+        |  CASE WHEN b90 < 32 THEN b90
+        |       ELSE ((b90 - (b90 // 16 - 1) * 16 + 1) << (b90 // 16 - 1)) - 1 END AS p90_cents,
+        |  TRUE AS p50_within_tol, TRUE AS p90_within_tol
+        |FROM sel""".stripMargin,
+
     // Spark's t-digest estimate is deterministic; the oracle emits the
     // expected TRUE/0 next to the exact median it can compute itself.
     "profile_quantiles_approx" ->
@@ -2665,44 +2820,16 @@ object Queries {
     // sessions at or within the gap of the stream's max timestamp stay
     // open. total_value replicated as DuckDB's ordered SUM (same left
     // fold).
-    "streaming_sessionize_live" ->
-      """WITH f AS (
-        |  SELECT user_id, ts, event_id, value,
-        |    lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
-        |  FROM events),
-        |g AS (
-        |  SELECT user_id, ts, event_id, value,
-        |    CASE WHEN prev_ts IS NULL
-        |           OR epoch_ms(ts) - epoch_ms(prev_ts) >= 1800000 THEN 1 ELSE 0 END AS new_session
-        |  FROM f),
-        |h AS (
-        |  SELECT user_id, ts, event_id, value,
-        |    SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
-        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
-        |  FROM g),
-        |sess AS (
-        |  SELECT user_id, session_seq,
-        |    MIN(ts) AS session_start, MAX(ts) AS session_end,
-        |    count(*) AS n_events, SUM(value ORDER BY ts, event_id) AS total_value
-        |  FROM h GROUP BY 1, 2),
-        |last AS (SELECT user_id, MAX(session_seq) AS mx FROM sess GROUP BY 1),
-        |wm AS (SELECT epoch_us(MAX(ts)) // 1000 AS wm_ms FROM events)
-        |SELECT s.user_id, CAST(s.session_start AS TIMESTAMP) AS session_start,
-        |  CAST(s.session_end AS TIMESTAMP) AS session_end,
-        |  s.n_events, s.total_value
-        |FROM sess s JOIN last l ON s.user_id = l.user_id, wm
-        |WHERE s.session_seq < l.mx
-        |   OR epoch_us(s.session_end) // 1000 + 1800000 < wm.wm_ms""".stripMargin,
+    "streaming_sessionize_live" -> sessionizeEmittedOracleSql,
+    // Multi-wave delivery emits the SAME session set (see the gate).
+    "streaming_sessionize_waves" -> sessionizeEmittedOracleSql,
+
 
     // The streaming merge converges to the batch last-write-wins dedup
     // regardless of micro-batch boundaries.
-    "streaming_merge_live" ->
-      """WITH r AS (SELECT user_id, event_type, event_id, ts, value,
-        |    row_number() OVER (PARTITION BY user_id, event_type
-        |      ORDER BY ts DESC, event_id DESC) AS rn
-        |  FROM events)
-        |SELECT user_id, event_type, event_id, CAST(ts AS TIMESTAMP) AS ts, value
-        |FROM r WHERE rn = 1""".stripMargin,
+    "streaming_merge_live" -> mergeLwwOracleSql,
+    // Micro-batch boundaries (three waves here) cannot change the state.
+    "streaming_merge_waves" -> mergeLwwOracleSql,
 
     // AvailableNow drains the source before the watermark can evict
     // unmatched state, so the live join emits exactly the batch theta-join.

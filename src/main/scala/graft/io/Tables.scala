@@ -70,4 +70,55 @@ object Tables {
       case _ => df
     }
   }
+
+  /** Multi-wave twin of [[eventsStream]]: stages the events table as
+    * `nWaves` single-file parquet waves covering contiguous event-time
+    * ranges (equal-width on the ts span, so equal timestamps can never
+    * straddle a wave boundary), with strictly increasing file modification
+    * times, and returns a stream reading them oldest-first ONE FILE PER
+    * MICRO-BATCH (`maxFilesPerTrigger=1` + AvailableNow). Because waves
+    * are time-ordered, the watermark advancing between batches never
+    * classifies a later wave's rows as late — the fixture exercises
+    * cross-micro-batch state (sessions spanning waves, timeout emission
+    * between batches, merge convergence under re-batching) while keeping
+    * the batch oracle exact.
+    *
+    * The global min/max collect and per-wave single-file writes are
+    * fixture-side costs at fixture scale, not part of any operator.
+    */
+  def wavedEventsStream(spark: SparkSession, dir: String, nWaves: Int): DataFrame = {
+    import org.apache.spark.sql.functions._
+    require(nWaves >= 2, s"a multi-wave fixture needs >= 2 waves, got $nWaves")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = table(spark, dir, "events")
+    val Array(tsMin, tsMax) = raw
+      .agg(min(col("ts")).cast("long"), max(col("ts")).cast("long"))
+      .collect().head.toSeq.map(_.asInstanceOf[Long]).toArray
+    val span = tsMax - tsMin + 1
+    val waveDir = new org.apache.hadoop.fs.Path(graft.util.Scratch.dir("graft_waves"))
+    val fs = waveDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val base = System.currentTimeMillis()
+    (0 until nWaves).foreach { i =>
+      val wave = raw.where(
+        ((col("ts").cast("long") - tsMin) * nWaves / span).cast("int") === i)
+      val tmp = new org.apache.hadoop.fs.Path(
+        graft.util.Scratch.dir("graft_wave_tmp"), s"w$i")
+      wave.repartition(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = fs.listStatus(tmp)
+        .map(_.getPath).filter(_.getName.startsWith("part-")).head
+      val dest = new org.apache.hadoop.fs.Path(waveDir, f"wave-$i%04d.parquet")
+      if (!fs.rename(part, dest))
+        throw new java.io.IOException(s"wavedEventsStream: cannot stage $dest")
+      // Oldest-first delivery order is decided by modification time.
+      fs.setTimes(dest, base + i * 1000L, -1L)
+    }
+    val df = spark.readStream.schema(raw.schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(waveDir.toString)
+    df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        df.withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts DIV 1000)"))
+      case _ => df
+    }
+  }
 }

@@ -132,4 +132,25 @@ class EventStreamsSpec extends SparkSpec {
         r.getAs[Double]("value")).toMap
     assert(state == Map((1L, "click") -> 7.0, (2L, "view") -> 9.0))
   }
+
+  test("wavedEventsStream delivers one time-ordered micro-batch per wave") {
+    val st = graft.io.Tables.wavedEventsStream(spark, "/root/testdata/sf0.001", 3)
+    val q = st.writeStream.format("memory").queryName("waves_test")
+      .outputMode(OutputMode.Append())
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val batches = q.recentProgress.filter(_.numInputRows > 0)
+    assert(batches.length == 3, "each wave must arrive as its own micro-batch")
+    val total = graft.io.Tables.events(spark, "/root/testdata/sf0.001").count()
+    assert(spark.table("waves_test").count() == total)
+    // Waves are time-ordered: sessions spanning batches stay correct, so
+    // the multi-wave sessionize must equal the single-wave (live) result —
+    // the cross-micro-batch state contract graded by the *_waves gates.
+    import org.apache.spark.sql.functions.col
+    val live = graft.Queries.queries("streaming_sessionize_live")(spark, "/root/testdata/sf0.001")
+      .collect().map(_.toSeq).toSet
+    val waves = graft.Queries.queries("streaming_sessionize_waves")(spark, "/root/testdata/sf0.001")
+      .collect().map(_.toSeq).toSet
+    assert(waves == live)
+  }
 }
