@@ -34,7 +34,9 @@ object PlanDump {
       "join_bucketed" -> "bucketed scan both sides: no Exchange before the join",
       "profile_orders" -> "multi-distinct Expand stays HashAggregate; var-width min/max in keyless side agg",
       "sim_quantized_rescore" -> "int8 recall tier + float rescore: codegen'd graft_dot on code arrays, broadcast queries",
-      "pack_chunks" -> "shard-local running sums: ONE hash exchange, no global single-partition window")
+      "pack_chunks" -> "shard-local running sums: ONE hash exchange, no global single-partition window",
+      "incremental_quantiles" -> "HDR sketch: integer bucket expr scan-side, per-key windows only, no global sort",
+      "recall_embedding_lsh" -> "recall audit: id-only distinct for candidates, vectors re-joined by id")
     val keep = Seq("Exchange", "Scan", "Join", "Aggregate", "Window", "Expand",
       "TakeOrdered", "Broadcast", "Sort", "Filter", "Project", "WholeStageCodegen")
     val sb = new StringBuilder
