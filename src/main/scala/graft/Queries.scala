@@ -859,7 +859,46 @@ object Queries {
           |FROM embeddings_v WHERE vec_id < 100""".stripMargin)
     }),
 
-    // ---- multimodal -------------------------------------------------------
+    // ---- multimodal: REAL codecs ------------------------------------------
+    // JDK-native decoders (javax.imageio / javax.sound.sampled) behind the
+    // same mapPartitions plumbing as the declared stubs: the fixture
+    // encodes deterministic pattern payloads (PNG for even ids, JPEG for
+    // odd; PCM16 WAV for audio) and the gates verify what the REAL
+    // decoder reads back — dimensions + container format for both image
+    // codecs, exact pixel-lane sums for the lossless PNG tier, decoded
+    // geometry for resize, and format fields + the exact PCM sample sum
+    // for audio — all replicated analytically by the oracle.
+    "multimodal_decode_real" -> ((s, dir) => {
+      val fix = graft.multimodal.ImageCodec.encodeFixture(
+        t(s, dir, "documents").select(col("doc_id")), "doc_id")
+      graft.multimodal.ImageCodec.decodeImageMeta(fix, "doc_id", "image")
+        .select(col("doc_id"), col("width"), col("height"), col("format"))
+    }),
+
+    "multimodal_features_real" -> ((s, dir) => {
+      val fix = graft.multimodal.ImageCodec.encodeFixture(
+        t(s, dir, "documents").select(col("doc_id"))
+          .where(col("doc_id") % 2 === 0), "doc_id") // PNG tier: lossless
+      graft.multimodal.ImageCodec.pixelLaneSums(fix, "doc_id", "image", dim = 8)
+        .select(col("doc_id") +:
+          (0 until 8).map(j => col("features")(j).as(s"f$j")): _*)
+    }),
+
+    "multimodal_resize_real" -> ((s, dir) => {
+      val fix = graft.multimodal.ImageCodec.encodeFixture(
+        t(s, dir, "documents").select(col("doc_id")), "doc_id")
+      graft.multimodal.ImageCodec.resizeHalf(fix, "doc_id", "image")
+        .select(col("doc_id"), col("resized_width"), col("resized_height"),
+          (col("resized_bytes") > 0).as("has_payload"))
+    }),
+
+    "multimodal_audio_meta" -> ((s, dir) => {
+      val fix = graft.multimodal.AudioCodec.encodeFixture(
+        t(s, dir, "documents").select(col("doc_id")), "doc_id")
+      graft.multimodal.AudioCodec.decodeAudioMeta(fix, "doc_id", "audio")
+    }),
+
+    // ---- multimodal (plumbing stubs) --------------------------------------
     // Binary payload plumbing: utf-8 bytes of the text stand in for an
     // opaque media payload; fixed-stride frame sampling + per-frame hash.
     "multimodal_frames" -> ((s, dir) => {
@@ -2383,6 +2422,57 @@ object Queries {
       """SELECT event_type, TRUE AS within_tol, CAST(0 AS BIGINT) AS err_bucket,
         |  count(DISTINCT user_id) AS exact_users
         |FROM events GROUP BY 1""".stripMargin,
+
+    // REAL-codec gates: the fixture parameters (dims, formats, pattern
+    // pixels/samples) are pure functions of doc_id, so the oracle derives
+    // what the JDK decoder must read back — if ImageIO/AudioSystem ever
+    // decoded differently, these rows would mismatch.
+    "multimodal_decode_real" ->
+      """SELECT doc_id,
+        |  CAST(16 + doc_id % 49 AS INT) AS width,
+        |  CAST(16 + (doc_id * 3) % 33 AS INT) AS height,
+        |  CASE WHEN doc_id % 2 = 0 THEN 'png' ELSE 'jpeg' END AS format
+        |FROM documents""".stripMargin,
+
+    // Exact gray-pattern lane sums over the lossless PNG tier:
+    // gray(x, y) = (x*31 + y*17 + doc_id) mod 256, lane = x mod 8.
+    "multimodal_features_real" ->
+      """WITH d AS (SELECT doc_id, 16 + doc_id % 49 AS w, 16 + (doc_id * 3) % 33 AS h
+        |           FROM documents WHERE doc_id % 2 = 0),
+        |px AS (SELECT doc_id, h, unnest(range(0, w)) AS x FROM d),
+        |pxy AS (SELECT doc_id, x, unnest(range(0, h)) AS y FROM px),
+        |s AS (SELECT doc_id, x % 8 AS j,
+        |        SUM((x * 31 + y * 17 + doc_id) % 256) AS f
+        |      FROM pxy GROUP BY 1, 2)
+        |SELECT doc_id,
+        |  CAST(MAX(CASE WHEN j = 0 THEN f END) AS BIGINT) AS f0,
+        |  CAST(MAX(CASE WHEN j = 1 THEN f END) AS BIGINT) AS f1,
+        |  CAST(MAX(CASE WHEN j = 2 THEN f END) AS BIGINT) AS f2,
+        |  CAST(MAX(CASE WHEN j = 3 THEN f END) AS BIGINT) AS f3,
+        |  CAST(MAX(CASE WHEN j = 4 THEN f END) AS BIGINT) AS f4,
+        |  CAST(MAX(CASE WHEN j = 5 THEN f END) AS BIGINT) AS f5,
+        |  CAST(MAX(CASE WHEN j = 6 THEN f END) AS BIGINT) AS f6,
+        |  CAST(MAX(CASE WHEN j = 7 THEN f END) AS BIGINT) AS f7
+        |FROM s GROUP BY 1""".stripMargin,
+
+    "multimodal_resize_real" ->
+      """SELECT doc_id,
+        |  CAST(greatest((16 + doc_id % 49) // 2, 1) AS INT) AS resized_width,
+        |  CAST(greatest((16 + (doc_id * 3) % 33) // 2, 1) AS INT) AS resized_height,
+        |  TRUE AS has_payload
+        |FROM documents""".stripMargin,
+
+    // WAV fixture: n = 800 + doc_id mod 800 samples of
+    // s(i) = ((i*7 + doc_id) mod 4001) - 2000 at 8 kHz PCM16 mono.
+    "multimodal_audio_meta" ->
+      """WITH d AS (SELECT doc_id, 800 + doc_id % 800 AS n FROM documents),
+        |i AS (SELECT doc_id, n, unnest(range(0, n)) AS i FROM d),
+        |s AS (SELECT doc_id,
+        |        CAST(SUM((i * 7 + doc_id) % 4001 - 2000) AS BIGINT) AS sample_sum
+        |      FROM i GROUP BY 1)
+        |SELECT d.doc_id, CAST(8000 AS INT) AS sample_rate, CAST(1 AS INT) AS channels,
+        |  CAST(16 AS INT) AS bits, CAST(d.n AS BIGINT) AS n_samples, s.sample_sum
+        |FROM d JOIN s ON d.doc_id = s.doc_id""".stripMargin,
 
     // The stub decode dims are a pure function of payload byte length
     // (documents.text is ASCII: strlen == byte count).

@@ -5,11 +5,11 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 /** Multimodal-column plumbing: image/audio/video payloads travel as opaque
-  * `binary` columns with typed metadata alongside. The decode step is a
-  * STUB (no codec libraries in this container — deterministic fake
-  * features derived from the bytes), but the Spark-side contract is real:
-  * schema, per-partition batched processing via `mapPartitions`, and
-  * codegen'd byte-slicing for frame sampling.
+  * `binary` columns with typed metadata alongside. The decode steps here
+  * are STUBS (deterministic fakes derived from the bytes) retained to gate
+  * the plumbing with byte-exact oracles; the REAL codec tier lives in
+  * [[ImageCodec]] (JDK javax.imageio: PNG/JPEG) and [[AudioCodec]] (JDK
+  * javax.sound.sampled: WAV PCM) behind the same mapPartitions shape.
   *
   * At 100 TB the binary column dominates I/O: keep it in its own Parquet
   * column (never inside a struct with hot columns) so metadata-only
