@@ -859,6 +859,26 @@ object Queries {
           |FROM embeddings_v WHERE vec_id < 100""".stripMargin)
     }),
 
+    // ---- S1: per-symbol REST extract as a real DataSourceV2 ---------------
+    // graft.sources.FmpSource: one input partition per symbol, required-
+    // column pruning into the record parser, symbol predicates consumed as
+    // partition pruning (the TK4 fetch below never happens). Transport is
+    // file-backed (no egress in this container); the staged JSONL per
+    // sym_part directory is the fixture standing in for the HTTP body.
+    "source_http_dsv2" -> ((s, dir) => {
+      val root = graft.util.Scratch.dir("graft_fmp_api")
+      incomeBronzeFixture(s, dir, badDates = false)
+        .withColumn("sym_part", col("symbol"))
+        .write.partitionBy("sym_part").mode("overwrite")
+        .json(root + "/income-statement")
+      s.read.format("graft.sources.FmpSource")
+        .option("root", root).option("endpoint", "income-statement")
+        .option("symbols", "TK0,TK1,TK2,TK3,TK4")
+        .option("dataset", "income").load()
+        .where(col("symbol").isin("TK0", "TK1", "TK2", "TK3"))
+        .select(col("date"), col("symbol"), col("revenue"), col("eps"))
+    }),
+
     // ---- multimodal: REAL codecs ------------------------------------------
     // JDK-native decoders (javax.imageio / javax.sound.sampled) behind the
     // same mapPartitions plumbing as the declared stubs: the fixture
@@ -2422,6 +2442,22 @@ object Queries {
       """SELECT event_type, TRUE AS within_tol, CAST(0 AS BIGINT) AS err_bucket,
         |  count(DISTINCT user_id) AS exact_users
         |FROM events GROUP BY 1""".stripMargin,
+
+    // The DSv2 source must surface exactly the staged bronze rows for the
+    // un-pruned symbols — replicated from the orders-derived fixture.
+    "source_http_dsv2" ->
+      """WITH src AS (SELECT o_orderkey, o_orderdate, o_orderkey % 4 AS m,
+        |    'TK' || CAST(o_orderkey % 5 AS VARCHAR) AS symbol,
+        |    CAST(CAST(o_totalprice AS DECIMAL(15,2)) AS VARCHAR) AS num_s
+        |  FROM orders WHERE o_orderkey < 2000)
+        |SELECT
+        |  CASE WHEN m = 1 THEN ''
+        |       WHEN m = 3 THEN strftime(o_orderdate, '%m/%d/%Y')
+        |       ELSE strftime(o_orderdate, '%Y-%m-%d') END AS "date",
+        |  symbol,
+        |  CASE WHEN m = 2 THEN 'N/A' ELSE num_s END AS revenue,
+        |  CASE WHEN m = 3 THEN '' ELSE num_s END AS eps
+        |FROM src WHERE symbol <> 'TK4'""".stripMargin,
 
     // REAL-codec gates: the fixture parameters (dims, formats, pattern
     // pixels/samples) are pure functions of doc_id, so the oracle derives

@@ -1,0 +1,179 @@
+package graft.sources
+
+import java.util.{Map => JMap}
+
+import scala.jdk.CollectionConverters._
+
+import com.fasterxml.jackson.databind.ObjectMapper
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.sources.{EqualTo, Filter, In}
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.model.Schemas
+
+/** DataSourceV2 implementation of the reference's per-symbol REST extract
+  * (reference extract.py:69-95: one `GET {endpoint}/{symbol}` per ticker,
+  * JSON records back) — the custom-source tier of SURVEY §2.1 S1, built
+  * on the PUBLIC connector API: `TableProvider` -> `ScanBuilder` ->
+  * `Batch` -> `PartitionReader`.
+  *
+  * Scale shape: ONE input partition PER SYMBOL — each fetch is
+  * independent, so a thousand-symbol extract fans out across the cluster
+  * with no driver bottleneck, and Spark's retry machinery re-fetches a
+  * failed symbol alone. Pushdown is real: required-column pruning reaches
+  * the record parser (unrequested fields are never materialized), and
+  * `symbol = 'X'` / `symbol IN (...)` predicates prune whole partitions
+  * (the fetch for a filtered-out symbol never happens — the source-level
+  * twin of parquet partition pruning).
+  *
+  * Transport is pluggable by construction and FILE-BACKED here (this
+  * container has no egress): records for symbol S are the JSONL part
+  * files under `{root}/{endpoint}/sym_part=S/`, exactly what
+  * `df.write.partitionBy("sym_part").json(...)` stages. An HTTP transport
+  * would swap [[FmpPartitionReader.recordLines]] for a GET + JSON-array
+  * split; every other layer (planning, pruning, parsing, row building) is
+  * transport-independent.
+  *
+  * Usage: `spark.read.format("graft.sources.FmpSource")
+  *   .option("root", dir).option("endpoint", "income-statement")
+  *   .option("symbols", "TSLA,RIVN").option("dataset", "income").load()`
+  */
+class FmpSource extends TableProvider {
+  override def supportsExternalMetadata(): Boolean = true
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    FmpSource.schemaFor(options.getOrDefault("dataset", "income"))
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+                        properties: JMap[String, String]): Table =
+    new FmpTable(schema, properties.asScala.toMap)
+}
+
+object FmpSource {
+  def schemaFor(dataset: String): StructType = dataset match {
+    case "income"    => Schemas.fmpIncome
+    case "estimates" => Schemas.fmpEstimates
+    case other => throw new IllegalArgumentException(
+      s"FmpSource dataset must be income|estimates, got $other")
+  }
+}
+
+final class FmpTable(tableSchema: StructType, props: Map[String, String])
+    extends Table with SupportsRead {
+  override def name(): String = s"fmp(${props.getOrElse("endpoint", "?")})"
+  override def schema(): StructType = tableSchema
+  override def capabilities(): java.util.Set[TableCapability] =
+    java.util.EnumSet.of(TableCapability.BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new FmpScanBuilder(tableSchema, props ++ options.asScala)
+}
+
+final class FmpScanBuilder(fullSchema: StructType, opts: Map[String, String])
+    extends ScanBuilder with SupportsPushDownRequiredColumns with SupportsPushDownFilters {
+  private var required: StructType = fullSchema
+  private var symbolKeep: Option[Set[String]] = None
+  private var consumed: Array[Filter] = Array.empty
+
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    val (sym, residual) = filters.partition {
+      case EqualTo("symbol", _: String) => true
+      case In("symbol", vs) => vs.forall(_.isInstanceOf[String])
+      case _ => false
+    }
+    sym.foreach { f =>
+      val vals = f match {
+        case EqualTo(_, v: String) => Set(v)
+        case In(_, vs) => vs.map(_.asInstanceOf[String]).toSet
+        case _ => Set.empty[String]
+      }
+      symbolKeep = Some(symbolKeep.fold(vals)(_ intersect vals))
+    }
+    consumed = sym
+    // Symbol predicates are FULLY satisfied by partition pruning; all
+    // other predicates stay residual for Spark to evaluate post-scan.
+    residual
+  }
+  override def pushedFilters(): Array[Filter] = consumed
+
+  override def build(): Scan = new FmpScan(required, opts, symbolKeep)
+}
+
+final class FmpScan(requiredSchema: StructType, opts: Map[String, String],
+                    symbolKeep: Option[Set[String]]) extends Scan with Batch {
+  override def readSchema(): StructType = requiredSchema
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"FmpScan(endpoint=${opts.getOrElse("endpoint", "?")}, " +
+      s"symbols=${symbolKeep.map(_.mkString("|")).getOrElse("ALL")}, " +
+      s"columns=${requiredSchema.fieldNames.mkString(",")})"
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    val root = opts.getOrElse("root",
+      throw new IllegalArgumentException("FmpSource requires option 'root'"))
+    val endpoint = opts.getOrElse("endpoint",
+      throw new IllegalArgumentException("FmpSource requires option 'endpoint'"))
+    val symbols = opts.getOrElse("symbols",
+      throw new IllegalArgumentException("FmpSource requires option 'symbols'"))
+      .split(",").map(_.trim).filter(_.nonEmpty)
+    symbols.filter(s => symbolKeep.forall(_.contains(s)))
+      .map(s => FmpPartition(s, s"$root/$endpoint/sym_part=$s"): InputPartition)
+  }
+  override def createReaderFactory(): PartitionReaderFactory =
+    new FmpReaderFactory(requiredSchema.fieldNames)
+}
+
+final case class FmpPartition(symbol: String, dir: String) extends InputPartition
+
+final class FmpReaderFactory(fields: Array[String]) extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
+    new FmpPartitionReader(partition.asInstanceOf[FmpPartition], fields)
+}
+
+final class FmpPartitionReader(partition: FmpPartition, fields: Array[String])
+    extends PartitionReader[InternalRow] {
+  private val mapper = new ObjectMapper()
+  private val lines = FmpPartitionReader.recordLines(partition.dir)
+  private var current: InternalRow = _
+
+  override def next(): Boolean = {
+    while (lines.hasNext) {
+      val line = lines.next().trim
+      if (line.nonEmpty) {
+        val node = mapper.readTree(line)
+        val values = fields.map { f =>
+          val v = node.get(f)
+          if (v == null || v.isNull) null else UTF8String.fromString(v.asText())
+        }
+        current = new GenericInternalRow(values.asInstanceOf[Array[Any]])
+        return true
+      }
+    }
+    false
+  }
+  override def get(): InternalRow = current
+  override def close(): Unit = ()
+}
+
+object FmpPartitionReader {
+  /** File transport: JSONL lines of every part file under the symbol's
+    * staging directory, filename order. A missing directory is an empty
+    * response (the reference treats a symbol with no data the same way,
+    * extract.py:88-92). The HTTP transport would replace this with one
+    * GET and a JSON-array split.
+    */
+  private[sources] def recordLines(dir: String): Iterator[String] = {
+    val d = new java.io.File(dir)
+    if (!d.isDirectory) Iterator.empty
+    else d.listFiles().filter(f => f.isFile && f.getName.startsWith("part-"))
+      .sortBy(_.getName).iterator
+      .flatMap(f => scala.io.Source.fromFile(f, "UTF-8").getLines())
+  }
+}
