@@ -137,6 +137,26 @@ object Pipeline {
         col("gross_profit").desc_nulls_last, col("quarter_label").asc)), bad)
   }
 
+  /** Full reference flow through the custom DataSourceV2 source
+    * (reference main.py:38-75 with extract.py's per-symbol GET as the
+    * extract stage): [[graft.sources.FmpSource]] plans one partition per
+    * symbol and prunes fetches for symbols Spark filters away, then the
+    * same normalize -> quarantine -> merge plan as [[run]]. The ONLY
+    * difference from [[run]] is the source node — the operator layer is
+    * source-agnostic, which is the point of the connector API.
+    */
+  def runFromSource(spark: SparkSession, root: String, symbols: Seq[String],
+                    statePath: String): (DataFrame, DataFrame) = {
+    val bronze = spark.read.format("graft.sources.FmpSource")
+      .option("root", root).option("endpoint", "income-statement")
+      .option("symbols", symbols.mkString(","))
+      .option("dataset", "income").load()
+    val (clean, bad) = Quality.quarantine(normalizeIncome(bronze), validRow)
+    (mergeToState(spark, clean, statePath,
+      Seq(col("revenue").desc_nulls_last, col("eps").desc_nulls_last,
+        col("gross_profit").desc_nulls_last, col("quarter_label").asc)), bad)
+  }
+
   /** Run the analyst-estimates flow (reference S3+S11, load.py:163-200):
     * same shape as [[run]] over the estimates schema and state table.
     */

@@ -103,6 +103,35 @@ class PipelineSpec extends SparkSpec {
     assert(spark.read.parquet(path).count() == 2)
   }
 
+  test("runFromSource: the full flow through the DSv2 extract equals run() on the same rows") {
+    val root = Files.createTempDirectory("graft_fmp_pipe").toString
+    val bronzeRows = Seq(
+      """{"date": "2025-03-31", "symbol": "TSLA", "revenue": "21300000000", "eps": "0.45", "grossProfit": "4100000000", "netIncome": "1400000000", "calendarYear": "2025", "period": "Q1"}""",
+      """{"date": "2025-06-30", "symbol": "TSLA", "revenue": "22500000000", "eps": "0.52", "grossProfit": "4500000000", "netIncome": "1700000000", "calendarYear": "2025", "period": "Q2"}""",
+      """{"date": "2025-03-31", "symbol": "RIVN", "revenue": "1200000000", "eps": "", "grossProfit": "100000000", "netIncome": "-1400000000", "calendarYear": "2025", "period": "Q1"}""")
+    // Stage as the DSv2 file transport expects AND as a flat bronze dir.
+    val tslaDir = Files.createDirectories(
+      java.nio.file.Paths.get(root, "income-statement", "sym_part=TSLA"))
+    val rivnDir = Files.createDirectories(
+      java.nio.file.Paths.get(root, "income-statement", "sym_part=RIVN"))
+    Files.write(tslaDir.resolve("part-0.json"),
+      bronzeRows.take(2).mkString("\n").getBytes)
+    Files.write(rivnDir.resolve("part-0.json"), bronzeRows(2).getBytes)
+    val flatDir = Files.createTempDirectory("graft_fmp_flat").toString
+    Files.write(java.nio.file.Paths.get(flatDir, "bronze.json"),
+      bronzeRows.mkString("\n").getBytes)
+
+    val stateA = Files.createTempDirectory("graft_fmp_stateA").toString + "/s"
+    val stateB = Files.createTempDirectory("graft_fmp_stateB").toString + "/s"
+    val (viaSource, badA) = Pipeline.runFromSource(spark, root,
+      Seq("TSLA", "RIVN"), stateA)
+    val (viaFiles, badB) = Pipeline.run(spark, flatDir, stateB)
+    assert(badA.count() == badB.count())
+    val a = viaSource.collect().map(_.toSeq).toSet
+    val b = viaFiles.collect().map(_.toSeq).toSet
+    assert(a == b && a.size == 3, "source node must be the only difference")
+  }
+
   test("runEstimates: estimates flow merges into its own state table") {
     val dir = Files.createTempDirectory("graft_est").toString
     Files.write(java.nio.file.Paths.get(dir, "est.json"),

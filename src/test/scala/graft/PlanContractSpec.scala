@@ -109,4 +109,22 @@ class PlanContractSpec extends SparkSpec {
     assert(exchanges == 1, s"expected exactly one hash exchange, got $exchanges")
     assert(!p.contains("SinglePartition"), "packing must never single-partition")
   }
+
+  test("quantile sketch windows are key-partitioned, never global") {
+    val p = plan("incremental_quantiles")
+    assert(p.contains("windowspecdefinition(o_orderstatus"),
+      "cumulative-rank window must partition on the sketch key")
+    assert(!p.contains("windowspecdefinition(bucket"),
+      "a key-less window would funnel every bucket through one task")
+  }
+
+  test("DSv2 source plan carries pruned columns and pruned symbols") {
+    val p = plan("source_http_dsv2")
+    // Column pruning reached the scan (4 of 9 bronze fields)…
+    assert(p.contains("columns=date,symbol,revenue,eps"), p.take(600))
+    // …and the filtered-out symbol was pruned at PLANNING time: its
+    // partition (and in an HTTP transport, its fetch) does not exist.
+    assert(p.contains("symbols=") && !p.substring(p.indexOf("symbols=")).take(60).contains("TK4"),
+      p.take(600))
+  }
 }
