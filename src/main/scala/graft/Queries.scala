@@ -451,6 +451,46 @@ object Queries {
           col("o_price").cast(DoubleType).as("o_price"), col("o_orderstatus"))
     }),
 
+    // JDBC connector round trip (reference load.py:29-48 + 229-246: the
+    // PostgreSQL surface, embedded Derby standing in — url-swappable):
+    // bulk write with bounded connections, then a PARTITIONED read back
+    // (4 range slices on the key) feeding the summary aggregate. String
+    // columns pin VARCHAR widths (Derby's default StringType mapping is
+    // CLOB, which cannot be compared or merged on).
+    "jdbc_roundtrip" -> ((s, dir) => {
+      val url = s"jdbc:derby:${graft.util.Scratch.dir("graft_derby_rt")}/db;create=true"
+      graft.io.Jdbc.writeTable(
+        t(s, dir, "customer").select(col("c_custkey"), col("c_name"),
+          col("c_acctbal"), col("c_mktsegment")),
+        url, "customers", org.apache.spark.sql.SaveMode.Overwrite,
+        columnTypes = Some("c_name VARCHAR(40), c_mktsegment VARCHAR(16)"))
+      graft.io.Jdbc.readPartitioned(s, url, "customers", "c_custkey", 0L, 1L << 20, 4)
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("cnt"),
+          sum(col("c_acctbal").cast(Dec152)).cast(DoubleType).as("sum_bal"))
+    }),
+
+    // JDBC set-based MERGE upsert (reference load.py:87-161 with the
+    // per-row conflict loop inverted to stage + one MERGE INTO): seed the
+    // database with every third customer, upsert a batch touching every
+    // second — matched rows update in place, new rows insert.
+    "jdbc_merge_upsert" -> ((s, dir) => {
+      val url = s"jdbc:derby:${graft.util.Scratch.dir("graft_derby_mu")}/db;create=true"
+      val c = t(s, dir, "customer")
+      graft.io.Jdbc.writeTable(
+        c.where(pmod(col("c_custkey"), lit(3)) === 0)
+          .select(col("c_custkey"), col("c_name"), col("c_acctbal")),
+        url, "cust_state", org.apache.spark.sql.SaveMode.Overwrite,
+        columnTypes = Some("c_name VARCHAR(44)"))
+      graft.io.Jdbc.mergeUpsert(s, url, "cust_state",
+        c.where(pmod(col("c_custkey"), lit(2)) === 0)
+          .select(col("c_custkey"), concat(col("c_name"), lit("_u")).as("c_name"),
+            col("c_acctbal")),
+        Seq("c_custkey"), Seq(col("c_custkey").desc),
+        columnTypes = Some("c_name VARCHAR(44)"))
+      graft.io.Jdbc.readTable(s, url, "cust_state")
+    }),
+
     // ---- 2.10 streaming-equivalent batch windowing ------------------------
     // Tumbling 1-hour aggregate over the events table — the batch twin of
     // the Structured Streaming path in graft.streaming.
@@ -2151,6 +2191,17 @@ object Queries {
     "partitioned_state_prune" ->
       """SELECT o_orderkey, o_custkey, CAST(CAST(o_totalprice AS DECIMAL(15,2)) AS DOUBLE) AS o_price, o_orderstatus
         |FROM orders WHERE o_orderstatus = 'O'""".stripMargin,
+
+    "jdbc_roundtrip" ->
+      """SELECT c_mktsegment, count(*) AS cnt,
+        |  CAST(SUM(CAST(c_acctbal AS DECIMAL(15,2))) AS DOUBLE) AS sum_bal
+        |FROM customer GROUP BY 1""".stripMargin,
+
+    "jdbc_merge_upsert" ->
+      """SELECT c_custkey, c_name || '_u' AS c_name, c_acctbal FROM customer WHERE c_custkey % 2 = 0
+        |UNION ALL
+        |SELECT c_custkey, c_name, c_acctbal FROM customer
+        |WHERE c_custkey % 3 = 0 AND c_custkey % 2 <> 0""".stripMargin,
 
     "events_tumbling" ->
       """SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour_start, event_type, count(*) AS cnt,
