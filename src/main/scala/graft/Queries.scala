@@ -880,12 +880,17 @@ object Queries {
     }),
 
     "recall_minhash_lsh" -> ((s, dir) => {
-      val docs = t(s, dir, "documents")
+      // ONE counted shingle index feeds both tiers (the approx tier's
+      // signature + verify sides AND the exact twin's self-join) — the
+      // audit previously re-tokenized and re-indexed the corpus per tier,
+      // costing ~2x the op it audits. Exact pairs are hash-independent
+      // (candidates are verified by true Jaccard), so sharing the
+      // Md5Hash60 index with the exact side changes nothing.
+      val idx = Dedup.countedShingleIndex(t(s, dir, "documents"), "doc_id", "text",
+        n = 3, maxDocFreq = 100L, hashFn = Dedup.Md5Hash60).persist()
       Recall.pairRecall(
-        Dedup.minHashLshPairs(docs, "doc_id", "text",
-          n = 3, threshold = 0.5, maxDocFreq = 100L, hashFn = Dedup.Md5Hash60),
-        Dedup.ngramJaccardPairs(docs, "doc_id", "text",
-          n = 3, threshold = 0.5, maxDocFreq = 100L),
+        Dedup.minHashLshPairsFromIndex(idx, threshold = 0.5),
+        Dedup.ngramJaccardPairsFromIndex(idx, threshold = 0.5),
         floor = 0.5)
     }),
 

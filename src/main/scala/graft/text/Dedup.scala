@@ -67,6 +67,16 @@ object Dedup {
     sh.join(hot, Seq("shingle"), "left_anti")
   }
 
+  /** The counted inverted index — [[shingleIndex]] plus each doc's
+    * shingle count riding on every edge. This is the shared input of the
+    * exact tier, the MinHash tier, and the recall audit that compares
+    * them: build it ONCE (cached) and feed the `FromIndex` variants
+    * instead of letting each tier re-tokenize the corpus.
+    */
+  def countedShingleIndex(docs: DataFrame, idCol: String, textCol: String, n: Int,
+                          maxDocFreq: Long, hashFn: Column => Column = XxHash): DataFrame =
+    withShingleCounts(shingleIndex(docs, idCol, textCol, n, maxDocFreq, hashFn))
+
   /** Pairwise n-gram Jaccard similarity >= `threshold` via inverted-index
     * self-join (candidates share >=1 shingle). Output: (doc_a < doc_b,
     * jaccard). Exact — this is also the verifier behind the sketch-based
@@ -83,7 +93,14 @@ object Dedup {
     // default (tokenize+explode+hot-cap would otherwise run twice).
     // Long-lived sessions pass a CacheScope.persist to reclaim the blocks
     // after the terminal action; CacheScope.none disables caching.
-    val idx = cache(withShingleCounts(shingleIndex(docs, idCol, textCol, n, maxDocFreq, hashFn)))
+    val idx = cache(countedShingleIndex(docs, idCol, textCol, n, maxDocFreq, hashFn))
+    ngramJaccardPairsFromIndex(idx, threshold)
+  }
+
+  /** [[ngramJaccardPairs]] over a prebuilt [[countedShingleIndex]] —
+    * the caller owns the index's caching (it feeds both self-join
+    * sides). */
+  def ngramJaccardPairsFromIndex(idx: DataFrame, threshold: Double): DataFrame = {
     val a = idx.select(col("doc_id").as("doc_a"), col("nsh").as("na"), col("shingle"))
     val b = idx.select(col("doc_id").as("doc_b"), col("nsh").as("nb"), col("shingle"))
     a.join(b, Seq("shingle"))
@@ -169,7 +186,15 @@ object Dedup {
     // Cached WITH the per-doc shingle counts: the counts ride the cached
     // blocks once instead of re-running the doc_id window per verify
     // side. See ngramJaccardPairs for the cache-lifecycle contract.
-    val idx = cache(withShingleCounts(shingleIndex(docs, idCol, textCol, n, maxDocFreq, hashFn)))
+    val idx = cache(countedShingleIndex(docs, idCol, textCol, n, maxDocFreq, hashFn))
+    minHashLshPairsFromIndex(idx, threshold, p)
+  }
+
+  /** [[minHashLshPairs]] over a prebuilt [[countedShingleIndex]] — the
+    * caller owns the index's caching (it feeds the signature aggregate
+    * and both verify-join sides). */
+  def minHashLshPairsFromIndex(idx: DataFrame, threshold: Double,
+                               p: MinHashParams = MinHashParams()): DataFrame = {
     val sig = minHashSignatures(idx.select(col("doc_id"), col("shingle")), p)
     val bandCols = (0 until p.bands).map { b =>
       val ks = (0 until p.rowsPerBand).map(r => col(s"mh_${b * p.rowsPerBand + r}").cast(StringType))
