@@ -200,10 +200,18 @@ object Similarity {
     * miss probability by (1 - p) for per-table collision rate p — the
     * standard multi-table LSH recall knob (lowering `nbits` is the other).
     *
-    * Candidate pair ids are deduplicated BEFORE verification (a near pair
-    * collides in several tables) and the vectors re-attached by id, so
-    * the distinct shuffles only id pairs, never embeddings, and each
-    * surviving pair is verified exactly once.
+    * Verification runs INLINE in the bucket self-join — vectors ride the
+    * join inputs (3n short rows) and the cosine is computed and filtered
+    * in the join's own codegen stage, with the few surviving pairs
+    * deduplicated at the end (the same pair colliding in several tables
+    * recomputes an identical double, so the distinct is exact). The
+    * alternative — distinct the candidate ID pairs first, then re-attach
+    * vectors by id — shuffles the full candidate set (≈ n²·tables/2^nbits
+    * rows) through a distinct plus two wide joins, which MEASURED 2x
+    * slower at 10x scale: candidate multiplicity is bounded by the table
+    * count (≤3 recomputes) while the candidate set itself scales
+    * quadratically, so recomputing a few sims is far cheaper than
+    * materializing and re-joining the pair list.
     */
   def lshNearDupPairs(corpus: DataFrame, idCol: String, vecCol: String,
                       dim: Int, threshold: Double, nbits: Int = 8,
@@ -215,19 +223,18 @@ object Similarity {
       struct(lit(i).as("tbl"), lshBucket(col("v"), dim, nbits, s).as("bucket"))
     }: _*)
     val bucketed = base
-      .select(col("id"), explode(tables).as("tb"))
-      .select(col("id"), col("tb.tbl").as("tbl"), col("tb.bucket").as("bucket"))
-    val cand = bucketed.select(col("id").as("doc_a"), col("tbl"), col("bucket"))
-      .join(bucketed.select(col("id").as("doc_b"), col("tbl"), col("bucket")),
-        Seq("tbl", "bucket"))
+      .select(col("id"), col("v"), col("nrm"), explode(tables).as("tb"))
+      .select(col("id"), col("v"), col("nrm"),
+        col("tb.tbl").as("tbl"), col("tb.bucket").as("bucket"))
+    bucketed.select(col("id").as("doc_a"), col("v").as("va"), col("nrm").as("na"),
+        col("tbl"), col("bucket"))
+      .join(bucketed.select(col("id").as("doc_b"), col("v").as("vb"), col("nrm").as("nb"),
+        col("tbl"), col("bucket")), Seq("tbl", "bucket"))
       .where(col("doc_a") < col("doc_b"))
-      .select(col("doc_a"), col("doc_b")).distinct()
-    cand
-      .join(base.select(col("id").as("doc_a"), col("v").as("va"), col("nrm").as("na")), Seq("doc_a"))
-      .join(base.select(col("id").as("doc_b"), col("v").as("vb"), col("nrm").as("nb")), Seq("doc_b"))
       .withColumn("sim", dot(col("va"), col("vb")) / (col("na") * col("nb")))
       .where(col("sim") >= threshold)
       .select(col("doc_a"), col("doc_b"), col("sim"))
+      .distinct()
   }
 
   /** Random-hyperplane LSH bucket id (`nbits` sign bits from fixed seeded
