@@ -118,6 +118,18 @@ class PlanContractSpec extends SparkSpec {
       "a key-less window would funnel every bucket through one task")
   }
 
+  test("embedding LSH verifies inline: one bucket self-join, no candidate re-attach") {
+    // The candidate set scales as n^2*tables/2^nbits — materializing it
+    // through a distinct and re-attaching vectors with two more joins
+    // measured 2x SLOWER than the exact tier at 10x scale. Pin the
+    // verified-inline shape: exactly ONE join (the bucket self-join);
+    // the output dedup partitions on the pair, never a single partition.
+    val p = plan("dedup_embedding_lsh")
+    val joins = "Join|HashJoin|SortMergeJoin".r.findAllIn(p).size
+    assert(joins == 1, s"expected the single bucket self-join, got $joins:\n${p.take(600)}")
+    assert(!p.contains("SinglePartition"), "pair dedup must stay distributed")
+  }
+
   test("DSv2 source plan carries pruned columns and pruned symbols") {
     val p = plan("source_http_dsv2")
     // Column pruning reached the scan (4 of 9 bronze fields)…
