@@ -27,4 +27,9 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // The 118-query contract generates thousands of whole-stage-codegen
+  // classes in one JVM; the JDK 17 default 240 MB code cache fills and
+  // late-suite queries run partially interpreted (measured 3x in-suite
+  // inflation vs isolated on the heaviest late-alphabet queries at sf1).
+  "-XX:ReservedCodeCacheSize=512m",
 )
