@@ -46,6 +46,19 @@ class JdbcSpec extends SparkSpec {
     assert(out == Seq((1L, "a", 1), (2L, "b3", 3), (3L, "c", 1), (4L, "d", 2)))
   }
 
+  test("predicates push into the database query, not a post-scan filter") {
+    val url = freshUrl()
+    val df = spark.range(0, 100).select($"id", ($"id" * 2).as("v"))
+    Jdbc.writeTable(df, url, "pushed", SaveMode.Overwrite)
+    val filtered = Jdbc.readTable(spark, url, "pushed").where($"id" === 7L)
+    // The JDBC scan must carry the predicate (the database serves an
+    // indexed point lookup at scale); a plan that reads the whole table
+    // and filters in Spark would ship every row over the wire.
+    val scan = filtered.queryExecution.executedPlan.toString
+    assert(scan.contains("PushedFilters") && scan.contains("id"), scan.take(500))
+    assert(filtered.collect().map(_.getLong(1)).toSeq == Seq(14L))
+  }
+
   test("mergeUpsert is idempotent: re-applying the same batch changes nothing") {
     val url = freshUrl()
     val seed = Seq((1L, "a", 1)).toDF("k", "v", "gen")
