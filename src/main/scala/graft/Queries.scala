@@ -880,17 +880,23 @@ object Queries {
     }),
 
     "recall_minhash_lsh" -> ((s, dir) => {
-      // ONE counted shingle index feeds both tiers (the approx tier's
-      // signature + verify sides AND the exact twin's self-join) — the
-      // audit previously re-tokenized and re-indexed the corpus per tier,
-      // costing ~2x the op it audits. Exact pairs are hash-independent
-      // (candidates are verified by true Jaccard), so sharing the
-      // Md5Hash60 index with the exact side changes nothing.
-      val idx = Dedup.countedShingleIndex(t(s, dir, "documents"), "doc_id", "text",
-        n = 3, maxDocFreq = 100L, hashFn = Dedup.Md5Hash60).persist()
+      // ONE exact-collapsed shingle index feeds both tiers (the approx
+      // tier's signature + verify sides AND the exact twin's self-join) —
+      // the audit previously re-tokenized and re-indexed the corpus per
+      // tier, costing ~2x the op it audits. Exact pairs are
+      // hash-independent (candidates are verified by true Jaccard), so
+      // sharing the Md5Hash60 index with the exact side changes nothing;
+      // both tiers expand through the same membership, so the recall
+      // ratio is the document-level ratio the oracle replicates.
+      val c = Dedup.exactCollapse(t(s, dir, "documents"), "doc_id", "text",
+        cache = df => df.persist())
+      val idx = Dedup.countedShingleIndexCollapsed(c, n = 3, maxDocFreq = 100L,
+        hashFn = Dedup.Md5Hash60).persist()
       Recall.pairRecall(
-        Dedup.minHashLshPairsFromIndex(idx, threshold = 0.5),
-        Dedup.ngramJaccardPairsFromIndex(idx, threshold = 0.5),
+        Dedup.expandExactGroups(Dedup.minHashLshPairsFromIndex(idx, threshold = 0.5),
+          c.membership, "jaccard", idx, lit(1.0)),
+        Dedup.expandExactGroups(Dedup.ngramJaccardPairsFromIndex(idx, threshold = 0.5),
+          c.membership, "jaccard", idx, lit(1.0)),
         floor = 0.5)
     }),
 

@@ -77,10 +77,94 @@ object Dedup {
                           maxDocFreq: Long, hashFn: Column => Column = XxHash): DataFrame =
     withShingleCounts(shingleIndex(docs, idCol, textCol, n, maxDocFreq, hashFn))
 
+  /** Exact-duplicate collapse in front of the shingle machinery: docs
+    * grouped by token fingerprint (md5 over the token stream — the same
+    * equivalence the shingle index sees), one representative (min id) per
+    * group. The quadratic candidate stages then run over UNIQUE texts,
+    * and duplicate mass — the dominant term on the corpora a dedup
+    * operator exists for — only touches the final output expansion
+    * ([[expandExactGroups]]). `reps` carries (doc_id, _t, grp_n);
+    * `membership` maps every doc to its representative.
+    */
+  final case class ExactCollapse(reps: DataFrame, membership: DataFrame)
+
+  def exactCollapse(docs: DataFrame, idCol: String, textCol: String,
+                    cache: DataFrame => DataFrame = graft.util.CacheScope.untracked): ExactCollapse = {
+    // ONE narrow corpus shuffle: the fingerprint window moves only
+    // (doc_id, fp) — document TEXT never rides an exchange or the cache.
+    // Representatives re-read their text from the (column-pruned) source
+    // scan via a doc_id join against the rep rows — a join AQE broadcasts
+    // while the distinct-text count is modest and degrades to one
+    // narrow-keyed shuffle at corpus scale.
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("_fp"))
+    val membership = cache(docs
+      .select(col(idCol).as("doc_id"),
+        TextAnalysis.exactFingerprint(col(textCol)).as("_fp"))
+      .withColumn("rep_id", min(col("doc_id")).over(w))
+      .withColumn("grp_n", count(lit(1)).over(w))
+      .select(col("doc_id"), col("rep_id"), col("grp_n")))
+    val reps = docs.select(col(idCol).as("doc_id"), col(textCol).as("_t"))
+      .join(membership.where(col("doc_id") === col("rep_id"))
+        .select(col("doc_id"), col("grp_n")), Seq("doc_id"))
+    ExactCollapse(reps, membership)
+  }
+
+  /** [[countedShingleIndex]] over the representatives of an
+    * [[exactCollapse]]. The hot-shingle cap weights each representative
+    * by its group size, so `maxDocFreq` keeps counting DOCUMENTS —
+    * byte-identical candidate sets and jaccard values to the uncollapsed
+    * index, at |unique texts| cost.
+    */
+  def countedShingleIndexCollapsed(c: ExactCollapse, n: Int, maxDocFreq: Long,
+                                   hashFn: Column => Column = XxHash): DataFrame = {
+    val sh = c.reps
+      .select(col("doc_id"), TextAnalysis.tokens(col("_t")).as("toks"), col("grp_n"))
+      .select(col("doc_id"),
+        explode(TextAnalysis.shinglesFromTokens(col("toks"), n)).as("shingle_s"),
+        col("grp_n"))
+      .select(col("doc_id"), hashFn(col("shingle_s")).as("shingle"), col("grp_n"))
+    val hot = sh.groupBy("shingle").agg(sum(col("grp_n")).as("df"))
+      .where(col("df") > maxDocFreq).select("shingle")
+    withShingleCounts(sh.select("doc_id", "shingle").join(hot, Seq("shingle"), "left_anti"))
+  }
+
+  /** Expand representative-level pairs back to document pairs:
+    *  - cross-group: every member of group A against every member of
+    *    group B, inheriting the representatives' similarity (identical
+    *    shingle sets -> identical value);
+    *  - within-group: every pair inside a group whose representative
+    *    SURVIVED the index (>= 1 post-cap shingle), at `identicalSim` —
+    *    exactly the pairs the uncollapsed self-join would have found for
+    *    identical docs (all-hot or shingle-less docs never pair there).
+    */
+  def expandExactGroups(repPairs: DataFrame, membership: DataFrame,
+                        simCol: String, survivors: DataFrame,
+                        identicalSim: Column): DataFrame = {
+    val cross = repPairs
+      .join(membership.select(col("rep_id").as("doc_a"), col("doc_id").as("_da")), Seq("doc_a"))
+      .join(membership.select(col("rep_id").as("doc_b"), col("doc_id").as("_db")), Seq("doc_b"))
+      .select(least(col("_da"), col("_db")).as("doc_a"),
+        greatest(col("_da"), col("_db")).as("doc_b"), col(simCol))
+    // Only DUPLICATE groups (grp_n >= 2, a membership predicate — no
+    // extra shuffle) can produce within pairs; the survivor check is a
+    // semi-join straight against the index edges (a hash build dedups the
+    // right side for free — no distinct pass over the edge list).
+    val m = membership.where(col("grp_n") >= 2)
+      .join(survivors.select(col("doc_id").as("rep_id")), Seq("rep_id"), "left_semi")
+    val within = m.as("x").join(m.as("y"), Seq("rep_id"))
+      .where(col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+        identicalSim.as(simCol))
+    within.unionByName(cross)
+  }
+
   /** Pairwise n-gram Jaccard similarity >= `threshold` via inverted-index
     * self-join (candidates share >=1 shingle). Output: (doc_a < doc_b,
     * jaccard). Exact — this is also the verifier behind the sketch-based
-    * paths.
+    * paths. Runs through [[exactCollapse]]: the index self-join sees each
+    * distinct text once (see ExactCollapse for why that is the
+    * scale-defining move on duplicate-heavy corpora).
     */
   def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
                         n: Int = 3, threshold: Double = 0.8,
@@ -93,8 +177,10 @@ object Dedup {
     // default (tokenize+explode+hot-cap would otherwise run twice).
     // Long-lived sessions pass a CacheScope.persist to reclaim the blocks
     // after the terminal action; CacheScope.none disables caching.
-    val idx = cache(countedShingleIndex(docs, idCol, textCol, n, maxDocFreq, hashFn))
-    ngramJaccardPairsFromIndex(idx, threshold)
+    val c = exactCollapse(docs, idCol, textCol, cache)
+    val idx = cache(countedShingleIndexCollapsed(c, n, maxDocFreq, hashFn))
+    expandExactGroups(ngramJaccardPairsFromIndex(idx, threshold),
+      c.membership, "jaccard", idx, lit(1.0))
   }
 
   /** [[ngramJaccardPairs]] over a prebuilt [[countedShingleIndex]] —
@@ -173,7 +259,11 @@ object Dedup {
 
   /** LSH banding: explode each signature into (band_idx, band_key) and
     * self-join — docs sharing any band are candidates. Verified exactly
-    * against n-gram Jaccard before reporting.
+    * against n-gram Jaccard before reporting. Runs through
+    * [[exactCollapse]]: identical texts share a signature and would all
+    * but fill their LSH buckets on a duplicate-heavy corpus; collapsing
+    * first keeps the banding join and the verify tier at
+    * |unique texts| while the output expansion restores every pair.
     */
   def minHashLshPairs(docs: DataFrame, idCol: String, textCol: String,
                       n: Int = 3, threshold: Double = 0.8,
@@ -186,8 +276,10 @@ object Dedup {
     // Cached WITH the per-doc shingle counts: the counts ride the cached
     // blocks once instead of re-running the doc_id window per verify
     // side. See ngramJaccardPairs for the cache-lifecycle contract.
-    val idx = cache(countedShingleIndex(docs, idCol, textCol, n, maxDocFreq, hashFn))
-    minHashLshPairsFromIndex(idx, threshold, p)
+    val c = exactCollapse(docs, idCol, textCol, cache)
+    val idx = cache(countedShingleIndexCollapsed(c, n, maxDocFreq, hashFn))
+    expandExactGroups(minHashLshPairsFromIndex(idx, threshold, p),
+      c.membership, "jaccard", idx, lit(1.0))
   }
 
   /** [[minHashLshPairs]] over a prebuilt [[countedShingleIndex]] — the
