@@ -85,6 +85,42 @@ class TextDedupSpec extends SparkSpec {
     assert(lsh.contains((0L, 3L)))
   }
 
+  test("exact-collapsed pairs equal the per-doc reference on a hostile generated corpus") {
+    // The collapse path's equivalence claim is intricate (duplicate-
+    // weighted hot cap, survivor-gated within pairs, cross expansion):
+    // pin it against the uncollapsed per-doc machinery — which still
+    // exists as countedShingleIndex + the FromIndex variants — on a
+    // corpus engineered to hit every edge: heavy duplicate groups, docs
+    // below the shingle width, duplicate groups whose every shingle is
+    // hot-capped away (cap weighted by duplicate count), and near-dups.
+    val rng = new scala.util.Random(7)
+    val pool = Seq(
+      "alpha beta gamma delta epsilon zeta", // duplicated widely
+      "alpha beta gamma delta epsilon eta", // near-dup of above
+      "one two", // below n=3: no shingles
+      "hot hot hot hot common common common", // shingles go over the weighted cap
+      "unrelated prose about columnar engines and shuffles",
+      "unrelated prose about columnar engines and sorting",
+      "")
+    val rows = (0L until 60L).map(i => (i, pool(rng.nextInt(pool.length))))
+    val gen = rows.toDF("doc_id", "text")
+    def pairSet(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("doc_a"), col("doc_b"), round(col("jaccard"), 9))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    for (cap <- Seq(3L, 10L, 1000L)) {
+      val refIdx = Dedup.countedShingleIndex(gen, "doc_id", "text", 3, cap)
+      val ref = pairSet(Dedup.ngramJaccardPairsFromIndex(refIdx, 0.5))
+      val got = pairSet(Dedup.ngramJaccardPairs(gen, "doc_id", "text", 3, 0.5, cap))
+      assert(got == ref, s"jaccard mismatch at cap=$cap: " +
+        s"missing=${(ref -- got).take(5)} extra=${(got -- ref).take(5)}")
+      val refLsh = pairSet(Dedup.minHashLshPairsFromIndex(refIdx, 0.5))
+      val gotLsh = pairSet(Dedup.minHashLshPairs(gen, "doc_id", "text", 3, 0.5,
+        maxDocFreq = cap))
+      assert(gotLsh == refLsh, s"lsh mismatch at cap=$cap: " +
+        s"missing=${(refLsh -- gotLsh).take(5)} extra=${(gotLsh -- refLsh).take(5)}")
+    }
+  }
+
   test("SimHash: identical docs at Hamming 0, near-dups within 3") {
     val pairs = Dedup.simHashPairs(docs, "doc_id", "text", maxHamming = 3)
       .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getInt(2))).toMap
