@@ -45,11 +45,15 @@ object CorpusPipeline {
       .select(col("doc_id"), col("text"), col("lang_guess"), col("quality"))
     val afterExact = cache(afterExact0)
 
-    // Near-dup losers: the larger id of each surviving pair.
-    val nearLosers = Dedup.ngramJaccardPairs(
-        afterExact.select(col("doc_id"), col("text")), "doc_id", "text",
-        n = 3, threshold = jaccardThreshold, maxDocFreq = maxDocFreq,
-        cache = cache)
+    // Near-dup losers: the larger id of each surviving pair. The input is
+    // exact-unique by construction (the keeper window above), so this
+    // goes straight to the per-doc index path — the wrapper's
+    // exactCollapse stage would re-fingerprint a corpus with nothing
+    // left to collapse.
+    val idx = cache(Dedup.countedShingleIndex(
+      afterExact.select(col("doc_id"), col("text")), "doc_id", "text",
+      n = 3, maxDocFreq = maxDocFreq))
+    val nearLosers = Dedup.ngramJaccardPairsFromIndex(idx, jaccardThreshold)
       .select(col("doc_b").as("doc_id")).distinct()
 
     afterExact.join(nearLosers, Seq("doc_id"), "left_anti")
