@@ -98,17 +98,35 @@ object Tables {
     val waveDir = new org.apache.hadoop.fs.Path(graft.util.Scratch.dir("graft_waves"))
     val fs = waveDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val base = System.currentTimeMillis()
+    // ONE parallel job stages every wave: range-partitioning on the wave
+    // index puts each wave in its own task (same value never splits), and
+    // the hive-partitioned write lands one file per wave directory — the
+    // previous wave-at-a-time repartition(1) loop funneled the whole
+    // fixture through nWaves sequential single-task writes.
+    val tmp = new org.apache.hadoop.fs.Path(
+      graft.util.Scratch.dir("graft_wave_tmp"), "waves")
+    raw.withColumn("w",
+        ((col("ts").cast("long") - tsMin) * nWaves / span).cast("int"))
+      .repartitionByRange(nWaves, col("w"))
+      .write.mode("overwrite").partitionBy("w").parquet(tmp.toString)
     (0 until nWaves).foreach { i =>
-      val wave = raw.where(
-        ((col("ts").cast("long") - tsMin) * nWaves / span).cast("int") === i)
-      val tmp = new org.apache.hadoop.fs.Path(
-        graft.util.Scratch.dir("graft_wave_tmp"), s"w$i")
-      wave.repartition(1).write.mode("overwrite").parquet(tmp.toString)
-      val part = fs.listStatus(tmp)
-        .map(_.getPath).filter(_.getName.startsWith("part-")).head
+      val dir = new org.apache.hadoop.fs.Path(tmp, s"w=$i")
       val dest = new org.apache.hadoop.fs.Path(waveDir, f"wave-$i%04d.parquet")
-      if (!fs.rename(part, dest))
-        throw new java.io.IOException(s"wavedEventsStream: cannot stage $dest")
+      if (fs.exists(dir)) {
+        val part = fs.listStatus(dir)
+          .map(_.getPath).filter(_.getName.startsWith("part-")).head
+        if (!fs.rename(part, dest))
+          throw new java.io.IOException(s"wavedEventsStream: cannot stage $dest")
+      } else {
+        // An empty wave still needs a file so delivery order (and the
+        // wave count the gates assert) is independent of the data split.
+        raw.limit(0).repartition(1).write.mode("overwrite")
+          .parquet(new org.apache.hadoop.fs.Path(tmp, s"empty$i").toString)
+        val part = fs.listStatus(new org.apache.hadoop.fs.Path(tmp, s"empty$i"))
+          .map(_.getPath).filter(_.getName.startsWith("part-")).head
+        if (!fs.rename(part, dest))
+          throw new java.io.IOException(s"wavedEventsStream: cannot stage empty $dest")
+      }
       // Oldest-first delivery order is decided by modification time.
       fs.setTimes(dest, base + i * 1000L, -1L)
     }
