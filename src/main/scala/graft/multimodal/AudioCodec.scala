@@ -47,9 +47,13 @@ object AudioCodec {
     buf.array()
   }
 
-  /** Fixture source: (doc_id, audio) with one real WAV payload per id. */
+  /** Fixture source: (doc_id, audio) with one real WAV payload per id.
+    * Repartitioned up front for the same reason as
+    * [[ImageCodec.encodeFixture]]: the pruned id scan collapses to few
+    * splits, and the whole codec chain runs in this stage's tasks. */
   def encodeFixture(ids: DataFrame, idCol: String): DataFrame = {
     val in = ids.select(col(idCol).cast(LongType))
+      .repartition(ids.sparkSession.sparkContext.defaultParallelism)
     val schema = StructType(Seq(
       StructField("doc_id", LongType, nullable = false),
       StructField("audio", BinaryType, nullable = false)))

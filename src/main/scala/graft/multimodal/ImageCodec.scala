@@ -57,7 +57,15 @@ object ImageCodec {
     * ids, JPEG for odd (two real codecs through one path). Output:
     * (doc_id, image). */
   def encodeFixture(ids: DataFrame, idCol: String): DataFrame = {
+    // Fan the id list across the cluster BEFORE the codec chain: the
+    // pruned id column collapses to one-or-few scan splits
+    // (maxPartitionBytes is sized for data, not for CPU work per row), and
+    // every downstream mapPartitions codec stage — encode, decode,
+    // resize — runs in this stage's tasks. A real binary corpus arrives
+    // pre-split by its payload bytes; a generated fixture must spread
+    // itself.
     val in = ids.select(col(idCol).cast(LongType))
+      .repartition(ids.sparkSession.sparkContext.defaultParallelism)
     val schema = StructType(Seq(
       StructField("doc_id", LongType, nullable = false),
       StructField("image", BinaryType, nullable = false)))
