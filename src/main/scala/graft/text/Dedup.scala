@@ -522,6 +522,10 @@ object Dedup {
       "4-band pigeonhole is only complete for maxHamming <= 3; add bands for a wider radius")
     val bandBits = bits / 4
     val mask = (1L << bandBits) - 1
+    // Per-doc signatures, NOT exactCollapse'd: measured, the collapse's
+    // fingerprint window + membership join costs about what it saves off
+    // the vote aggregate (the signature is already one narrow aggregate),
+    // unlike the shingle tiers where it removes quadratic candidate work.
     // Referenced by the within-join (both sides) and both expansion sides.
     val sig = cache(simHash(docs, idCol, textCol, hashFn, bits))
     // Identical sketches: every doc pair sharing a fingerprint, hamming 0.
