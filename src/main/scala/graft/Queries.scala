@@ -763,6 +763,24 @@ object Queries {
       Dedup.clusterRepresentatives(docs, "doc_id", pairs)
     }),
 
+    // Incremental ingestion dedup: the even-id half plays the ACCEPTED
+    // corpus (its shingle index persisted to parquet and read back — the
+    // state-table form a growing 100 TB corpus maintains), the odd-id
+    // half arrives as the new batch. Pairs = batch-internal + batch vs
+    // state-index; the historical corpus is never re-paired with itself.
+    "dedup_incremental" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val statePath = graft.util.Scratch.dir("graft_incdedup") + "/shingle_index"
+      Dedup.countedShingleIndex(docs.where(pmod(col("doc_id"), lit(2)) === 0),
+          "doc_id", "text", n = 3, maxDocFreq = 100L, hashFn = Dedup.Md5Hash60)
+        .write.parquet(statePath)
+      val batchIdx = Dedup.countedShingleIndex(
+        docs.where(pmod(col("doc_id"), lit(2)) =!= 0),
+        "doc_id", "text", n = 3, maxDocFreq = 100L, hashFn = Dedup.Md5Hash60).persist()
+      Dedup.incrementalNearDupPairs(batchIdx, s.read.parquet(statePath), threshold = 0.5)
+        .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6).as("jaccard"), col("src"))
+    }),
+
     // Sketch-based near-dup. Gate configuration uses the md5-derived
     // 60-bit term hash (Dedup.Md5Hash60) so DuckDB can replicate the
     // MinHash signatures, banding, and verification EXACTLY; production
@@ -2453,6 +2471,38 @@ object Queries {
     "dedup_ngram_jaccard" ->
       s"""WITH $jaccardPairsCte
          |SELECT doc_a, doc_b, jaccard FROM jpairs""".stripMargin,
+
+    // Incremental replica: per-half indexes with per-half hot caps
+    // (matching the Spark side's independently-built state/batch
+    // indexes), batch self-pairs plus state x batch cross pairs.
+    "dedup_incremental" ->
+      """WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks FROM documents),
+        |sh AS (SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(toks) - 1),
+        |         i -> array_to_string(toks[i:i+2], ' ')))) AS shingle
+        |       FROM t),
+        |ssh AS (SELECT * FROM sh WHERE doc_id % 2 = 0),
+        |bsh AS (SELECT * FROM sh WHERE doc_id % 2 <> 0),
+        |sidx AS (SELECT doc_id, shingle FROM ssh WHERE shingle NOT IN (
+        |           SELECT shingle FROM ssh GROUP BY 1 HAVING count(*) > 100)),
+        |bidx AS (SELECT doc_id, shingle FROM bsh WHERE shingle NOT IN (
+        |           SELECT shingle FROM bsh GROUP BY 1 HAVING count(*) > 100)),
+        |ssz AS (SELECT doc_id, count(*) AS nsh FROM sidx GROUP BY 1),
+        |bsz AS (SELECT doc_id, count(*) AS nsh FROM bidx GROUP BY 1),
+        |selfp AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+        |          FROM bidx a JOIN bidx b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |          GROUP BY 1, 2),
+        |crossp AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+        |           FROM sidx a JOIN bidx b ON a.shingle = b.shingle
+        |           GROUP BY 1, 2)
+        |SELECT doc_a, doc_b, round(CAST(i AS DOUBLE) / (sa.nsh + sb.nsh - i), 6) AS jaccard,
+        |       'batch' AS src
+        |FROM selfp JOIN bsz sa ON doc_a = sa.doc_id JOIN bsz sb ON doc_b = sb.doc_id
+        |WHERE CAST(i AS DOUBLE) / (sa.nsh + sb.nsh - i) >= 0.5
+        |UNION ALL
+        |SELECT doc_a, doc_b, round(CAST(i AS DOUBLE) / (sa.nsh + sb.nsh - i), 6) AS jaccard,
+        |       'state' AS src
+        |FROM crossp JOIN ssz sa ON doc_a = sa.doc_id JOIN bsz sb ON doc_b = sb.doc_id
+        |WHERE CAST(i AS DOUBLE) / (sa.nsh + sb.nsh - i) >= 0.5""".stripMargin,
 
     // Reachability fixpoint over the same pair graph: min reachable id
     // per node == the propagation-converged representative.

@@ -198,6 +198,44 @@ object Dedup {
       .select("doc_a", "doc_b", "jaccard")
   }
 
+  /** Incremental near-dup for a GROWING corpus — the production
+    * ingestion shape: each new batch is paired against the accepted
+    * corpus through its PERSISTED shingle index plus against itself, and
+    * the historical corpus is never re-paired against its own history.
+    * Per wave the cost is |batch self-join| + |batch x state index
+    * equi-join| — both shingle-bucketed — instead of re-running the full
+    * corpus-squared dedup that a naive "union and redo" would.
+    *
+    * Output: (doc_a, doc_b, jaccard, src) where src='state' pairs carry
+    * the accepted-corpus doc as doc_a and the batch doc as doc_b, and
+    * src='batch' pairs are batch-internal with doc_a < doc_b — so doc_b
+    * is ALWAYS the batch-side id a keeper policy would drop
+    * ([[incrementalAccept]]).
+    */
+  def incrementalNearDupPairs(batchIdx: DataFrame, stateIdx: DataFrame,
+                              threshold: Double): DataFrame = {
+    val self = ngramJaccardPairsFromIndex(batchIdx, threshold)
+      .withColumn("src", lit("batch"))
+    val a = stateIdx.select(col("doc_id").as("doc_a"), col("nsh").as("na"), col("shingle"))
+    val b = batchIdx.select(col("doc_id").as("doc_b"), col("nsh").as("nb"), col("shingle"))
+    val cross = a.join(b, Seq("shingle"))
+      .groupBy("doc_a", "doc_b", "na", "nb").agg(count(lit(1)).as("inter"))
+      .withColumn("jaccard",
+        col("inter").cast(DoubleType) / (col("na") + col("nb") - col("inter")).cast(DoubleType))
+      .where(col("jaccard") >= threshold)
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+      .withColumn("src", lit("state"))
+    self.unionByName(cross)
+  }
+
+  /** Batch ids surviving incremental dedup: docs similar to the accepted
+    * corpus are dropped, and within the batch the larger id of each pair
+    * is dropped (the pair-local keeper policy the cleaning flow uses —
+    * doc_b is the batch-side id in BOTH pair kinds). */
+  def incrementalAccept(batchIds: DataFrame, pairs: DataFrame): DataFrame =
+    batchIds.join(pairs.select(col("doc_b").as(batchIds.columns.head)),
+      Seq(batchIds.columns.head), "left_anti")
+
   /** Attach each doc's shingle count to every index edge (window count —
     * keys with one hot doc are bounded by the per-doc shingle count, not
     * the corpus). */

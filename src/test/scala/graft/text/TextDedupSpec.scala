@@ -85,6 +85,24 @@ class TextDedupSpec extends SparkSpec {
     assert(lsh.contains((0L, 3L)))
   }
 
+  test("incremental dedup: batch pairs against state index + itself; accept drops doc_b side") {
+    // State corpus: doc 0. Batch: 1 (near-dup of 0), 2 (unrelated),
+    // 3 (exact dup of 0 — also a near-dup of 1 within the batch).
+    val state = docs.where(col("doc_id") === 0L)
+    val batch = docs.where(col("doc_id").isin(1L, 2L, 3L))
+    val stateIdx = Dedup.countedShingleIndex(state, "doc_id", "text", 3, 100L)
+    val batchIdx = Dedup.countedShingleIndex(batch, "doc_id", "text", 3, 100L)
+    val pairs = Dedup.incrementalNearDupPairs(batchIdx, stateIdx, 0.5)
+    val got = pairs.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(3))).toSet
+    assert(got == Set((0L, 1L, "state"), (0L, 3L, "state"), (1L, 3L, "batch")))
+    val accepted = Dedup.incrementalAccept(batch.select(col("doc_id")), pairs)
+      .collect().map(_.getLong(0)).toSet
+    // 1 drops against the state corpus; 3 drops both ways; 2 survives.
+    // (1 is doc_b of its state pair, so the batch keeps only 2.)
+    assert(accepted == Set(2L))
+  }
+
   test("exact-collapsed pairs equal the per-doc reference on a hostile generated corpus") {
     // The collapse path's equivalence claim is intricate (duplicate-
     // weighted hot cap, survivor-gated within pairs, cross expansion):
