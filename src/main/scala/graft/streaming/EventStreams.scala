@@ -19,6 +19,49 @@ import graft.io.Sinks
   */
 object EventStreams {
 
+  /** Continuous corpus ingestion with incremental near-dup dedup: each
+    * micro-batch of documents is paired against the PERSISTED
+    * accepted-corpus shingle index plus itself
+    * ([[graft.text.Dedup.incrementalNearDupPairs]]), surviving docs are
+    * appended to `acceptedPath` (tagged with their micro-batch id) and
+    * their index edges appended to `stateIndexPath` — so the accepted
+    * corpus's history is never re-paired against itself, and a crawl
+    * can dedup-ingest forever at per-batch cost.
+    *
+    * Appends are the state discipline here (vs the swap in [[mergeSink]]):
+    * both sinks only ever ADD rows keyed by doc, and the accepted-ids
+    * read-back below is re-read from disk before the index append so no
+    * write races its own input plan.
+    */
+  def corpusDedupSink(docs: DataFrame, idCol: String, textCol: String,
+                      stateIndexPath: String, acceptedPath: String,
+                      checkpoint: String, threshold: Double = 0.5,
+                      maxDocFreq: Long = 100L,
+                      hashFn: Column => Column = graft.text.Dedup.Md5Hash60): StreamingQuery =
+    docs.writeStream
+      .outputMode(OutputMode.Update())
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        val batchIdx = graft.text.Dedup.countedShingleIndex(
+          batch, idCol, textCol, n = 3, maxDocFreq, hashFn).persist()
+        try {
+          val state = Merge.readStateOrEmpty(spark, stateIndexPath, batchIdx.schema)
+          val pairs = graft.text.Dedup.incrementalNearDupPairs(batchIdx, state, threshold)
+          graft.text.Dedup.incrementalAccept(batch.select(col(idCol)), pairs)
+            .withColumn("wave", lit(batchId).cast("int"))
+            .write.mode("append").parquet(acceptedPath)
+          val acceptedIds = spark.read.parquet(acceptedPath)
+            .where(col("wave") === batchId.toInt)
+            .select(col(idCol).as("doc_id"))
+          batchIdx.join(acceptedIds, Seq("doc_id"))
+            .select(col("doc_id"), col("shingle"), col("nsh"))
+            .write.mode("append").parquet(stateIndexPath)
+        } finally batchIdx.unpersist()
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+
   /** Typed event row for streaming tests and stateful ops. */
   final case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
                          event_type: String, value: Double)
