@@ -895,6 +895,22 @@ object Queries {
           dim = 64, threshold = 0.45, nbits = 4, seeds = lshSeeds)
         .select(col("doc_a"), col("doc_b"), round(col("sim"), 6).as("sim"))),
 
+    // Vector twin of dedup_incremental: the even-id half's LSH bucket
+    // table persisted as the accepted-corpus state, odd ids arriving as
+    // the batch — new vectors near-dup-checked against history without
+    // ever re-pairing history.
+    "dedup_embedding_incremental" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val statePath = graft.util.Scratch.dir("graft_incvec") + "/buckets"
+      Similarity.lshBucketTable(emb.where(pmod(col("vec_id"), lit(2)) === 0),
+          "vec_id", "embedding", dim = 64, nbits = 4, seeds = lshSeeds)
+        .write.parquet(statePath)
+      Similarity.incrementalLshNearDup(emb.where(pmod(col("vec_id"), lit(2)) =!= 0),
+          s.read.parquet(statePath), "vec_id", "embedding",
+          dim = 64, threshold = 0.45, nbits = 4, seeds = lshSeeds)
+        .select(col("doc_a"), col("doc_b"), round(col("sim"), 6).as("sim"), col("src"))
+    }),
+
     // ---- recall audits for the approximate tiers --------------------------
     // One-row reports: recall of each approximate tier vs its exact twin,
     // integer-count arithmetic only (deterministic under any partitioning).
@@ -1864,6 +1880,39 @@ object Queries {
        |SELECT doc_a, doc_b, round(sim, 6) AS sim FROM p WHERE sim >= 0.45""".stripMargin
   }
 
+  /** Incremental replica of the vector twin: even ids are the persisted
+    * state buckets, odd ids the batch; batch-self pairs plus state x
+    * batch bucket-collision pairs, cosine-verified.
+    */
+  private def incrementalEmbeddingLshOracleSql: String = {
+    val bucketExprs = lshSeeds.zipWithIndex.map { case (seed, i) =>
+      val planes = (0 until 4).map { b =>
+        val arr = (0 until 64)
+          .map(p => java.lang.Double.toString(Similarity.hyperplaneCoef(seed, b, p)))
+          .mkString(", ")
+        s"(CASE WHEN list_dot_product(v, [$arr]) > 0 THEN (1::BIGINT << $b) ELSE 0::BIGINT END)"
+      }.mkString(" | ")
+      s"$planes AS b$i"
+    }
+    val anyTable = lshSeeds.indices.map(i => s"a.b$i = b.b$i").mkString(" OR ")
+    s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+       |bkt AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm, ${bucketExprs.mkString(", ")} FROM e),
+       |sb AS (SELECT * FROM bkt WHERE vec_id % 2 = 0),
+       |bb AS (SELECT * FROM bkt WHERE vec_id % 2 <> 0),
+       |selfp AS (SELECT DISTINCT a.vec_id AS doc_a, b.vec_id AS doc_b
+       |          FROM bb a JOIN bb b ON a.vec_id < b.vec_id AND ($anyTable)),
+       |crossp AS (SELECT DISTINCT a.vec_id AS doc_a, b.vec_id AS doc_b
+       |           FROM sb a JOIN bb b ON ($anyTable)),
+       |scored AS (
+       |  SELECT c.doc_a, c.doc_b, c.src,
+       |    list_dot_product(x.v, y.v) / (x.nrm * y.nrm) AS sim
+       |  FROM (SELECT doc_a, doc_b, 'batch' AS src FROM selfp
+       |        UNION ALL SELECT doc_a, doc_b, 'state' FROM crossp) c
+       |  JOIN bkt x ON x.vec_id = c.doc_a
+       |  JOIN bkt y ON y.vec_id = c.doc_b)
+       |SELECT doc_a, doc_b, round(sim, 6) AS sim, src FROM scored WHERE sim >= 0.45""".stripMargin
+  }
+
   /** DuckDB twin of the exact brute-force cosine top-k (shared by both
     * brute gates and, as the exact reference, by the recall audits).
     */
@@ -2735,6 +2784,8 @@ object Queries {
     "sim_ivf_topk_bulk" -> ivfOracleSql,
 
     "dedup_embedding_lsh" -> embeddingLshOracleSql,
+
+    "dedup_embedding_incremental" -> incrementalEmbeddingLshOracleSql,
 
     "fn_coalesce_truthy" ->
       """WITH b AS (SELECT o_orderkey,

@@ -237,6 +237,54 @@ object Similarity {
       .distinct()
   }
 
+  /** The LSH bucket table as PERSISTED state: (id, v, nrm, tbl, bucket)
+    * for every (vector, hash table) pair — what a growing vector corpus
+    * stores so new batches join against it without re-hashing history
+    * ([[incrementalLshNearDup]]).
+    */
+  def lshBucketTable(corpus: DataFrame, idCol: String, vecCol: String,
+                     dim: Int, nbits: Int = 8,
+                     seeds: Seq[Long] = Seq(42L)): DataFrame = {
+    require(seeds.nonEmpty, "lshBucketTable needs at least one hash-table seed")
+    val tables = array(seeds.zipWithIndex.map { case (s, i) =>
+      struct(lit(i).as("tbl"), lshBucket(col("v"), dim, nbits, s).as("bucket"))
+    }: _*)
+    corpus.select(col(idCol).as("id"), col(vecCol).as("v"))
+      .withColumn("nrm", sqrt(dot(col("v"), col("v"))))
+      .select(col("id"), col("v"), col("nrm"), explode(tables).as("tb"))
+      .select(col("id"), col("v"), col("nrm"),
+        col("tb.tbl").as("tbl"), col("tb.bucket").as("bucket"))
+  }
+
+  /** Incremental embedding near-dup: a NEW vector batch against the
+    * accepted corpus's persisted [[lshBucketTable]] plus itself — the
+    * vector twin of [[graft.text.Dedup.incrementalNearDupPairs]].
+    * History is never re-paired; each wave costs the batch self-join
+    * plus one bucket equi-join against the state table. Verification is
+    * inline (the [[lshNearDupPairs]] shape). Output: (doc_a, doc_b, sim,
+    * src) — src='state' pairs carry the state id as doc_a and the batch
+    * id as doc_b.
+    */
+  def incrementalLshNearDup(batch: DataFrame, stateBuckets: DataFrame,
+                            idCol: String, vecCol: String,
+                            dim: Int, threshold: Double, nbits: Int = 8,
+                            seeds: Seq[Long] = Seq(42L)): DataFrame = {
+    val self = lshNearDupPairs(batch, idCol, vecCol, dim, threshold, nbits, seeds)
+      .withColumn("src", lit("batch"))
+    val bb = lshBucketTable(batch, idCol, vecCol, dim, nbits, seeds)
+    val cross = stateBuckets
+      .select(col("id").as("doc_a"), col("v").as("va"), col("nrm").as("na"),
+        col("tbl"), col("bucket"))
+      .join(bb.select(col("id").as("doc_b"), col("v").as("vb"), col("nrm").as("nb"),
+        col("tbl"), col("bucket")), Seq("tbl", "bucket"))
+      .withColumn("sim", dot(col("va"), col("vb")) / (col("na") * col("nb")))
+      .where(col("sim") >= threshold)
+      .select(col("doc_a"), col("doc_b"), col("sim"))
+      .distinct()
+      .withColumn("src", lit("state"))
+    self.unionByName(cross)
+  }
+
   /** Random-hyperplane LSH bucket id (`nbits` sign bits from fixed seeded
     * hyperplanes): vectors in the same bucket are ANN candidates. The
     * hyperplanes are derived deterministically from (seed, bit, pos) via a
