@@ -1221,6 +1221,15 @@ object Queries {
           hashFn = Dedup.Md5Hash60)
         .select(col("doc_id"), col("split"))),
 
+    // Deterministic data MIXING: the largest sample whose composition
+    // matches the target weights (binding group kept whole, others
+    // hash-thresholded down to their share).
+    "sample_mixture" -> ((s, dir) =>
+      graft.ops.Sampling.mixtureSample(
+          t(s, dir, "documents").select(col("doc_id"), col("source")),
+          "doc_id", "source", MixtureTargets, hashFn = Dedup.Md5Hash60)
+        .select(col("doc_id"), col("source"))),
+
     // Per-stratum deterministic sampling (corpus mixing weights as one
     // scan-side filter).
     "sample_stratified" -> ((s, dir) =>
@@ -1686,6 +1695,29 @@ object Queries {
   /** DuckDB twin of [[Dedup.Md5Hash60]] (60-bit md5-derived term hash). */
   private def md5Hash60Sql(e: String): String =
     s"CAST('0x' || substr(md5($e),1,15) AS BIGINT)"
+
+  /** Shared by the sample_mixture gate and its oracle so the weights can
+    * never drift apart. */
+  private val MixtureTargets = Seq("src0" -> 0.5, "src1" -> 0.3, "src2" -> 0.2)
+
+  /** Replica of [[graft.ops.Sampling.mixtureSample]]: group counts, the
+    * binding-group mixture size min(n/w), per-group floor thresholds over
+    * the md5 bucket — the double arithmetic ORDER matches the Scala side
+    * literally (((w * nt) / n) * 10000).
+    */
+  private def mixtureOracleSql: String = {
+    val inList = MixtureTargets.map(t => s"'${t._1}'").mkString(", ")
+    val wCase = MixtureTargets
+      .map { case (g, w) => s"WHEN '$g' THEN CAST($w AS DOUBLE)" }.mkString(" ")
+    s"""WITH c AS (SELECT source, count(*) AS n FROM documents
+       |           WHERE source IN ($inList) GROUP BY 1),
+       |r AS (SELECT source, n, CASE source $wCase END AS w FROM c),
+       |nt AS (SELECT min(n / w) AS v FROM r),
+       |thr AS (SELECT source, floor(w * (SELECT v FROM nt) / n * 10000) AS t FROM r)
+       |SELECT d.doc_id, d.source
+       |FROM documents d JOIN thr ON d.source = thr.source
+       |WHERE ${md5Hash60Sql("CAST(d.doc_id AS VARCHAR)")} % 10000 < thr.t""".stripMargin
+  }
 
   /** DuckDB twin of [[Normalize.safeDecimal]]: strip `[,$%\s]`, sentinel
     * strings to null, try-cast WIDE (scale+6 — the Spark side parses wide
@@ -2891,6 +2923,8 @@ object Queries {
          |  CASE WHEN bucket < 8000 THEN 'train' WHEN bucket < 9000 THEN 'val'
          |       ELSE 'test' END AS split
          |FROM b""".stripMargin,
+
+    "sample_mixture" -> mixtureOracleSql,
 
     "sample_stratified" ->
       s"""WITH b AS (SELECT doc_id, lang,

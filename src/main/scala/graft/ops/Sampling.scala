@@ -57,6 +57,42 @@ object Sampling {
     df.withColumn(splitCol, expr)
   }
 
+  /** Deterministic corpus MIXING to a target composition: given per-group
+    * weights (e.g. web 0.6, books 0.3, code 0.1), keep the LARGEST
+    * possible sample whose group proportions match the weights. The
+    * binding group (smallest n_g/w_g) is kept whole; every other group is
+    * down-sampled by hash threshold to its share — one bounded group-count
+    * aggregate (|groups| rows to the driver, like the touched-partition
+    * list in Merge) and then a pure scan-side filter, retry-stable and
+    * cross-engine replicable under the md5 hash. Groups outside `targets`
+    * are dropped.
+    */
+  def mixtureSample(df: DataFrame, keyCol: String, groupCol: String,
+                    targets: Seq[(String, Double)],
+                    hashFn: Column => Column = graft.functions.Hashes.XxHash64): DataFrame = {
+    require(targets.nonEmpty, "need at least one target group")
+    require(targets.map(_._1).distinct.size == targets.size, "duplicate target group")
+    require(targets.forall(_._2 > 0), "target weights must be positive")
+    require(math.abs(targets.map(_._2).sum - 1.0) < 1e-9, "target weights must sum to 1")
+    val names = targets.map(_._1)
+    val counts = df.where(col(groupCol).isin(names: _*))
+      .groupBy(col(groupCol)).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val missing = names.filterNot(counts.contains)
+    require(missing.isEmpty,
+      s"target groups absent from the data: ${missing.mkString(", ")}")
+    // Largest achievable mixture size: each group caps N at n_g / w_g.
+    val nT = targets.map { case (g, w) => counts(g) / w }.min
+    // Same literal double arithmetic ORDER as the SQL replica:
+    // ((w * nT) / n) * Buckets, floored.
+    val thrExpr = targets.foldRight(lit(0L): Column) { case ((g, w), rest) =>
+      when(col(groupCol) === g,
+        lit(math.floor(w * nT / counts(g) * Buckets).toLong)).otherwise(rest)
+    }
+    df.where(col(groupCol).isin(names: _*))
+      .where(hashBucket(col(keyCol), hashFn) < thrExpr)
+  }
+
   /** Keep each row with its stratum's rate, deterministically: row survives
     * iff its hash bucket falls below rate*10000. Per-source mixing weights
     * for corpus blending (e.g. web 10%, books 100%) in ONE scan-side

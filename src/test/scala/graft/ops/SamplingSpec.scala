@@ -32,6 +32,33 @@ class SamplingSpec extends SparkSpec {
     }
   }
 
+  test("mixtureSample: binding group kept whole, others downsampled to their share") {
+    // web 4000, books 1000, code 500 rows; targets 0.5/0.3/0.2. Binding
+    // group = code (500/0.2 = 2500 < books 3333 < web 8000): mixture size
+    // 2500 -> web ~1250, books ~750, code 500 (whole).
+    val docs = ((1L to 4000L).map(i => (i, "web")) ++
+      (4001L to 5000L).map(i => (i, "books")) ++
+      (5001L to 5500L).map(i => (i, "code"))).toDF("id", "grp")
+    val out = Sampling.mixtureSample(docs, "id", "grp",
+      Seq("web" -> 0.5, "books" -> 0.3, "code" -> 0.2))
+    val counts = out.groupBy("grp").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts("code") == 500L, s"binding group must be kept whole: $counts")
+    assert(counts("web") > 1100 && counts("web") < 1400, counts.toString)
+    assert(counts("books") > 650 && counts("books") < 850, counts.toString)
+    // Deterministic and stable under repartition.
+    val again = Sampling.mixtureSample(docs.repartition(7), "id", "grp",
+      Seq("web" -> 0.5, "books" -> 0.3, "code" -> 0.2))
+      .orderBy("id").collect().map(_.getLong(0)).toSeq
+    assert(again == out.orderBy("id").collect().map(_.getLong(0)).toSeq)
+    // Groups outside the targets are dropped.
+    assert(out.where(col("grp") === "other").count() == 0)
+    // A missing target group fails loud, not silently empty.
+    intercept[IllegalArgumentException] {
+      Sampling.mixtureSample(docs, "id", "grp", Seq("web" -> 0.5, "nope" -> 0.5))
+    }
+  }
+
   test("stratifiedHashSample: rate 1.0 keeps all, rate 0 keeps none, default applies") {
     val df = Seq((1L, "keep"), (2L, "keep"), (3L, "drop"), (4L, "other"))
       .flatMap { case (base, s) => (0L until 50L).map(i => (base * 100 + i, s)) }
