@@ -770,14 +770,19 @@ object Queries {
     // state-index; the historical corpus is never re-paired with itself.
     "dedup_incremental" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
-      val statePath = graft.util.Scratch.dir("graft_incdedup") + "/shingle_index"
-      Dedup.countedShingleIndex(docs.where(pmod(col("doc_id"), lit(2)) === 0),
-          "doc_id", "text", n = 3, maxDocFreq = 100L, hashFn = Dedup.Md5Hash60)
-        .write.parquet(statePath)
-      val batchIdx = Dedup.countedShingleIndex(
-        docs.where(pmod(col("doc_id"), lit(2)) =!= 0),
-        "doc_id", "text", n = 3, maxDocFreq = 100L, hashFn = Dedup.Md5Hash60).persist()
-      Dedup.incrementalNearDupPairs(batchIdx, s.read.parquet(statePath), threshold = 0.5)
+      val root = graft.util.Scratch.dir("graft_incdedup")
+      val st = Dedup.collapsedIndex(docs.where(pmod(col("doc_id"), lit(2)) === 0),
+        "doc_id", "text", n = 3, maxDocFreq = 100L, hashFn = Dedup.Md5Hash60)
+      // Persisted state = BOTH halves of the collapsed index.
+      st.repIdx.write.parquet(root + "/rep_index")
+      st.membership.write.parquet(root + "/membership")
+      val batch = Dedup.collapsedIndex(docs.where(pmod(col("doc_id"), lit(2)) =!= 0),
+        "doc_id", "text", n = 3, maxDocFreq = 100L, hashFn = Dedup.Md5Hash60,
+        cache = df => df.persist())
+      Dedup.incrementalNearDupPairsCollapsed(batch,
+          Dedup.CollapsedIndex(s.read.parquet(root + "/rep_index"),
+            s.read.parquet(root + "/membership")),
+          threshold = 0.5)
         .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6).as("jaccard"), col("src"))
     }),
 

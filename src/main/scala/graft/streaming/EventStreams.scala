@@ -43,21 +43,35 @@ object EventStreams {
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val spark = batch.sparkSession
-        val batchIdx = graft.text.Dedup.countedShingleIndex(
-          batch, idCol, textCol, n = 3, maxDocFreq, hashFn).persist()
+        val repIdxPath = stateIndexPath + "/rep_index"
+        val membershipPath = stateIndexPath + "/membership"
+        val scope = new graft.util.CacheScope
         try {
-          val state = Merge.readStateOrEmpty(spark, stateIndexPath, batchIdx.schema)
-          val pairs = graft.text.Dedup.incrementalNearDupPairs(batchIdx, state, threshold)
+          // Collapsed on BOTH sides: candidate generation runs at
+          // representative grain (a duplicate-heavy stream would
+          // otherwise pay quadratic candidates per wave), and the state
+          // stores the rep index plus the doc->rep membership.
+          val bi = graft.text.Dedup.collapsedIndex(
+            batch, idCol, textCol, n = 3, maxDocFreq, hashFn, cache = scope.persist)
+          val state = graft.text.Dedup.CollapsedIndex(
+            Merge.readStateOrEmpty(spark, repIdxPath, bi.repIdx.schema),
+            Merge.readStateOrEmpty(spark, membershipPath, bi.membership.schema))
+          val pairs = graft.text.Dedup.incrementalNearDupPairsCollapsed(bi, state, threshold)
           graft.text.Dedup.incrementalAccept(batch.select(col(idCol)), pairs)
             .withColumn("wave", lit(batchId).cast("int"))
             .write.mode("append").parquet(acceptedPath)
+          // Re-read survivors from disk so the state appends never race
+          // their own input plan.
           val acceptedIds = spark.read.parquet(acceptedPath)
             .where(col("wave") === batchId.toInt)
             .select(col(idCol).as("doc_id"))
-          batchIdx.join(acceptedIds, Seq("doc_id"))
+          val accMembership = bi.membership.join(acceptedIds, Seq("doc_id"))
+          accMembership.write.mode("append").parquet(membershipPath)
+          bi.repIdx.join(accMembership.select(col("rep_id").as("doc_id")).distinct(),
+              Seq("doc_id"))
             .select(col("doc_id"), col("shingle"), col("nsh"))
-            .write.mode("append").parquet(stateIndexPath)
-        } finally batchIdx.unpersist()
+            .write.mode("append").parquet(repIdxPath)
+        } finally scope.close()
       }
       .trigger(Trigger.AvailableNow())
       .start()

@@ -236,6 +236,54 @@ object Dedup {
     batchIds.join(pairs.select(col("doc_b").as(batchIds.columns.head)),
       Seq(batchIds.columns.head), "left_anti")
 
+  /** A collapsed corpus index: the representative-level shingle index
+    * plus the doc -> representative membership — BOTH halves of what a
+    * growing corpus persists as its dedup state (expansion back to doc
+    * pairs needs the membership). */
+  final case class CollapsedIndex(repIdx: DataFrame, membership: DataFrame)
+
+  def collapsedIndex(docs: DataFrame, idCol: String, textCol: String,
+                     n: Int, maxDocFreq: Long,
+                     hashFn: Column => Column = XxHash,
+                     cache: DataFrame => DataFrame = graft.util.CacheScope.untracked): CollapsedIndex = {
+    val c = exactCollapse(docs, idCol, textCol, cache)
+    CollapsedIndex(cache(countedShingleIndexCollapsed(c, n, maxDocFreq, hashFn)),
+      c.membership)
+  }
+
+  /** [[incrementalNearDupPairs]] over COLLAPSED indexes — the form that
+    * survives a duplicate-heavy corpus: candidate generation and
+    * verification run at representative grain on both sides, and the
+    * memberships expand the verified pairs back to doc pairs. Byte-
+    * identical output to the per-doc form (same equivalence argument as
+    * the batch collapse: identical text => identical shingle set, nsh,
+    * and jaccard; hot caps are duplicate-weighted at index build).
+    * State reps are text-distinct by construction (an identical later
+    * arrival pairs with state at 1.0 and is rejected), so there is no
+    * state-side within expansion.
+    */
+  def incrementalNearDupPairsCollapsed(batch: CollapsedIndex, state: CollapsedIndex,
+                                       threshold: Double): DataFrame = {
+    val self = expandExactGroups(
+        ngramJaccardPairsFromIndex(batch.repIdx, threshold),
+        batch.membership, "jaccard", batch.repIdx, lit(1.0))
+      .withColumn("src", lit("batch"))
+    val a = state.repIdx.select(col("doc_id").as("_ra"), col("nsh").as("na"), col("shingle"))
+    val b = batch.repIdx.select(col("doc_id").as("_rb"), col("nsh").as("nb"), col("shingle"))
+    val repCross = a.join(b, Seq("shingle"))
+      .groupBy("_ra", "_rb", "na", "nb").agg(count(lit(1)).as("inter"))
+      .withColumn("jaccard",
+        col("inter").cast(DoubleType) / (col("na") + col("nb") - col("inter")).cast(DoubleType))
+      .where(col("jaccard") >= threshold)
+      .select(col("_ra"), col("_rb"), col("jaccard"))
+    val cross = repCross
+      .join(state.membership.select(col("rep_id").as("_ra"), col("doc_id").as("doc_a")), Seq("_ra"))
+      .join(batch.membership.select(col("rep_id").as("_rb"), col("doc_id").as("doc_b")), Seq("_rb"))
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+      .withColumn("src", lit("state"))
+    self.unionByName(cross)
+  }
+
   /** Attach each doc's shingle count to every index edge (window count —
     * keys with one hot doc are bounded by the per-doc shingle count, not
     * the corpus). */

@@ -136,6 +136,21 @@ class TextDedupSpec extends SparkSpec {
         maxDocFreq = cap))
       assert(gotLsh == refLsh, s"lsh mismatch at cap=$cap: " +
         s"missing=${(refLsh -- gotLsh).take(5)} extra=${(gotLsh -- refLsh).take(5)}")
+      // Incremental: collapsed state+batch must equal the per-doc form
+      // (state = even ids, batch = odd ids, caps per half).
+      val evens = gen.where(col("doc_id") % 2 === 0)
+      val odds = gen.where(col("doc_id") % 2 =!= 0)
+      def incSet(df: org.apache.spark.sql.DataFrame) =
+        df.select(col("doc_a"), col("doc_b"), round(col("jaccard"), 9), col("src"))
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getString(3))).toSet
+      val refInc = incSet(Dedup.incrementalNearDupPairs(
+        Dedup.countedShingleIndex(odds, "doc_id", "text", 3, cap),
+        Dedup.countedShingleIndex(evens, "doc_id", "text", 3, cap), 0.5))
+      val gotInc = incSet(Dedup.incrementalNearDupPairsCollapsed(
+        Dedup.collapsedIndex(odds, "doc_id", "text", 3, cap),
+        Dedup.collapsedIndex(evens, "doc_id", "text", 3, cap), 0.5))
+      assert(gotInc == refInc, s"incremental mismatch at cap=$cap: " +
+        s"missing=${(refInc -- gotInc).take(5)} extra=${(gotInc -- refInc).take(5)}")
     }
   }
 
