@@ -46,6 +46,13 @@ object ImageCodec {
     img
   }
 
+  // ImageIO defaults to DISK-backed stream caches — one temp file created
+  // and deleted per encode/decode, which dominates the per-image cost for
+  // small images. Heap-backed streams throughout; idempotent, applied at
+  // class load on driver and executors alike (same JVM here, and the
+  // object initializes wherever the lambdas run).
+  ImageIO.setUseCache(false)
+
   private def encode(img: BufferedImage, format: String): Array[Byte] = {
     val bos = new ByteArrayOutputStream()
     if (!ImageIO.write(img, format, bos))
