@@ -757,10 +757,26 @@ object Queries {
     // (iterative min-label propagation; the oracle's recursive CTE
     // computes the same reachability fixpoint).
     "dedup_cluster_reps" -> ((s, dir) => {
+      // The iterative CC loop runs over REPRESENTATIVES (exact-collapse):
+      // duplicate groups ride one node through every round and expand at
+      // the end. Identical labels to CC over the expanded pair graph —
+      // every group minimum IS its rep, so a component's min doc id is
+      // the min rep id; members of groups whose every shingle was
+      // hot-capped away have no pair edges and label themselves, exactly
+      // as they would in the expanded graph.
       val docs = t(s, dir, "documents")
-      val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text",
-        n = 3, threshold = 0.5, maxDocFreq = 100L)
-      Dedup.clusterRepresentatives(docs, "doc_id", pairs)
+      val c = Dedup.exactCollapse(docs, "doc_id", "text", cache = df => df.persist())
+      val idx = Dedup.countedShingleIndexCollapsed(c, n = 3, maxDocFreq = 100L).persist()
+      val repLabels = Dedup.clusterRepresentatives(
+        c.reps.select(col("doc_id")), "doc_id",
+        Dedup.ngramJaccardPairsFromIndex(idx, threshold = 0.5))
+      c.membership
+        .join(repLabels.select(col("doc_id").as("rep_id"), col("rep").as("_rl")), Seq("rep_id"))
+        .join(idx.select(col("doc_id").as("rep_id")).distinct()
+          .withColumn("_survived", lit(true)), Seq("rep_id"), "left")
+        .select(col("doc_id"),
+          when(col("_survived") || col("doc_id") === col("rep_id"), col("_rl"))
+            .otherwise(col("doc_id")).as("rep"))
     }),
 
     // Incremental ingestion dedup: the even-id half plays the ACCEPTED
