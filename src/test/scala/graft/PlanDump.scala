@@ -36,7 +36,12 @@ object PlanDump {
       "sim_quantized_rescore" -> "int8 recall tier + float rescore: codegen'd graft_dot on code arrays, broadcast queries",
       "pack_chunks" -> "shard-local running sums: ONE hash exchange, no global single-partition window",
       "incremental_quantiles" -> "HDR sketch: integer bucket expr scan-side, per-key windows only, no global sort",
-      "recall_embedding_lsh" -> "recall audit: id-only distinct for candidates, vectors re-joined by id")
+      "recall_embedding_lsh" -> "recall audit: both tiers, exact O(n^2) declared + inline-verified LSH",
+      "dedup_simhash" -> "banding + pair dedup over UNIQUE fingerprints; identical sketches via fingerprint equi-join",
+      "dedup_ngram_jaccard" -> "exact-collapsed: quadratic self-join over unique texts, expansion joins restore doc pairs",
+      "dedup_incremental" -> "batch vs persisted rep-index state: equi-joins only, no history re-pairing",
+      "sample_mixture" -> "group counts once, then a pure scan-side hash-threshold filter",
+      "jdbc_roundtrip" -> "partitioned JDBC scan: 4 range slices, aggregate above")
     val keep = Seq("Exchange", "Scan", "Join", "Aggregate", "Window", "Expand",
       "TakeOrdered", "Broadcast", "Sort", "Filter", "Project", "WholeStageCodegen")
     val sb = new StringBuilder
