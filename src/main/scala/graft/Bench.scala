@@ -36,15 +36,14 @@ object Bench {
     }
     val selected = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
-    val results = selected.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-      catch { case e: Throwable => System.err.println(s"[bench] $name failed: $e") }
-      val dt = (System.nanoTime() - t0) / 1e9
-      // One parse-safe line per query AS IT COMPLETES: a bounded stdout
-      // tail capture that truncates the final summary line still keeps
-      // the per-query timings (they're the most recent lines).
-      println(f"""{"query":"$name","sec":$dt%.3f}""")
+    // Median-of-N per query (default 3, SPARK_GRAFT_REPS to override): a
+    // single rep in a 122-query shared session absorbs 4-6× scheduling/GC
+    // noise on the heaviest queries (round-5 artifact reported sf0.1
+    // numbers ABOVE their own sf1 cost). The median discards the noisy
+    // rep — including the first rep's one-time codegen compile — so the
+    // artifact reports steady-state per-query cost.
+    val reps = sys.env.get("SPARK_GRAFT_REPS").map(_.toInt).getOrElse(3).max(1)
+    def cleanup(): Unit = {
       // Release each query's untracked persists between measurements so
       // leaked cache blocks never skew (or accidentally speed up) later
       // queries. clearCache() only drops catalog-tracked relations —
@@ -55,6 +54,22 @@ object Bench {
       spark.catalog.clearCache()
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
       System.gc()
+    }
+    val results = selected.map { case (name, fn) =>
+      val times = (1 to reps).map { _ =>
+        val t0 = System.nanoTime()
+        try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+        catch { case e: Throwable => System.err.println(s"[bench] $name failed: $e") }
+        val dt = (System.nanoTime() - t0) / 1e9
+        cleanup()
+        dt
+      }.sorted
+      val dt = times(times.length / 2)
+      // One parse-safe line per query AS IT COMPLETES: a bounded stdout
+      // tail capture that truncates the final summary line still keeps
+      // the per-query timings (they're the most recent lines).
+      val repsJson = times.map(t => f"$t%.3f").mkString("[", ",", "]")
+      println(f"""{"query":"$name","sec":$dt%.3f,"reps":$repsJson}""")
       name -> dt
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }

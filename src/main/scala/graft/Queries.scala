@@ -1734,7 +1734,10 @@ object Queries {
        |           WHERE source IN ($inList) GROUP BY 1),
        |r AS (SELECT source, n, CASE source $wCase END AS w FROM c),
        |nt AS (SELECT min(n / w) AS v FROM r),
-       |thr AS (SELECT source, floor(w * (SELECT v FROM nt) / n * 10000) AS t FROM r)
+       |thr AS (SELECT source,
+       |          CASE WHEN n / w = (SELECT v FROM nt) THEN 10000
+       |               ELSE floor(w * (SELECT v FROM nt) / n * 10000) END AS t
+       |        FROM r)
        |SELECT d.doc_id, d.source
        |FROM documents d JOIN thr ON d.source = thr.source
        |WHERE ${md5Hash60Sql("CAST(d.doc_id AS VARCHAR)")} % 10000 < thr.t""".stripMargin

@@ -47,8 +47,13 @@ object Jdbc {
                  maxConnections: Int = 8,
                  batchSize: Int = 1000,
                  columnTypes: Option[String] = None): Unit = {
+    // repartition, NOT coalesce: coalesce propagates upward without a
+    // shuffle, so the entire producing stage would collapse onto
+    // `maxConnections` tasks — at 1000-executor scale the whole upstream
+    // computation would run on 8 threads. One bounding shuffle keeps
+    // upstream parallelism intact and only the JDBC insert runs narrow.
     val bounded =
-      if (df.rdd.getNumPartitions > maxConnections) df.coalesce(maxConnections) else df
+      if (df.rdd.getNumPartitions > maxConnections) df.repartition(maxConnections) else df
     val w = bounded.write.mode(mode).option("batchsize", batchSize.toString)
     columnTypes.fold(w)(t => w.option("createTableColumnTypes", t))
       .jdbc(url, table, props())
@@ -84,29 +89,71 @@ object Jdbc {
     * COLUMN names are dialect-quoted at CREATE (case-sensitive lowercase,
     * so the MERGE must quote them), TABLE names are passed through
     * unquoted (the database normalizes case, so the MERGE must leave them
-    * unquoted too).
+    * unquoted too). All identifiers are validated against a plain-SQL
+    * identifier shape before interpolation — table/column names here are
+    * schema metadata, never untrusted row data. The stage table name is
+    * suffixed per invocation so concurrent upserts against the same
+    * target never race on a shared stage, and it is dropped in a
+    * `finally` so a failed MERGE cannot leak it.
     */
   def mergeUpsert(spark: SparkSession, url: String, table: String,
                   incoming: DataFrame, keys: Seq[String], precedence: Seq[Column],
                   columnTypes: Option[String] = None): Unit = {
+    requireIdent(table, "table")
+    incoming.columns.foreach(requireIdent(_, "column"))
+    keys.foreach(requireIdent(_, "key"))
     val batch = Merge.lastWriteWins(incoming, keys, precedence)
-    val stage = table + "_stage"
+    val stage =
+      table + "_stage_" + java.util.UUID.randomUUID().toString.replace("-", "").take(8)
     writeTable(batch, url, stage, SaveMode.Overwrite, columnTypes = columnTypes)
+    try {
+      val sql = upsertSql(url, table, stage, batch.columns.toSeq, keys)
+      withConnection(url) { conn =>
+        val st = conn.createStatement()
+        try st.executeUpdate(sql) finally st.close()
+      }
+    } finally {
+      // Best-effort drop: a leaked stage table is recoverable noise; the
+      // MERGE error (if any) is the one the caller must see.
+      try withConnection(url) { conn =>
+        val st = conn.createStatement()
+        try st.executeUpdate(s"DROP TABLE $stage") finally st.close()
+      } catch { case _: Exception => () }
+    }
+  }
+
+  /** Dialect-aware set-based upsert statement, selected by JDBC url
+    * scheme. Exposed (and unit-tested) separately from execution so the
+    * PostgreSQL dialect — the reference's actual target
+    * (load.py:128-154, schema.sql:30 `ON CONFLICT`) — is pinned even
+    * though the container only ships embedded Derby.
+    *
+    *  - PostgreSQL: `INSERT ... SELECT ... ON CONFLICT (keys) DO UPDATE
+    *    SET c = EXCLUDED.c` — requires the unique constraint on `keys`
+    *    the reference's schema declares.
+    *  - ANSI/Derby (default): `MERGE INTO target USING stage`.
+    */
+  def upsertSql(url: String, table: String, stage: String,
+                cols: Seq[String], keys: Seq[String]): String = {
     val q: String => String = c => "\"" + c + "\""
-    val cols = batch.columns.toSeq
     val nonKey = cols.filterNot(keys.contains)
-    val merge =
+    if (url.startsWith("jdbc:postgresql:"))
+      s"""INSERT INTO $table (${cols.map(q).mkString(", ")})
+         |SELECT ${cols.map(q).mkString(", ")} FROM $stage
+         |ON CONFLICT (${keys.map(q).mkString(", ")})
+         |DO UPDATE SET ${nonKey.map(c => s"${q(c)} = EXCLUDED.${q(c)}").mkString(", ")}""".stripMargin
+    else
       s"""MERGE INTO $table t USING $stage s
          |ON ${keys.map(k => s"t.${q(k)} = s.${q(k)}").mkString(" AND ")}
          |WHEN MATCHED THEN UPDATE SET ${nonKey.map(c => s"${q(c)} = s.${q(c)}").mkString(", ")}
          |WHEN NOT MATCHED THEN INSERT (${cols.map(q).mkString(", ")})
          |VALUES (${cols.map(c => s"s.${q(c)}").mkString(", ")})""".stripMargin
-    withConnection(url) { conn =>
-      val st = conn.createStatement()
-      try { st.executeUpdate(merge); st.executeUpdate(s"DROP TABLE $stage") }
-      finally st.close()
-    }
   }
+
+  private val PlainIdent = "^[A-Za-z_][A-Za-z0-9_]*$".r
+  private def requireIdent(name: String, what: String): Unit =
+    require(PlainIdent.findFirstIn(name).isDefined,
+      s"$what '$name' is not a plain SQL identifier")
 
   /** Driver-side connection for the bounded DDL/MERGE statements (never
     * row data — rows move through the executor bulk paths above). */

@@ -82,12 +82,21 @@ object Sampling {
     require(missing.isEmpty,
       s"target groups absent from the data: ${missing.mkString(", ")}")
     // Largest achievable mixture size: each group caps N at n_g / w_g.
-    val nT = targets.map { case (g, w) => counts(g) / w }.min
+    val ratios = targets.map { case (g, w) => g -> counts(g) / w }.toMap
+    val nT = ratios.values.min
     // Same literal double arithmetic ORDER as the SQL replica:
-    // ((w * nT) / n) * Buckets, floored.
+    // ((w * nT) / n) * Buckets, floored — EXCEPT the binding group(s),
+    // whose threshold is mathematically exactly Buckets but whose
+    // floating-point round trip (w * (n/w) / n) can land a hair below
+    // 1.0 and floor to Buckets-1, silently dropping ~1/Buckets of the
+    // group the contract says is kept whole. Pinned to Buckets instead;
+    // the binding test (n/w == nT) is an exact-double compare of the
+    // very value nT was min'd from, so it is deterministic and the SQL
+    // replica mirrors it literally.
     val thrExpr = targets.foldRight(lit(0L): Column) { case ((g, w), rest) =>
-      when(col(groupCol) === g,
-        lit(math.floor(w * nT / counts(g) * Buckets).toLong)).otherwise(rest)
+      val t = if (ratios(g) == nT) Buckets
+              else math.floor(w * nT / counts(g) * Buckets).toLong
+      when(col(groupCol) === g, lit(t)).otherwise(rest)
     }
     df.where(col(groupCol).isin(names: _*))
       .where(hashBucket(col(keyCol), hashFn) < thrExpr)

@@ -28,10 +28,15 @@ object EventStreams {
     * corpus's history is never re-paired against itself, and a crawl
     * can dedup-ingest forever at per-batch cost.
     *
-    * Appends are the state discipline here (vs the swap in [[mergeSink]]):
-    * both sinks only ever ADD rows keyed by doc, and the accepted-ids
-    * read-back below is re-read from disk before the index append so no
-    * write races its own input plan.
+    * Replay safety (foreachBatch is AT-LEAST-ONCE): every output is
+    * partitioned by `wave` (= batchId) and written with DYNAMIC partition
+    * overwrite, so a retried batch REPLACES its own wave instead of
+    * appending a second copy of it; and the state reads exclude the
+    * current wave, so a retry after a partial failure (accepted wave
+    * committed, index wave not) never pairs the batch against its own
+    * half-written rows. The accepted-ids read-back is still re-read from
+    * disk (partition-pruned to the current wave) before the index writes
+    * so no write races its own input plan.
     */
   def corpusDedupSink(docs: DataFrame, idCol: String, textCol: String,
                       stateIndexPath: String, acceptedPath: String,
@@ -53,24 +58,31 @@ object EventStreams {
           // stores the rep index plus the doc->rep membership.
           val bi = graft.text.Dedup.collapsedIndex(
             batch, idCol, textCol, n = 3, maxDocFreq, hashFn, cache = scope.persist)
+          val wave = batchId.toInt
+          def readState(path: String, schema: StructType): DataFrame =
+            Merge.readStateOrEmpty(spark, path, schema.add("wave", IntegerType))
+              .where(col("wave") < wave).drop("wave")
+          def writeWave(df: DataFrame, path: String): Unit =
+            df.withColumn("wave", lit(wave))
+              .write.mode("overwrite")
+              .option("partitionOverwriteMode", "dynamic")
+              .partitionBy("wave").parquet(path)
           val state = graft.text.Dedup.CollapsedIndex(
-            Merge.readStateOrEmpty(spark, repIdxPath, bi.repIdx.schema),
-            Merge.readStateOrEmpty(spark, membershipPath, bi.membership.schema))
+            readState(repIdxPath, bi.repIdx.schema),
+            readState(membershipPath, bi.membership.schema))
           val pairs = graft.text.Dedup.incrementalNearDupPairsCollapsed(bi, state, threshold)
-          graft.text.Dedup.incrementalAccept(batch.select(col(idCol)), pairs)
-            .withColumn("wave", lit(batchId).cast("int"))
-            .write.mode("append").parquet(acceptedPath)
-          // Re-read survivors from disk so the state appends never race
+          writeWave(graft.text.Dedup.incrementalAccept(batch.select(col(idCol)), pairs),
+            acceptedPath)
+          // Re-read survivors from disk so the state writes never race
           // their own input plan.
           val acceptedIds = spark.read.parquet(acceptedPath)
-            .where(col("wave") === batchId.toInt)
+            .where(col("wave") === wave)
             .select(col(idCol).as("doc_id"))
           val accMembership = bi.membership.join(acceptedIds, Seq("doc_id"))
-          accMembership.write.mode("append").parquet(membershipPath)
-          bi.repIdx.join(accMembership.select(col("rep_id").as("doc_id")).distinct(),
+          writeWave(accMembership, membershipPath)
+          writeWave(bi.repIdx.join(accMembership.select(col("rep_id").as("doc_id")).distinct(),
               Seq("doc_id"))
-            .select(col("doc_id"), col("shingle"), col("nsh"))
-            .write.mode("append").parquet(repIdxPath)
+            .select(col("doc_id"), col("shingle"), col("nsh")), repIdxPath)
         } finally scope.close()
       }
       .trigger(Trigger.AvailableNow())

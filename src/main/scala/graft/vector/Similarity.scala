@@ -277,6 +277,11 @@ object Similarity {
         col("tbl"), col("bucket"))
       .join(bb.select(col("id").as("doc_b"), col("v").as("vb"), col("nrm").as("nb"),
         col("tbl"), col("bucket")), Seq("tbl", "bucket"))
+      // An id present in BOTH state and batch (a replayed wave, an
+      // upserted vector) would otherwise pair with itself at sim 1.0 and
+      // make an incremental-accept policy drop the doc against its own
+      // history.
+      .where(col("doc_a") =!= col("doc_b"))
       .withColumn("sim", dot(col("va"), col("vb")) / (col("na") * col("nb")))
       .where(col("sim") >= threshold)
       .select(col("doc_a"), col("doc_b"), col("sim"))

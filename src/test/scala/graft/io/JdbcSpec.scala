@@ -59,6 +59,58 @@ class JdbcSpec extends SparkSpec {
     assert(filtered.collect().map(_.getLong(1)).toSeq == Seq(14L))
   }
 
+  test("upsertSql: PostgreSQL dialect generates ON CONFLICT, default generates MERGE") {
+    val cols = Seq("k", "v", "gen")
+    val keys = Seq("k")
+    // Reference load.py:128-154 / schema.sql:30 target Postgres ON
+    // CONFLICT; no Postgres ships in this container, so the generated
+    // statement itself is the pinned contract.
+    val pg = Jdbc.upsertSql("jdbc:postgresql://db/corp", "state", "state_stage_ab12cd34",
+      cols, keys)
+    assert(pg ==
+      """INSERT INTO state ("k", "v", "gen")
+        |SELECT "k", "v", "gen" FROM state_stage_ab12cd34
+        |ON CONFLICT ("k")
+        |DO UPDATE SET "v" = EXCLUDED."v", "gen" = EXCLUDED."gen"""".stripMargin)
+    val derby = Jdbc.upsertSql("jdbc:derby:/tmp/db", "state", "state_stage_ab12cd34",
+      cols, keys)
+    assert(derby.startsWith("MERGE INTO state t USING state_stage_ab12cd34 s"))
+    assert(derby.contains("""WHEN MATCHED THEN UPDATE SET "v" = s."v", "gen" = s."gen""""))
+    assert(derby.contains("""WHEN NOT MATCHED THEN INSERT ("k", "v", "gen")"""))
+  }
+
+  test("mergeUpsert rejects non-identifier table and column names") {
+    val url = freshUrl()
+    val batch = Seq((1L, "a")).toDF("k", "v")
+    intercept[IllegalArgumentException] {
+      Jdbc.mergeUpsert(spark, url, "state; DROP TABLE x", batch, Seq("k"), Seq(col("v")))
+    }
+    intercept[IllegalArgumentException] {
+      Jdbc.mergeUpsert(spark, url, "state", batch.withColumnRenamed("v", "v\"x"),
+        Seq("k"), Seq(col("k")))
+    }
+  }
+
+  test("mergeUpsert drops its stage table even when the MERGE fails") {
+    val url = freshUrl()
+    val seed = Seq((1L, "a")).toDF("k", "v")
+    Jdbc.writeTable(seed, url, "state3", SaveMode.Overwrite,
+      columnTypes = Some("v VARCHAR(16)"))
+    // Incompatible batch schema: stage write succeeds, MERGE fails
+    // (column w does not exist on the target).
+    val bad = Seq((2L, "b", 9)).toDF("k", "v", "w")
+    intercept[Exception] {
+      Jdbc.mergeUpsert(spark, url, "state3", bad, Seq("k"), Seq(col("w")))
+    }
+    // No *_stage_* table may survive the failure.
+    val conn = java.sql.DriverManager.getConnection(url)
+    try {
+      val rs = conn.getMetaData.getTables(null, null, "%", Array("TABLE"))
+      val names = Iterator.continually(rs).takeWhile(_.next()).map(_.getString(3)).toList
+      assert(!names.exists(_.toLowerCase.contains("_stage_")), names.toString)
+    } finally conn.close()
+  }
+
   test("mergeUpsert is idempotent: re-applying the same batch changes nothing") {
     val url = freshUrl()
     val seed = Seq((1L, "a", 1)).toDF("k", "v", "gen")
