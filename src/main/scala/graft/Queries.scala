@@ -1020,6 +1020,33 @@ object Queries {
         .select(col("date"), col("symbol"), col("revenue"), col("eps"))
     }),
 
+    // The same extract through a REAL socket: a loopback JDK HttpServer
+    // serves the staged JSONL as JSON arrays, the source issues one GET
+    // per un-pruned symbol from the executors, and the server 500s the
+    // FIRST request to every path — so each partition's first attempt
+    // fails and the reader's retry recovers it. Materialized while the
+    // server is up (the gate returns a read-back, not a lazy plan over a
+    // stopped socket); same oracle as the file transport.
+    "source_http_live" -> ((s, dir) => {
+      val root = graft.util.Scratch.dir("graft_fmp_http")
+      val out = graft.util.Scratch.dir("graft_fmp_http_out") + "/rows"
+      incomeBronzeFixture(s, dir, badDates = false)
+        .withColumn("sym_part", col("symbol"))
+        .write.partitionBy("sym_part").mode("overwrite")
+        .json(root + "/income-statement")
+      val server = new graft.sources.LoopbackApiServer(root, failFirst = true)
+      try {
+        s.read.format("graft.sources.FmpSource")
+          .option("url", server.url).option("endpoint", "income-statement")
+          .option("symbols", "TK0,TK1,TK2,TK3,TK4")
+          .option("dataset", "income").load()
+          .where(col("symbol").isin("TK0", "TK1", "TK2", "TK3"))
+          .select(col("date"), col("symbol"), col("revenue"), col("eps"))
+          .write.mode("overwrite").parquet(out)
+      } finally server.stop()
+      s.read.parquet(out)
+    }),
+
     // ---- multimodal: REAL codecs ------------------------------------------
     // JDK-native decoders (javax.imageio / javax.sound.sampled) behind the
     // same mapPartitions plumbing as the declared stubs: the fixture
@@ -1057,6 +1084,16 @@ object Queries {
       val fix = graft.multimodal.AudioCodec.encodeFixture(
         t(s, dir, "documents").select(col("doc_id")), "doc_id")
       graft.multimodal.AudioCodec.decodeAudioMeta(fix, "doc_id", "audio")
+    }),
+
+    // REAL multi-frame sampling over animated GIF (the one JDK-native
+    // multi-frame container): open the clip, count frames with the codec,
+    // decode every 2nd frame, reduce to dims + exact gray sum — retires
+    // the synthetic byte-slicing tier as the only frame-sampling path.
+    "multimodal_frames_real" -> ((s, dir) => {
+      val fix = graft.multimodal.ImageCodec.encodeGifFixture(
+        t(s, dir, "documents").select(col("doc_id")), "doc_id")
+      graft.multimodal.ImageCodec.sampleGifFrames(fix, "doc_id", "video", stride = 2)
     }),
 
     // ---- multimodal (plumbing stubs) --------------------------------------
@@ -1661,6 +1698,72 @@ object Queries {
       s.read.parquet(statePath)
     }),
 
+    // ---- late/out-of-order delivery twins ---------------------------------
+    // The same pipelines driven through the LATE fixture
+    // (Tables.lateWavedEventsStream): every event_id % 10 == 0 row is
+    // delivered one wave after its event-time wave, so it arrives BEHIND
+    // the watermark the in-order waves advanced. With a 96-hour allowed
+    // lateness over ~7.5-day waves, roughly half the displaced rows are
+    // within the watermark (they must FOLD into open state) and half are
+    // beyond it (they must be DROPPED) — the two late-data behaviors the
+    // time-ordered waves fixture can never exercise. The oracles replicate
+    // the delivery schedule and per-wave watermark sequence exactly
+    // (boundary rules pinned by EventStreamsSpec's late-semantics probes).
+    "streaming_tumbling_late" -> ((s, dir) => {
+      val ckpt = graft.util.Scratch.dir("graft_stlate_ck")
+      val out = graft.util.Scratch.dir("graft_stlate_out") + "/agg"
+      withShufflePartitions(s, 8) {
+        val q = graft.streaming.EventStreams
+          .tumblingAgg(Tables.lateWavedEventsStream(s, dir, nWaves = 4),
+            watermark = "96 hours")
+          .writeStream.outputMode("append")
+          .option("checkpointLocation", ckpt)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .format("parquet").option("path", out).start()
+        q.awaitTermination()
+      }
+      s.read.parquet(out)
+        .select(col("hour_start"), col("event_type"), col("cnt"),
+          col("sum_value").cast(DoubleType).as("sum_value"))
+    }),
+
+    "streaming_sessionize_late" -> ((s, dir) => {
+      import s.implicits._
+      val ckpt = graft.util.Scratch.dir("graft_sslate_ck")
+      val out = graft.util.Scratch.dir("graft_sslate_out") + "/t"
+      val evs = Tables.lateWavedEventsStream(s, dir, nWaves = 4)
+        .select(col("event_id"), col("ts"), col("user_id"),
+          col("event_type"), col("value"))
+        .as[graft.streaming.EventStreams.Event]
+      withShufflePartitions(s, 8) {
+        val q = graft.streaming.EventStreams
+          .sessionize(evs, gapMs = 30L * 60 * 1000, watermark = "96 hours")
+          .toDF()
+          .writeStream.outputMode("append")
+          .option("checkpointLocation", ckpt)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .format("parquet").option("path", out).start()
+        q.awaitTermination()
+      }
+      s.read.parquet(out)
+    }),
+
+    "streaming_merge_late" -> ((s, dir) => {
+      val ckpt = graft.util.Scratch.dir("graft_smlate_ck")
+      val statePath = graft.util.Scratch.dir("graft_smlate_state") + "/state"
+      withShufflePartitions(s, 8) {
+        val q = graft.streaming.EventStreams.mergeSink(
+          Tables.lateWavedEventsStream(s, dir, nWaves = 4)
+            .select(col("user_id"), col("event_type"), col("event_id"),
+              col("ts"), col("value")),
+          statePath, keys = Seq("user_id", "event_type"),
+          precedence = Seq(col("ts").desc, col("event_id").desc),
+          checkpoint = ckpt)
+        q.awaitTermination()
+      }
+      s.read.parquet(statePath)
+    }),
+
     // ---- live stream-stream interval join ---------------------------------
     // Clicks joined to same-user purchases within the prior hour, both
     // sides watermarked (bounded join state) — the streaming as-of window,
@@ -2102,6 +2205,100 @@ object Queries {
         |FROM sess s JOIN last l ON s.user_id = l.user_id, wm
         |WHERE s.session_seq < l.mx
         |   OR epoch_us(s.session_end) // 1000 + 1800000 < wm.wm_ms""".stripMargin
+
+  /** Shared CTE prefix for the late-delivery oracles: replicates
+    * [[graft.io.Tables.lateWavedEventsStream]]'s delivery schedule
+    * (equal-width nanos waves over 4 waves, `event_id % 10 == 0` rows
+    * displaced TWO waves later, capped at the last) and Spark's
+    * per-batch watermark sequence — the watermark in force DURING wave v
+    * is the max event time through wave v-2 (one batch of lag beyond the
+    * obvious: a batch's stats are folded into the tracker only after it
+    * commits, which is after the NEXT batch's metadata snapshot — see
+    * lateWavedEventsStream's scaladoc), floored to milliseconds (Spark
+    * tracks event time in ms), minus the 96-hour allowed lateness,
+    * re-scaled to micros. Produces `s`: one row per delivered event with
+    * its delivered wave `wv` and the watermark `wm_us` in force when it
+    * arrived (NULL during the first two waves), plus `fw`: the final
+    * watermark — AvailableNow appends no-data batches until the
+    * watermark converges to max event time minus the delay, so emission
+    * sees the fully-advanced value.
+    */
+  private val lateWaveCtes: String =
+    """e AS (SELECT event_id, user_id, event_type, value,
+      |        CAST(ts AS TIMESTAMP) AS tsv, epoch_ns(ts) AS tns,
+      |        epoch_us(CAST(ts AS TIMESTAMP)) AS tus
+      |      FROM events),
+      |b AS (SELECT min(tns) AS tmin, max(tns) - min(tns) + 1 AS span FROM e),
+      |d AS (SELECT e.*,
+      |        CASE WHEN event_id % 10 = 0
+      |             THEN least(CAST(((tns - b.tmin) * 4) // b.span AS INT) + 2, 3)
+      |             ELSE CAST(((tns - b.tmin) * 4) // b.span AS INT) END AS wv
+      |      FROM e, b),
+      |m AS (SELECT wv, max(tus) AS mx FROM d GROUP BY wv),
+      |w AS (SELECT wv,
+      |        (max(mx) OVER (ORDER BY wv
+      |           ROWS BETWEEN UNBOUNDED PRECEDING AND 2 PRECEDING)
+      |         // 1000 - 345600000) * 1000 AS wm_us
+      |      FROM m),
+      |s AS (SELECT d.*, w.wm_us FROM d JOIN w ON d.wv = w.wv),
+      |fw AS (SELECT (max(tus) // 1000 - 345600000) * 1000 AS f FROM e)""".stripMargin
+
+  /** Late-delivery tumbling oracle. Drop/emit rules pinned by the
+    * EventStreamsSpec probe: a delivered row is dropped iff its WINDOW
+    * END is at or below the watermark in force (the streaming aggregate
+    * keys late-filtering on the window's event-time column, so an
+    * in-watermark late row folds into its still-open window even when
+    * its raw ts is behind the watermark); a window is emitted in Append
+    * mode iff its end is at or below the final watermark.
+    */
+  private val tumblingLateOracleSql: String =
+    s"""WITH $lateWaveCtes,
+       |surv AS (SELECT * FROM s WHERE wm_us IS NULL
+       |           OR epoch_us(date_trunc('hour', tsv) + INTERVAL 1 HOUR) > wm_us),
+       |agg AS (SELECT date_trunc('hour', tsv) AS hour_start, event_type,
+       |          count(*) AS cnt,
+       |          CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+       |        FROM surv GROUP BY 1, 2)
+       |SELECT CAST(hour_start AS TIMESTAMP) AS hour_start, event_type, cnt, sum_value
+       |FROM agg, fw WHERE epoch_us(hour_start + INTERVAL 1 HOUR) <= fw.f""".stripMargin
+
+  /** Late-delivery sessionize oracle. The fMGWS late filter drops rows
+    * with raw ts behind the watermark BEFORE the state function; the
+    * survivors fold in PROCESSING order (wave, ts, event_id) — an
+    * out-of-order survivor moves the session's `last` backward, so the
+    * gap test compares consecutive events in processing order, and
+    * session_start/session_end are the first/last events in processing
+    * order, not min/max (EventStreamsSpec pins both rules). Emission is
+    * the same rule as the in-order oracle: sessions closed by a later
+    * event, plus final sessions whose timeout (last-event ms + gap) fell
+    * strictly before the final watermark.
+    */
+  private val sessionizeLateOracleSql: String =
+    s"""WITH $lateWaveCtes,
+       |surv AS (SELECT * FROM s WHERE wm_us IS NULL OR tus >= wm_us),
+       |p AS (SELECT user_id, tsv, event_id, value, wv,
+       |        lag(tsv) OVER (PARTITION BY user_id ORDER BY wv, tsv, event_id) AS prev_ts
+       |      FROM surv),
+       |g AS (SELECT *, CASE WHEN prev_ts IS NULL
+       |          OR epoch_ms(tsv) - epoch_ms(prev_ts) >= 1800000 THEN 1 ELSE 0 END AS new_session
+       |      FROM p),
+       |h AS (SELECT *, SUM(new_session) OVER (PARTITION BY user_id
+       |        ORDER BY wv, tsv, event_id
+       |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+       |      FROM g),
+       |sess AS (SELECT user_id, session_seq,
+       |    first(tsv ORDER BY wv, tsv, event_id) AS session_start,
+       |    last(tsv ORDER BY wv, tsv, event_id) AS session_end,
+       |    count(*) AS n_events,
+       |    SUM(value ORDER BY wv, tsv, event_id) AS total_value
+       |  FROM h GROUP BY 1, 2),
+       |lastq AS (SELECT user_id, MAX(session_seq) AS mx FROM sess GROUP BY 1)
+       |SELECT s2.user_id, CAST(s2.session_start AS TIMESTAMP) AS session_start,
+       |  CAST(s2.session_end AS TIMESTAMP) AS session_end,
+       |  s2.n_events, s2.total_value
+       |FROM sess s2 JOIN lastq l ON s2.user_id = l.user_id, fw
+       |WHERE s2.session_seq < l.mx
+       |   OR epoch_us(s2.session_end) // 1000 + 1800000 < fw.f // 1000""".stripMargin
 
   /** DuckDB replica of the converged merge state (shared by the live and
     * multi-wave merge gates): batch last-write-wins over all events —
@@ -2754,6 +2951,23 @@ object Queries {
         |  CASE WHEN m = 3 THEN '' ELSE num_s END AS eps
         |FROM src WHERE symbol <> 'TK4'""".stripMargin,
 
+    // HTTP transport must surface the SAME rows as the file transport —
+    // the loopback server serves the identical staging, and the injected
+    // first-attempt 500 per symbol must be absorbed by the retry.
+    "source_http_live" ->
+      """WITH src AS (SELECT o_orderkey, o_orderdate, o_orderkey % 4 AS m,
+        |    'TK' || CAST(o_orderkey % 5 AS VARCHAR) AS symbol,
+        |    CAST(CAST(o_totalprice AS DECIMAL(15,2)) AS VARCHAR) AS num_s
+        |  FROM orders WHERE o_orderkey < 2000)
+        |SELECT
+        |  CASE WHEN m = 1 THEN ''
+        |       WHEN m = 3 THEN strftime(o_orderdate, '%m/%d/%Y')
+        |       ELSE strftime(o_orderdate, '%Y-%m-%d') END AS "date",
+        |  symbol,
+        |  CASE WHEN m = 2 THEN 'N/A' ELSE num_s END AS revenue,
+        |  CASE WHEN m = 3 THEN '' ELSE num_s END AS eps
+        |FROM src WHERE symbol <> 'TK4'""".stripMargin,
+
     // REAL-codec gates: the fixture parameters (dims, formats, pattern
     // pixels/samples) are pure functions of doc_id, so the oracle derives
     // what the JDK decoder must read back — if ImageIO/AudioSystem ever
@@ -2785,6 +2999,23 @@ object Queries {
         |  CAST(MAX(CASE WHEN j = 6 THEN f END) AS BIGINT) AS f6,
         |  CAST(MAX(CASE WHEN j = 7 THEN f END) AS BIGINT) AS f7
         |FROM s GROUP BY 1""".stripMargin,
+
+    // Animated-GIF frame sampling: frames 0, 2, 4 of the nf = 2 + id%4
+    // frame clip; 8-bit gray round-trips the GIF palette losslessly, so
+    // the per-frame gray sum is exact: sum over (x, y) of
+    // (x*31 + y*17 + doc_id + frame*53) mod 256.
+    "multimodal_frames_real" ->
+      """WITH d AS (SELECT doc_id, 2 + doc_id % 4 AS nf,
+        |             16 + doc_id % 17 AS w, 16 + (doc_id * 3) % 13 AS h
+        |           FROM documents),
+        |fr AS (SELECT doc_id, nf, w, h, unnest(range(0, nf, 2)) AS frame_idx FROM d),
+        |px AS (SELECT doc_id, nf, w, h, frame_idx, unnest(range(0, w)) AS x FROM fr),
+        |pxy AS (SELECT doc_id, nf, w, h, frame_idx, x, unnest(range(0, h)) AS y FROM px)
+        |SELECT doc_id, CAST(frame_idx AS INT) AS frame_idx,
+        |  CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+        |  CAST(SUM((x * 31 + y * 17 + doc_id + frame_idx * 53) % 256) AS BIGINT) AS gray_sum,
+        |  CAST(nf AS INT) AS n_frames
+        |FROM pxy GROUP BY doc_id, frame_idx, w, h, nf""".stripMargin,
 
     "multimodal_resize_real" ->
       """SELECT doc_id,
@@ -3255,6 +3486,16 @@ object Queries {
     "streaming_merge_live" -> mergeLwwOracleSql,
     // Micro-batch boundaries (three waves here) cannot change the state.
     "streaming_merge_waves" -> mergeLwwOracleSql,
+
+    // Late/out-of-order delivery: watermark semantics graded for real —
+    // beyond-watermark rows dropped, in-watermark late rows folded, the
+    // per-wave watermark sequence replicated in SQL.
+    "streaming_tumbling_late" -> tumblingLateOracleSql,
+    "streaming_sessionize_late" -> sessionizeLateOracleSql,
+    // No watermark on the merge path: out-of-order delivery must
+    // CONVERGE — precedence is a total order, so displaced rows cannot
+    // change the winner per key.
+    "streaming_merge_late" -> mergeLwwOracleSql,
 
     // AvailableNow drains the source before the watermark can evict
     // unmatched state, so the live join emits exactly the batch theta-join.

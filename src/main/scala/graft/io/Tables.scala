@@ -86,7 +86,46 @@ object Tables {
     * The global min/max collect and per-wave single-file writes are
     * fixture-side costs at fixture scale, not part of any operator.
     */
-  def wavedEventsStream(spark: SparkSession, dir: String, nWaves: Int): DataFrame = {
+  def wavedEventsStream(spark: SparkSession, dir: String, nWaves: Int): DataFrame =
+    stagedWaveStream(spark, dir, nWaves, identity)
+
+  /** Late/out-of-order twin of [[wavedEventsStream]]: rows with
+    * `event_id % lateMod == 0` are DELIVERED `delayWaves` waves after
+    * their event-time wave (capped at the last wave) while keeping their
+    * original timestamps — so they arrive event-time-late, behind
+    * whatever watermark the in-order waves have advanced. This is the
+    * fixture the time-ordered waves cannot produce: it exercises the
+    * watermark's actual job — dropping rows older than the allowed
+    * lateness and folding in-watermark late rows — plus out-of-order
+    * convergence for order-insensitive sinks. The displacement rule is a
+    * pure function of (event_id, ts), so an oracle can replicate the
+    * delivery schedule exactly.
+    *
+    * `delayWaves` defaults to 2 because of the watermark's update
+    * timing in a continuous multi-batch run: the watermark applied in
+    * data batch N is derived from stats through batch N-2 (batch N-1's
+    * stats are folded in only after N-1 commits, which is after N's
+    * metadata snapshot), so a row displaced ONE wave can never be
+    * behind it — its timestamp sits a full wave above the two-batch-old
+    * maximum. Two-wave displacement puts the displaced rows' timestamps
+    * astride the in-force watermark, exercising both the drop and the
+    * fold path. (MemoryStream tests don't see this lag because
+    * `processAllAvailable` inserts a watermark-propagation batch after
+    * every data batch.)
+    */
+  def lateWavedEventsStream(spark: SparkSession, dir: String, nWaves: Int,
+                            lateMod: Int = 10, delayWaves: Int = 2): DataFrame = {
+    import org.apache.spark.sql.functions._
+    require(lateMod >= 2, s"lateMod must leave some rows on time, got $lateMod")
+    require(delayWaves >= 1, s"delayWaves must displace, got $delayWaves")
+    stagedWaveStream(spark, dir, nWaves, baseWave =>
+      when(pmod(col("event_id"), lit(lateMod)) === 0,
+        least(baseWave + delayWaves, lit(nWaves - 1))).otherwise(baseWave))
+  }
+
+  private def stagedWaveStream(spark: SparkSession, dir: String, nWaves: Int,
+                               waveFor: org.apache.spark.sql.Column =>
+                                 org.apache.spark.sql.Column): DataFrame = {
     import org.apache.spark.sql.functions._
     require(nWaves >= 2, s"a multi-wave fixture needs >= 2 waves, got $nWaves")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -106,7 +145,7 @@ object Tables {
     val tmp = new org.apache.hadoop.fs.Path(
       graft.util.Scratch.dir("graft_wave_tmp"), "waves")
     raw.withColumn("w",
-        ((col("ts").cast("long") - tsMin) * nWaves / span).cast("int"))
+        waveFor(((col("ts").cast("long") - tsMin) * nWaves / span).cast("int")))
       .repartitionByRange(nWaves, col("w"))
       .write.mode("overwrite").partitionBy("w").parquet(tmp.toString)
     (0 until nWaves).foreach { i =>

@@ -146,6 +146,128 @@ object ImageCodec {
     }(enc)
   }
 
+  // ---- multi-frame (animated GIF) tier ----------------------------------
+  // The JDK has no video codec, but javax.imageio reads multi-frame
+  // animated GIFs — the one JDK-native multi-frame container — so frame
+  // SAMPLING (the operation a video pipeline runs per clip) can be real:
+  // open the container, count frames, decode every stride-th frame,
+  // reduce each to features. 8-bit grayscale round-trips losslessly
+  // through GIF's 256-entry palette, so the oracle can verify decoded
+  // pixel sums analytically, exactly as the PNG still tier does.
+
+  /** Deterministic multi-frame fixture parameters: 2-5 frames of
+    * bounded-size frames per doc. */
+  def gifFrameCount(docId: Long): Int = 2 + Math.floorMod(docId, 4L).toInt
+  def gifWidth(docId: Long): Int = (16 + Math.floorMod(docId, 17L)).toInt
+  def gifHeight(docId: Long): Int = (16 + Math.floorMod(docId * 3L, 13L)).toInt
+
+  /** Frame pattern: gray(x, y) = (x*31 + y*17 + doc_id + frame*53) mod
+    * 256 — the still-image pattern plus a per-frame shift, so every
+    * frame's content (and therefore its feature row) is distinct. */
+  private def gifFrame(docId: Long, frame: Int): BufferedImage = {
+    val w = gifWidth(docId)
+    val h = gifHeight(docId)
+    val img = new BufferedImage(w, h, BufferedImage.TYPE_BYTE_GRAY)
+    val raster = img.getRaster
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        raster.setSample(x, y, 0,
+          Math.floorMod(x * 31L + y * 17L + docId + frame * 53L, 256L).toInt)
+        x += 1
+      }
+      y += 1
+    }
+    img
+  }
+
+  private def encodeAnimatedGif(frames: Seq[BufferedImage]): Array[Byte] = {
+    val bos = new ByteArrayOutputStream()
+    val ios = ImageIO.createImageOutputStream(bos)
+    val writer = ImageIO.getImageWritersByFormatName("gif").next()
+    try {
+      writer.setOutput(ios)
+      writer.prepareWriteSequence(null)
+      frames.foreach { f =>
+        writer.writeToSequence(new javax.imageio.IIOImage(f, null, null), null)
+      }
+      writer.endWriteSequence()
+    } finally { writer.dispose(); ios.close() }
+    bos.toByteArray
+  }
+
+  /** Fixture source: one real animated GIF per input id. Output:
+    * (doc_id, video) — named for the role it plays (a multi-frame
+    * container standing in for a clip). */
+  def encodeGifFixture(ids: DataFrame, idCol: String): DataFrame = {
+    val in = ids.select(col(idCol).cast(LongType))
+      .repartition(ids.sparkSession.sparkContext.defaultParallelism)
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType, nullable = false),
+      StructField("video", BinaryType, nullable = false)))
+    val enc = Encoders.row(schema)
+    in.mapPartitions { it =>
+      it.map { r =>
+        val id = r.getLong(0)
+        Row(id, encodeAnimatedGif(
+          (0 until gifFrameCount(id)).map(f => gifFrame(id, f))))
+      }
+    }(enc)
+  }
+
+  /** REAL frame sampling: open the multi-frame container, count frames
+    * with the codec (`getNumImages`), DECODE every `stride`-th frame and
+    * reduce it to (dims, exact gray sum). One output row per sampled
+    * frame: (doc_id, frame_idx, width, height, gray_sum, n_frames).
+    * Iterator-in/iterator-out like every codec stage; flatMap because a
+    * clip fans out to several rows.
+    */
+  def sampleGifFrames(withBinary: DataFrame, idCol: String, binCol: String,
+                      stride: Int = 2): DataFrame = {
+    require(stride >= 1, s"stride must be positive, got $stride")
+    val in = withBinary.select(col(idCol).cast(LongType), col(binCol))
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType, nullable = false),
+      StructField("frame_idx", IntegerType, nullable = false),
+      StructField("width", IntegerType, nullable = false),
+      StructField("height", IntegerType, nullable = false),
+      StructField("gray_sum", LongType, nullable = false),
+      StructField("n_frames", IntegerType, nullable = false)))
+    val enc = Encoders.row(schema)
+    in.mapPartitions { it =>
+      it.flatMap { r =>
+        val id = r.getLong(0)
+        val iis = ImageIO.createImageInputStream(
+          new ByteArrayInputStream(r.getAs[Array[Byte]](1)))
+        try {
+          val readers = ImageIO.getImageReaders(iis)
+          if (!readers.hasNext)
+            throw new IllegalArgumentException("undecodable multi-frame payload")
+          val reader = readers.next()
+          try {
+            reader.setInput(iis)
+            val n = reader.getNumImages(true)
+            (0 until n by stride).map { i =>
+              val img = reader.read(i)
+              var sum = 0L
+              var y = 0
+              while (y < img.getHeight) {
+                var x = 0
+                while (x < img.getWidth) {
+                  sum += (img.getRGB(x, y) & 0xff).toLong
+                  x += 1
+                }
+                y += 1
+              }
+              Row(id, i, img.getWidth, img.getHeight, sum, n)
+            }
+          } finally reader.dispose()
+        } finally iis.close()
+      }
+    }(enc)
+  }
+
   /** REAL resize: decode, halve each dimension (floor, min 1) with
     * area-style smooth scaling, re-encode PNG. Output: (doc_id,
     * resized_width, resized_height, resized_bytes) — the interpolated

@@ -33,17 +33,27 @@ import graft.model.Schemas
   * (the fetch for a filtered-out symbol never happens — the source-level
   * twin of parquet partition pruning).
   *
-  * Transport is pluggable by construction and FILE-BACKED here (this
-  * container has no egress): records for symbol S are the JSONL part
-  * files under `{root}/{endpoint}/sym_part=S/`, exactly what
-  * `df.write.partitionBy("sym_part").json(...)` stages. An HTTP transport
-  * would swap [[FmpPartitionReader.recordLines]] for a GET + JSON-array
-  * split; every other layer (planning, pruning, parsing, row building) is
+  * Transport is pluggable and BOTH transports are real:
+  *
+  *  - `root` option — file-backed: records for symbol S are the JSONL
+  *    part files under `{root}/{endpoint}/sym_part=S/`, exactly what
+  *    `df.write.partitionBy("sym_part").json(...)` stages.
+  *  - `url` option — HTTP: one `GET {url}/{endpoint}/{symbol}` per
+  *    partition from the executor that owns it (the reference's exact
+  *    shape, extract.py:69-95), expecting a JSON array back; empty array
+  *    = symbol with no data (extract.py:88-92); 5xx responses retried
+  *    with backoff before failing the task (and Spark's task retry
+  *    re-fetches the one failed symbol on top). Exercised against a
+  *    loopback [[LoopbackApiServer]] in-container (no egress), and
+  *    pointable at any real endpoint outside.
+  *
+  * Every other layer (planning, pruning, parsing, row building) is
   * transport-independent.
   *
   * Usage: `spark.read.format("graft.sources.FmpSource")
   *   .option("root", dir).option("endpoint", "income-statement")
   *   .option("symbols", "TSLA,RIVN").option("dataset", "income").load()`
+  * — or `.option("url", "http://host:port/api")` in place of `root`.
   */
 class FmpSource extends TableProvider {
   override def supportsExternalMetadata(): Boolean = true
@@ -116,21 +126,25 @@ final class FmpScan(requiredSchema: StructType, opts: Map[String, String],
       s"columns=${requiredSchema.fieldNames.mkString(",")})"
 
   override def planInputPartitions(): Array[InputPartition] = {
-    val root = opts.getOrElse("root",
-      throw new IllegalArgumentException("FmpSource requires option 'root'"))
     val endpoint = opts.getOrElse("endpoint",
       throw new IllegalArgumentException("FmpSource requires option 'endpoint'"))
     val symbols = opts.getOrElse("symbols",
       throw new IllegalArgumentException("FmpSource requires option 'symbols'"))
       .split(",").map(_.trim).filter(_.nonEmpty)
+    val locate: String => String = (opts.get("url"), opts.get("root")) match {
+      case (Some(u), _) => s => s"${u.stripSuffix("/")}/$endpoint/$s"
+      case (None, Some(r)) => s => s"$r/$endpoint/sym_part=$s"
+      case (None, None) =>
+        throw new IllegalArgumentException("FmpSource requires option 'root' or 'url'")
+    }
     symbols.filter(s => symbolKeep.forall(_.contains(s)))
-      .map(s => FmpPartition(s, s"$root/$endpoint/sym_part=$s"): InputPartition)
+      .map(s => FmpPartition(s, locate(s)): InputPartition)
   }
   override def createReaderFactory(): PartitionReaderFactory =
     new FmpReaderFactory(requiredSchema.fieldNames)
 }
 
-final case class FmpPartition(symbol: String, dir: String) extends InputPartition
+final case class FmpPartition(symbol: String, location: String) extends InputPartition
 
 final class FmpReaderFactory(fields: Array[String]) extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
@@ -140,40 +154,82 @@ final class FmpReaderFactory(fields: Array[String]) extends PartitionReaderFacto
 final class FmpPartitionReader(partition: FmpPartition, fields: Array[String])
     extends PartitionReader[InternalRow] {
   private val mapper = new ObjectMapper()
-  private val lines = FmpPartitionReader.recordLines(partition.dir)
+  private val records = FmpPartitionReader.records(partition.location, mapper)
   private var current: InternalRow = _
 
   override def next(): Boolean = {
-    while (lines.hasNext) {
-      val line = lines.next().trim
-      if (line.nonEmpty) {
-        val node = mapper.readTree(line)
-        val values = fields.map { f =>
-          val v = node.get(f)
-          if (v == null || v.isNull) null else UTF8String.fromString(v.asText())
-        }
-        current = new GenericInternalRow(values.asInstanceOf[Array[Any]])
-        return true
-      }
+    if (!records.hasNext) return false
+    val node = records.next()
+    val values = fields.map { f =>
+      val v = node.get(f)
+      if (v == null || v.isNull) null else UTF8String.fromString(v.asText())
     }
-    false
+    current = new GenericInternalRow(values.asInstanceOf[Array[Any]])
+    true
   }
   override def get(): InternalRow = current
   override def close(): Unit = ()
 }
 
 object FmpPartitionReader {
+  import com.fasterxml.jackson.databind.JsonNode
+
+  /** Records for one symbol, by transport (scheme-dispatched on the
+    * planned location). */
+  private[sources] def records(location: String,
+                               mapper: ObjectMapper): Iterator[JsonNode] =
+    if (location.startsWith("http://") || location.startsWith("https://"))
+      httpRecords(location, mapper)
+    else fileRecords(location, mapper)
+
   /** File transport: JSONL lines of every part file under the symbol's
     * staging directory, filename order. A missing directory is an empty
     * response (the reference treats a symbol with no data the same way,
-    * extract.py:88-92). The HTTP transport would replace this with one
-    * GET and a JSON-array split.
+    * extract.py:88-92).
     */
-  private[sources] def recordLines(dir: String): Iterator[String] = {
+  private def fileRecords(dir: String, mapper: ObjectMapper): Iterator[JsonNode] = {
     val d = new java.io.File(dir)
     if (!d.isDirectory) Iterator.empty
     else d.listFiles().filter(f => f.isFile && f.getName.startsWith("part-"))
       .sortBy(_.getName).iterator
       .flatMap(f => scala.io.Source.fromFile(f, "UTF-8").getLines())
+      .map(_.trim).filter(_.nonEmpty)
+      .map(mapper.readTree)
+  }
+
+  /** HTTP transport: ONE GET per symbol returning a JSON array
+    * (reference extract.py:69-95), parsed eagerly — the response is one
+    * symbol's bounded record list, never the corpus. Transient server
+    * errors (5xx) are retried with linear backoff; client errors (4xx)
+    * fail immediately — retrying a 404 would just hammer the endpoint.
+    * A task-level failure after the retries still gets Spark's own task
+    * retry, which re-fetches this one symbol alone.
+    */
+  private def httpRecords(url: String, mapper: ObjectMapper,
+                          maxAttempts: Int = 3): Iterator[JsonNode] = {
+    var attempt = 0
+    while (true) {
+      attempt += 1
+      val conn = java.net.URI.create(url).toURL
+        .openConnection().asInstanceOf[java.net.HttpURLConnection]
+      conn.setRequestMethod("GET")
+      conn.setConnectTimeout(5000)
+      conn.setReadTimeout(30000)
+      val code = conn.getResponseCode
+      if (code == 200) {
+        val body = new String(conn.getInputStream.readAllBytes(),
+          java.nio.charset.StandardCharsets.UTF_8)
+        val root = mapper.readTree(body)
+        if (!root.isArray)
+          throw new java.io.IOException(s"GET $url: expected a JSON array body")
+        return scala.jdk.CollectionConverters.IteratorHasAsScala(root.elements()).asScala
+      }
+      Option(conn.getErrorStream).foreach(_.close())
+      if (code < 500 || attempt >= maxAttempts)
+        throw new java.io.IOException(
+          s"GET $url failed with HTTP $code after $attempt attempt(s)")
+      Thread.sleep(50L * attempt)
+    }
+    Iterator.empty // unreachable; satisfies the type checker
   }
 }

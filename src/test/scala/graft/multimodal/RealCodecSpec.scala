@@ -46,6 +46,32 @@ class RealCodecSpec extends SparkSpec {
     }
   }
 
+  test("animated GIF: frame count, sampled indexes, and lossless gray sums") {
+    // 8-bit grayscale must round-trip GIF's 256-entry palette exactly —
+    // that is what lets the oracle verify DECODED frame content
+    // analytically rather than trusting the encoder.
+    val fix = ImageCodec.encodeGifFixture(ids, "doc_id")
+    val rows = ImageCodec.sampleGifFrames(fix, "doc_id", "video", stride = 2)
+      .collect().map(r => (r.getLong(0), r.getInt(1)) ->
+        (r.getInt(2), r.getInt(3), r.getLong(4), r.getInt(5))).toMap
+    ids.collect().map(_.getLong(0)).foreach { id =>
+      val nf = ImageCodec.gifFrameCount(id)
+      val w = ImageCodec.gifWidth(id)
+      val h = ImageCodec.gifHeight(id)
+      val sampled = (0 until nf by 2)
+      assert(rows.keys.count(_._1 == id) == sampled.size, s"doc $id sampled frames")
+      sampled.foreach { f =>
+        val (gw, gh, sum, gn) = rows((id, f))
+        assert(gn == nf, s"doc $id frame count")
+        assert((gw, gh) == ((w, h)), s"doc $id frame dims")
+        var expect = 0L
+        for (y <- 0 until h; x <- 0 until w)
+          expect += Math.floorMod(x * 31L + y * 17L + id + f * 53L, 256L)
+        assert(sum == expect, s"doc $id frame $f gray sum")
+      }
+    }
+  }
+
   test("WAV decode: format fields and exact PCM sample sum") {
     val fix = AudioCodec.encodeFixture(ids, "doc_id")
     AudioCodec.decodeAudioMeta(fix, "doc_id", "audio").collect().foreach { r =>

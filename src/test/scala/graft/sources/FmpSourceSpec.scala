@@ -55,6 +55,41 @@ class FmpSourceSpec extends SparkSpec {
     assert(df.count() == 2)
   }
 
+  test("HTTP transport: real GETs, retry on first-attempt 500, pruned symbols never fetched") {
+    val root = stage()
+    val server = new LoopbackApiServer(root, failFirst = true)
+    try {
+      val df = spark.read.format("graft.sources.FmpSource")
+        .option("url", server.url).option("endpoint", "income-statement")
+        .option("symbols", "AAA,BBB,ZZZ").option("dataset", "income").load()
+        .where(col("symbol").isin("AAA", "BBB"))
+      val got = df.select("date", "symbol", "revenue", "eps")
+        .collect().map(r => (r.getString(0), r.getString(1), r.getString(2), r.getString(3))).toSet
+      assert(got == Set(
+        ("2025-03-31", "AAA", "100.00", "1.5"),
+        ("2025-06-30", "AAA", "200.00", "2.5"),
+        ("2025-03-31", "BBB", "300.00", "3.5")))
+      // Retry path: the injected first-attempt 500 forces TWO requests
+      // per fetched symbol. Partition pruning: the isin predicate above
+      // prunes ZZZ, so its GET must never be issued.
+      assert(server.hitCount("/income-statement/AAA") == 2)
+      assert(server.hitCount("/income-statement/BBB") == 2)
+      assert(!server.requestedPaths.contains("/income-statement/ZZZ"),
+        server.requestedPaths.toString)
+    } finally server.stop()
+  }
+
+  test("HTTP transport: an empty-array response is a symbol with no data") {
+    val server = new LoopbackApiServer(stage())
+    try {
+      val df = spark.read.format("graft.sources.FmpSource")
+        .option("url", server.url).option("endpoint", "income-statement")
+        .option("symbols", "AAA,ZZZ").option("dataset", "income").load()
+      assert(df.where(col("symbol") === "ZZZ").count() == 0)
+      assert(df.count() == 2)
+    } finally server.stop()
+  }
+
   test("column pruning reaches the scan") {
     val df = read(stage(), "AAA").select("symbol", "revenue")
     val scan = df.queryExecution.executedPlan.toString

@@ -133,6 +133,86 @@ class EventStreamsSpec extends SparkSpec {
     assert(state == Map((1L, "click") -> 7.0, (2L, "view") -> 9.0))
   }
 
+  test("tumbling late semantics: drop keys on window END vs watermark, emit closed windows") {
+    // Pins the drop/fold/emit boundary rules the streaming_tumbling_late
+    // oracle encodes: a late row is dropped iff its WINDOW END is at or
+    // below the watermark (not its raw ts), and a window is emitted in
+    // Append mode once its end is at or below the final watermark.
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val agg = EventStreams.tumblingAgg(input.toDF(), watermark = "0 seconds")
+    val q = agg.writeStream.format("memory").queryName("tumbling_late_probe")
+      .outputMode(OutputMode.Append()).start()
+    def batch(evs: Event*): Unit = { input.addData(evs: _*); q.processAllAvailable() }
+
+    batch(event(1, "2024-01-01 10:05:00", 1, "click", 1.0),
+          event(2, "2024-01-01 11:30:00", 1, "click", 1.0)) // watermark -> 11:30
+    // ts 11:10 < watermark 11:30 BUT window [11,12) end 12:00 > 11:30:
+    // FOLDS (the late filter keys on window end). ts 10:30 has window end
+    // 11:00 <= 11:30: DROPPED.
+    batch(event(3, "2024-01-01 11:10:00", 1, "click", 1.0),
+          event(4, "2024-01-01 10:30:00", 1, "click", 1.0))
+    batch(event(5, "2024-01-01 13:00:00", 1, "click", 1.0)) // watermark -> 13:00
+    // Exact boundary: watermark lands exactly on window [13,14)'s end.
+    batch(event(6, "2024-01-01 14:00:00", 1, "click", 1.0))
+    q.processAllAvailable()
+    q.stop()
+
+    val got = spark.table("tumbling_late_probe")
+      .collect().map(r => (r.getTimestamp(0), r.getLong(2))).toMap
+    assert(got(ts("2024-01-01 10:00:00")) == 1L, s"late row behind closed window must drop: $got")
+    assert(got(ts("2024-01-01 11:00:00")) == 2L, s"in-watermark late row must fold: $got")
+    assert(got.contains(ts("2024-01-01 13:00:00")),
+      s"window whose end equals the watermark must emit: $got")
+    assert(!got.contains(ts("2024-01-01 14:00:00")), s"open window must not emit: $got")
+  }
+
+  test("sessionize late semantics: sub-watermark rows drop, in-watermark late rows fold backward") {
+    // Pins the fMGWS late rules the streaming_sessionize_late oracle
+    // encodes: rows behind the watermark are filtered before the state
+    // function; surviving out-of-order rows fold at ARRIVAL position
+    // (state.last moves backward to the late row's ts).
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val sessions = EventStreams.sessionize(input.toDS(), gapMs = 30 * 60 * 1000,
+      watermark = "1 hour")
+    val q = sessions.writeStream.format("memory").queryName("session_late_probe")
+      .outputMode(OutputMode.Append()).start()
+    def batch(evs: Event*): Unit = { input.addData(evs: _*); q.processAllAvailable() }
+
+    batch(event(1, "2024-01-01 11:30:00", 1, "click", 1.0),
+          event(900, "2024-01-01 12:00:00", 9, "click", 5.0)) // watermark -> 11:00
+    // u1 11:15 is out-of-order (behind u1's 11:30) but above the
+    // watermark: folds, last moves BACK to 11:15. u2 10:30 is behind the
+    // watermark: dropped entirely (u2 must never emit).
+    batch(event(2, "2024-01-01 11:15:00", 1, "click", 1.0),
+          event(20, "2024-01-01 10:30:00", 2, "click", 9.0))
+    // 11:40 is 25 min after the moved-back last=11:15: still folds.
+    batch(event(3, "2024-01-01 11:40:00", 1, "click", 1.0))
+    batch(event(901, "2024-01-01 20:00:00", 9, "click", 5.0)) // watermark -> 19:00
+    q.processAllAvailable()
+    q.stop()
+
+    val got = spark.table("session_late_probe").as[Session].collect()
+      .map(s => (s.user_id, s.session_start, s.session_end, s.n_events)).toSet
+    assert(got == Set(
+      (1L, ts("2024-01-01 11:30:00"), ts("2024-01-01 11:40:00"), 3L),
+      (9L, ts("2024-01-01 12:00:00"), ts("2024-01-01 12:00:00"), 1L)), got.toString)
+  }
+
+  test("lateWavedEventsStream displaces exactly the event_id % 10 rows one wave later") {
+    val dir = "/root/testdata/sf0.001"
+    val st = graft.io.Tables.lateWavedEventsStream(spark, dir, nWaves = 4)
+    val q = st.writeStream.format("memory").queryName("late_waves_test")
+      .outputMode(OutputMode.Append())
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    assert(q.recentProgress.count(_.numInputRows > 0) == 4)
+    val total = graft.io.Tables.events(spark, dir).count()
+    assert(spark.table("late_waves_test").count() == total,
+      "displacement must not lose or duplicate rows")
+  }
+
   test("wavedEventsStream delivers one time-ordered micro-batch per wave") {
     val st = graft.io.Tables.wavedEventsStream(spark, "/root/testdata/sf0.001", 3)
     val q = st.writeStream.format("memory").queryName("waves_test")

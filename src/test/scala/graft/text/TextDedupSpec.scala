@@ -196,6 +196,25 @@ class TextDedupSpec extends SparkSpec {
     assert(rounds <= 6, s"expected <= log2(d)+1 = 6 rounds, took $rounds")
   }
 
+  test("clusterRepresentatives: diameter-2048 chain stays logarithmic, not linear") {
+    // The O(log d) claim at depth: a chain of 2049 nodes (diameter 2048 —
+    // the worst near-dup pair graph, e.g. a document drifting one edit at
+    // a time). Pure propagation would need 2048 rounds and would trip any
+    // practical guard; pointer jumping must close it in ~log2(2048) = 11
+    // doubling rounds plus a constant (shortcut slack + the no-change
+    // detection round). The bound asserted is log2(d) + 3; the default
+    // guard of 25 rounds therefore covers diameters beyond 4 million.
+    val n = 2049
+    val nodes = (1 to n).map(_.toLong).toDF("id")
+    val pairs = (1 until n).map(i => (i.toLong, (i + 1).toLong)).toDF("doc_a", "doc_b")
+    val (labels, rounds) =
+      Dedup.clusterRepresentativesWithRounds(nodes, "id", pairs, maxIters = 16)
+    val got = labels.collect()
+    assert(got.length == n)
+    assert(got.forall(_.getLong(1) == 1L), "every chain node must label to the min id")
+    assert(rounds <= 14, s"expected <= log2(2048)+3 = 14 rounds, took $rounds")
+  }
+
   test("hot-shingle cap removes high-df shingles from the index") {
     val repeated = (0L until 20L).map(i => (i, "same same same same text")).toDF("doc_id", "text")
     val idx = Dedup.shingleIndex(repeated, "doc_id", "text", 3, maxDocFreq = 5L)
