@@ -837,6 +837,58 @@ object Queries {
       s.read.parquet(acceptedPath)
     }),
 
+    // The SAME ingest killed mid-run and restarted: an injected failure
+    // in wave 1 lands at the worst point — the accepted wave is already
+    // committed, the index waves are not — then a second run from the
+    // unchanged checkpoint REPLAYS wave 1 (foreachBatch is
+    // at-least-once). The replay-safe sink (wave-keyed dynamic
+    // overwrite, state reads excluding the current wave) must converge
+    // to the identical accepted set: the oracle is the same as the
+    // uninterrupted run's.
+    "streaming_dedup_restart" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val waveDir = new org.apache.hadoop.fs.Path(graft.util.Scratch.dir("graft_rsw"))
+      val fs = waveDir.getFileSystem(s.sparkContext.hadoopConfiguration)
+      val tmp = new org.apache.hadoop.fs.Path(
+        graft.util.Scratch.dir("graft_rsw_tmp"), "waves")
+      docs.withColumn("w", pmod(col("doc_id"), lit(2)).cast("int"))
+        .repartitionByRange(2, col("w"))
+        .write.mode("overwrite").partitionBy("w").parquet(tmp.toString)
+      val base = System.currentTimeMillis()
+      (0 until 2).foreach { i =>
+        val part = fs.listStatus(new org.apache.hadoop.fs.Path(tmp, s"w=$i"))
+          .map(_.getPath).filter(_.getName.startsWith("part-")).head
+        val dest = new org.apache.hadoop.fs.Path(waveDir, f"wave-$i%04d.parquet")
+        if (!fs.rename(part, dest))
+          throw new java.io.IOException(s"streaming_dedup_restart: cannot stage $dest")
+        fs.setTimes(dest, base + i * 1000L, -1L)
+      }
+      def stream = s.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", "1").parquet(waveDir.toString)
+      val statePath = graft.util.Scratch.dir("graft_rsw_state") + "/index"
+      val acceptedPath = graft.util.Scratch.dir("graft_rsw_acc") + "/accepted"
+      val ckpt = graft.util.Scratch.dir("graft_rsw_ck")
+      val tripped = new java.util.concurrent.atomic.AtomicBoolean(false)
+      val chaos: Long => Unit = b =>
+        if (b == 1L && tripped.compareAndSet(false, true))
+          throw new RuntimeException(
+            "injected: accepted wave committed, index waves lost")
+      withShufflePartitions(s, 8) {
+        val q1 = graft.streaming.EventStreams.corpusDedupSink(stream, "doc_id",
+          "text", statePath, acceptedPath, ckpt, chaosAfterAccept = chaos)
+        try { q1.awaitTermination(); throw new IllegalStateException(
+          "streaming_dedup_restart: the injected failure never fired")
+        } catch {
+          case e: org.apache.spark.sql.streaming.StreamingQueryException
+            if e.getMessage.contains("injected") => () // the planned crash
+        }
+        graft.streaming.EventStreams.corpusDedupSink(stream, "doc_id", "text",
+          statePath, acceptedPath, ckpt, chaosAfterAccept = chaos)
+          .awaitTermination()
+      }
+      s.read.parquet(acceptedPath)
+    }),
+
     // Sketch-based near-dup. Gate configuration uses the md5-derived
     // 60-bit term hash (Dedup.Md5Hash60) so DuckDB can replicate the
     // MinHash signatures, banding, and verification EXACTLY; production
@@ -2300,6 +2352,53 @@ object Queries {
        |WHERE s2.session_seq < l.mx
        |   OR epoch_us(s2.session_end) // 1000 + 1800000 < fw.f // 1000""".stripMargin
 
+  /** DuckDB replica of the streaming-incremental dedup ingest
+    * (shared by the live gate and the crash-restart gate, which must
+    * converge to the identical accepted set): wave 0 (even ids)
+    * self-dedups, its survivors' index becomes the state; wave 1 (odd
+    * ids) pairs against that state plus itself. Sizes always come from
+    * the wave-local window (the Spark side attaches nsh at batch-index
+    * build).
+    */
+  private val incrementalLiveOracleSql: String =
+    """WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks FROM documents),
+        |sh AS (SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(toks) - 1),
+        |         i -> array_to_string(toks[i:i+2], ' ')))) AS shingle
+        |       FROM t),
+        |esh AS (SELECT * FROM sh WHERE doc_id % 2 = 0),
+        |osh AS (SELECT * FROM sh WHERE doc_id % 2 <> 0),
+        |eidx AS (SELECT doc_id, shingle FROM esh WHERE shingle NOT IN (
+        |           SELECT shingle FROM esh GROUP BY 1 HAVING count(*) > 100)),
+        |oidx AS (SELECT doc_id, shingle FROM osh WHERE shingle NOT IN (
+        |           SELECT shingle FROM osh GROUP BY 1 HAVING count(*) > 100)),
+        |esz AS (SELECT doc_id, count(*) AS nsh FROM eidx GROUP BY 1),
+        |osz AS (SELECT doc_id, count(*) AS nsh FROM oidx GROUP BY 1),
+        |ep AS (SELECT b.doc_id AS doc_b FROM eidx a JOIN eidx b
+        |         ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |       GROUP BY a.doc_id, b.doc_id
+        |       HAVING CAST(count(*) AS DOUBLE) /
+        |         ((SELECT nsh FROM esz WHERE doc_id = a.doc_id)
+        |          + (SELECT nsh FROM esz WHERE doc_id = b.doc_id) - count(*)) >= 0.5),
+        |acc0 AS (SELECT doc_id FROM documents WHERE doc_id % 2 = 0
+        |         AND doc_id NOT IN (SELECT doc_b FROM ep)),
+        |sidx AS (SELECT e.doc_id, e.shingle FROM eidx e JOIN acc0 USING (doc_id)),
+        |op AS (SELECT b.doc_id AS doc_b FROM oidx a JOIN oidx b
+        |         ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |       GROUP BY a.doc_id, b.doc_id
+        |       HAVING CAST(count(*) AS DOUBLE) /
+        |         ((SELECT nsh FROM osz WHERE doc_id = a.doc_id)
+        |          + (SELECT nsh FROM osz WHERE doc_id = b.doc_id) - count(*)) >= 0.5),
+        |cp AS (SELECT b.doc_id AS doc_b FROM sidx a JOIN oidx b ON a.shingle = b.shingle
+        |       GROUP BY a.doc_id, b.doc_id
+        |       HAVING CAST(count(*) AS DOUBLE) /
+        |         ((SELECT nsh FROM esz WHERE doc_id = a.doc_id)
+        |          + (SELECT nsh FROM osz WHERE doc_id = b.doc_id) - count(*)) >= 0.5),
+        |acc1 AS (SELECT doc_id FROM documents WHERE doc_id % 2 <> 0
+        |         AND doc_id NOT IN (SELECT doc_b FROM op UNION SELECT doc_b FROM cp))
+        |SELECT doc_id, CAST(0 AS INT) AS wave FROM acc0
+        |UNION ALL
+        |SELECT doc_id, CAST(1 AS INT) AS wave FROM acc1""".stripMargin
+
   /** DuckDB replica of the converged merge state (shared by the live and
     * multi-wave merge gates): batch last-write-wins over all events —
     * micro-batch boundaries cannot change it.
@@ -2813,44 +2912,11 @@ object Queries {
     // survivors' index becomes the state; wave 1 (odd ids) pairs against
     // that state plus itself. Sizes always come from the wave-local
     // window (the Spark side attaches nsh at batch-index build).
-    "streaming_dedup_incremental_live" ->
-      """WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks FROM documents),
-        |sh AS (SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(toks) - 1),
-        |         i -> array_to_string(toks[i:i+2], ' ')))) AS shingle
-        |       FROM t),
-        |esh AS (SELECT * FROM sh WHERE doc_id % 2 = 0),
-        |osh AS (SELECT * FROM sh WHERE doc_id % 2 <> 0),
-        |eidx AS (SELECT doc_id, shingle FROM esh WHERE shingle NOT IN (
-        |           SELECT shingle FROM esh GROUP BY 1 HAVING count(*) > 100)),
-        |oidx AS (SELECT doc_id, shingle FROM osh WHERE shingle NOT IN (
-        |           SELECT shingle FROM osh GROUP BY 1 HAVING count(*) > 100)),
-        |esz AS (SELECT doc_id, count(*) AS nsh FROM eidx GROUP BY 1),
-        |osz AS (SELECT doc_id, count(*) AS nsh FROM oidx GROUP BY 1),
-        |ep AS (SELECT b.doc_id AS doc_b FROM eidx a JOIN eidx b
-        |         ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-        |       GROUP BY a.doc_id, b.doc_id
-        |       HAVING CAST(count(*) AS DOUBLE) /
-        |         ((SELECT nsh FROM esz WHERE doc_id = a.doc_id)
-        |          + (SELECT nsh FROM esz WHERE doc_id = b.doc_id) - count(*)) >= 0.5),
-        |acc0 AS (SELECT doc_id FROM documents WHERE doc_id % 2 = 0
-        |         AND doc_id NOT IN (SELECT doc_b FROM ep)),
-        |sidx AS (SELECT e.doc_id, e.shingle FROM eidx e JOIN acc0 USING (doc_id)),
-        |op AS (SELECT b.doc_id AS doc_b FROM oidx a JOIN oidx b
-        |         ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-        |       GROUP BY a.doc_id, b.doc_id
-        |       HAVING CAST(count(*) AS DOUBLE) /
-        |         ((SELECT nsh FROM osz WHERE doc_id = a.doc_id)
-        |          + (SELECT nsh FROM osz WHERE doc_id = b.doc_id) - count(*)) >= 0.5),
-        |cp AS (SELECT b.doc_id AS doc_b FROM sidx a JOIN oidx b ON a.shingle = b.shingle
-        |       GROUP BY a.doc_id, b.doc_id
-        |       HAVING CAST(count(*) AS DOUBLE) /
-        |         ((SELECT nsh FROM esz WHERE doc_id = a.doc_id)
-        |          + (SELECT nsh FROM osz WHERE doc_id = b.doc_id) - count(*)) >= 0.5),
-        |acc1 AS (SELECT doc_id FROM documents WHERE doc_id % 2 <> 0
-        |         AND doc_id NOT IN (SELECT doc_b FROM op UNION SELECT doc_b FROM cp))
-        |SELECT doc_id, CAST(0 AS INT) AS wave FROM acc0
-        |UNION ALL
-        |SELECT doc_id, CAST(1 AS INT) AS wave FROM acc1""".stripMargin,
+    "streaming_dedup_incremental_live" -> incrementalLiveOracleSql,
+    // Crash + replay must converge to the UNINTERRUPTED run's result —
+    // the whole point of the replay-safe sink. Same oracle by
+    // construction.
+    "streaming_dedup_restart" -> incrementalLiveOracleSql,
 
     // Incremental replica: per-half indexes with per-half hot caps
     // (matching the Spark side's independently-built state/batch

@@ -42,7 +42,8 @@ object EventStreams {
                       stateIndexPath: String, acceptedPath: String,
                       checkpoint: String, threshold: Double = 0.5,
                       maxDocFreq: Long = 100L,
-                      hashFn: Column => Column = graft.text.Dedup.Md5Hash60): StreamingQuery =
+                      hashFn: Column => Column = graft.text.Dedup.Md5Hash60,
+                      chaosAfterAccept: Long => Unit = _ => ()): StreamingQuery =
     docs.writeStream
       .outputMode(OutputMode.Update())
       .option("checkpointLocation", checkpoint)
@@ -73,6 +74,10 @@ object EventStreams {
           val pairs = graft.text.Dedup.incrementalNearDupPairsCollapsed(bi, state, threshold)
           writeWave(graft.text.Dedup.incrementalAccept(batch.select(col(idCol)), pairs),
             acceptedPath)
+          // Fault-injection seam for the restart gate: a throw HERE is
+          // the worst partial failure — accepted wave committed, index
+          // waves not — and replay after restart must converge anyway.
+          chaosAfterAccept(batchId)
           // Re-read survivors from disk so the state writes never race
           // their own input plan.
           val acceptedIds = spark.read.parquet(acceptedPath)
