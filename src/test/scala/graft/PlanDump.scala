@@ -41,7 +41,8 @@ object PlanDump {
       "dedup_ngram_jaccard" -> "exact-collapsed: quadratic self-join over unique texts, expansion joins restore doc pairs",
       "dedup_incremental" -> "batch vs persisted rep-index state: equi-joins only, no history re-pairing",
       "sample_mixture" -> "group counts once, then a pure scan-side hash-threshold filter",
-      "jdbc_roundtrip" -> "partitioned JDBC scan: 4 range slices, aggregate above")
+      "jdbc_roundtrip" -> "partitioned JDBC scan: 4 range slices, aggregate above",
+      "source_http_dsv2" -> "DSv2 REST source: symbol predicates consumed as partition pruning, required columns pruned into the record parser (scan description)")
     val keep = Seq("Exchange", "Scan", "Join", "Aggregate", "Window", "Expand",
       "TakeOrdered", "Broadcast", "Sort", "Filter", "Project", "WholeStageCodegen")
     val sb = new StringBuilder
