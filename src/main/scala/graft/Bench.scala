@@ -8,6 +8,57 @@ import org.apache.spark.sql.SparkSession
   * measured), and prints one JSON line for the driver.
   */
 object Bench {
+  /** Re-measures one query in a fresh child JVM (same classpath and JVM
+    * flags as this process — `run / fork := true` makes both real) and
+    * returns its median, or `fallback` if the child fails. The child runs
+    * `SPARK_GRAFT_ONLY=name` with forking disabled, writes its artifact
+    * to a temp file, and this parses the single queries-map entry back.
+    */
+  /** Pulls one query's seconds out of a bench artifact line. The queries
+    * map is the only place a bare `"name":number` pair appears (the
+    * "query" per-line records quote the name as a VALUE, `"query":"name"`,
+    * so the regex's `:[0-9]` tail cannot match them).
+    */
+  private[graft] def parseArtifactEntry(line: String, name: String): Option[Double] = {
+    val entry = ("\"" + java.util.regex.Pattern.quote(name) + "\":([0-9.]+)").r
+    entry.findFirstMatchIn(line).map(_.group(1).toDouble)
+  }
+
+  private def refineForked(name: String, fallback: Double): Double = {
+    import scala.jdk.CollectionConverters._
+    try {
+      val javaBin = java.nio.file.Paths.get(
+        sys.props("java.home"), "bin", "java").toString
+      val jvmArgs = java.lang.management.ManagementFactory.getRuntimeMXBean
+        .getInputArguments.asScala.toSeq
+        .filterNot(a => a.startsWith("-agentlib") || a.startsWith("-javaagent"))
+      val out = java.nio.file.Files.createTempFile("graft_bench_fork", ".json")
+      val cmd = (Seq(javaBin) ++ jvmArgs ++
+        Seq("-cp", sys.props("java.class.path"), "graft.Bench")).asJava
+      val pb = new ProcessBuilder(cmd)
+      pb.environment().put("SPARK_GRAFT_ONLY", name)
+      pb.environment().put("SPARK_GRAFT_NO_FORK", "1")
+      pb.environment().put("SPARK_GRAFT_WARM_TARGET", "1")
+      pb.environment().put("SPARK_GRAFT_BENCH_OUT", out.toString)
+      pb.redirectErrorStream(true)
+      pb.redirectOutput(ProcessBuilder.Redirect.DISCARD)
+      val proc = pb.start()
+      val finished = proc.waitFor(20, java.util.concurrent.TimeUnit.MINUTES)
+      if (!finished) { proc.destroyForcibly(); sys.error("fork timed out") }
+      require(proc.exitValue() == 0, s"fork exited ${proc.exitValue()}")
+      val line = new String(java.nio.file.Files.readAllBytes(out),
+        java.nio.charset.StandardCharsets.UTF_8)
+      java.nio.file.Files.deleteIfExists(out)
+      val sec = parseArtifactEntry(line, name)
+        .getOrElse(sys.error("query missing from fork artifact"))
+      System.err.println(f"[bench] $name refined in fresh JVM: $fallback%.3f -> $sec%.3f")
+      sec
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] fork refine failed for $name, keeping in-suite: $e")
+      fallback
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -55,7 +106,18 @@ object Bench {
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
       System.gc()
     }
-    val results = selected.map { case (name, fn) =>
+    // A fork-refinement child measures ONE query in a fresh JVM: without a
+    // warm-up rep of that query the measurement absorbs the JIT compile of
+    // every Spark code path the query touches (measured +30-90% at sf0.1,
+    // where query cost is comparable to warm-up cost). The parent suite
+    // doesn't need it — q1_agg plus the preceding queries warm the JVM.
+    val warmTarget = sys.env.contains("SPARK_GRAFT_WARM_TARGET")
+    val inSuite = selected.map { case (name, fn) =>
+      if (warmTarget) {
+        try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+        catch { case _: Throwable => () }
+        cleanup()
+      }
       val times = (1 to reps).map { _ =>
         val t0 = System.nanoTime()
         try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
@@ -71,6 +133,23 @@ object Bench {
       val repsJson = times.map(t => f"$t%.3f").mkString("[", ",", "]")
       println(f"""{"query":"$name","sec":$dt%.3f,"reps":$repsJson}""")
       name -> dt
+    }
+    // Fork-refinement pass: median-of-reps inside ONE shared session still
+    // overstates the late-alphabet heavy queries (every rep pays the
+    // accumulated heap/old-gen drag of the 100+ queries before them —
+    // measured ~1.6-2.4x vs isolated at sf1, reps rising monotonically).
+    // Light queries don't care (absolute error is milliseconds), so only
+    // the expensive tail is re-measured, each in a FRESH child JVM (fresh
+    // heap, fresh code cache) running the same median-of-reps for just
+    // that query. The child's number replaces the in-suite one; any child
+    // failure falls back to the in-suite measurement. Startup is excluded
+    // (the child warms up on q1_agg before timing, same as this process).
+    val forkSec = sys.env.get("SPARK_GRAFT_FORK_SEC").map(_.toDouble).getOrElse(2.0)
+    val forkEnabled = !sys.env.contains("SPARK_GRAFT_NO_FORK") && only.isEmpty
+    val results = if (!forkEnabled) inSuite else inSuite.map {
+      case (name, dt) if dt >= forkSec =>
+        name -> refineForked(name, dt)
+      case kept => kept
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
