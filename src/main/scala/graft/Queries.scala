@@ -756,27 +756,23 @@ object Queries {
     // smallest doc_id reachable through the Jaccard pair graph
     // (iterative min-label propagation; the oracle's recursive CTE
     // computes the same reachability fixpoint).
-    "dedup_cluster_reps" -> ((s, dir) => {
-      // The iterative CC loop runs over REPRESENTATIVES (exact-collapse):
-      // duplicate groups ride one node through every round and expand at
-      // the end. Identical labels to CC over the expanded pair graph —
-      // every group minimum IS its rep, so a component's min doc id is
-      // the min rep id; members of groups whose every shingle was
-      // hot-capped away have no pair edges and label themselves, exactly
-      // as they would in the expanded graph.
-      val docs = t(s, dir, "documents")
-      val c = Dedup.exactCollapse(docs, "doc_id", "text", cache = df => df.persist())
-      val idx = Dedup.countedShingleIndexCollapsed(c, n = 3, maxDocFreq = 100L).persist()
-      val repLabels = Dedup.clusterRepresentatives(
-        c.reps.select(col("doc_id")), "doc_id",
-        Dedup.ngramJaccardPairsFromIndex(idx, threshold = 0.5))
-      c.membership
-        .join(repLabels.select(col("doc_id").as("rep_id"), col("rep").as("_rl")), Seq("rep_id"))
-        .join(idx.select(col("doc_id").as("rep_id")).distinct()
-          .withColumn("_survived", lit(true)), Seq("rep_id"), "left")
-        .select(col("doc_id"),
-          when(col("_survived") || col("doc_id") === col("rep_id"), col("_rl"))
-            .otherwise(col("doc_id")).as("rep"))
+    "dedup_cluster_reps" -> ((s, dir) => docClusterReps(s, dir)),
+
+    // Per-cluster CANONICAL selection: among a near-dup cluster, keep the
+    // highest-quality copy (ties to the smallest id) — the keeper policy a
+    // training pipeline wants when duplicates differ in extraction quality
+    // (the rep id is a graph label, not a quality judgement). Quality is
+    // the rounded text_quality score so the ordering is cross-engine
+    // deterministic; top-1 per cluster compiles to WindowGroupLimit
+    // (map-side partial rank, no full sort of the corpus).
+    "dedup_canonical_quality" -> ((s, dir) => {
+      val labeled = docClusterReps(s, dir)
+        .join(t(s, dir, "documents").select(col("doc_id"),
+          round(TextAnalysis.qualityScore(col("text")), 6).as("quality")), Seq("doc_id"))
+      graft.ops.Windows.topKPerGroup(labeled, Seq("rep"),
+          Seq(col("quality").desc, col("doc_id").asc), k = 1)
+        .select(col("rep"), col("doc_id").as("canonical_id"),
+          col("quality").as("canonical_quality"))
     }),
 
     // Incremental ingestion dedup: the even-id half plays the ACCEPTED
@@ -1014,6 +1010,25 @@ object Queries {
 
     "recall_embedding_lsh" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
+      Recall.pairRecall(
+        Similarity.lshNearDupPairs(emb, "vec_id", "embedding",
+          dim = 64, threshold = 0.45, nbits = 4, seeds = lshSeeds),
+        Similarity.nearDupPairs(emb, "vec_id", "embedding", 0.45),
+        floor = 0.3)
+    }),
+
+    // The audit form that RUNS at 100 TB: the exact tier is O(n²), so the
+    // full audit above is only runnable at test scale. Hyperplane-LSH
+    // candidacy is a property of the PAIR alone (the two vectors' sign
+    // patterns against fixed planes — bucket collision never depends on
+    // the rest of the corpus), so recall measured over a deterministic
+    // hash-sample of vectors is an unbiased estimate of full-corpus
+    // recall, while the exact tier's cost falls quadratically (a 50%
+    // sample pays 1/4 the pairs). md5 bucket so DuckDB replicates the
+    // sample membership bit-for-bit.
+    "recall_embedding_lsh_sampled" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+        .where(graft.ops.Sampling.hashBucket(col("vec_id"), Dedup.Md5Hash60) < 5000)
       Recall.pairRecall(
         Similarity.lshNearDupPairs(emb, "vec_id", "embedding",
           dim = 64, threshold = 0.45, nbits = 4, seeds = lshSeeds),
@@ -1330,6 +1345,19 @@ object Queries {
           Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1),
           hashFn = Dedup.Md5Hash60)
         .select(col("doc_id"), col("split"))),
+
+    // LEAKAGE-SAFE split: hash-split by NEAR-DUP CLUSTER, not by document.
+    // A per-doc split quietly places near-duplicates of training documents
+    // in the eval set (train/test contamination); splitting on the cluster
+    // representative keeps every member of a near-dup cluster — and every
+    // exact copy — on the same side of the wall. Same pair-graph fixpoint
+    // as dedup_cluster_reps, same md5 bucket as sample_hash_split, so the
+    // oracle replicates both stages exactly.
+    "sample_split_leakage_safe" -> ((s, dir) =>
+      graft.ops.Sampling.hashSplit(docClusterReps(s, dir), "rep",
+          Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1),
+          hashFn = Dedup.Md5Hash60)
+        .select(col("doc_id"), col("rep"), col("split"))),
 
     // Deterministic data MIXING: the largest sample whose composition
     // matches the target weights (binding group kept whole, others
@@ -1844,6 +1872,34 @@ object Queries {
 
   private val EnWords = TextAnalysis.StopwordLists.head._2
 
+  /** doc_id -> smallest doc id reachable through the trigram-Jaccard pair
+    * graph — the labeling shared by the cluster gate, the leakage-safe
+    * split, and canonical-by-quality selection.
+    *
+    * The iterative CC loop runs over REPRESENTATIVES (exact-collapse):
+    * duplicate groups ride one node through every round and expand at the
+    * end. Identical labels to CC over the expanded pair graph — every
+    * group minimum IS its rep, so a component's min doc id is the min rep
+    * id; members of groups whose every shingle was hot-capped away have
+    * no pair edges and label themselves, exactly as they would in the
+    * expanded graph.
+    */
+  private def docClusterReps(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val c = Dedup.exactCollapse(docs, "doc_id", "text", cache = df => df.persist())
+    val idx = Dedup.countedShingleIndexCollapsed(c, n = 3, maxDocFreq = 100L).persist()
+    val repLabels = Dedup.clusterRepresentatives(
+      c.reps.select(col("doc_id")), "doc_id",
+      Dedup.ngramJaccardPairsFromIndex(idx, threshold = 0.5))
+    c.membership
+      .join(repLabels.select(col("doc_id").as("rep_id"), col("rep").as("_rl")), Seq("rep_id"))
+      .join(idx.select(col("doc_id").as("rep_id")).distinct()
+        .withColumn("_survived", lit(true)), Seq("rep_id"), "left")
+      .select(col("doc_id"),
+        when(col("_survived") || col("doc_id") === col("rep_id"), col("_rl"))
+          .otherwise(col("doc_id")).as("rep"))
+  }
+
   /** Shared DuckDB replica of the trigram-Jaccard pair generation
     * (shingle index, hot cap 100, threshold 0.5) ending in CTE
     * `jpairs(doc_a, doc_b, jaccard)` — used by the pair gate and as the
@@ -1871,6 +1927,41 @@ object Queries {
   /** DuckDB twin of [[Dedup.Md5Hash60]] (60-bit md5-derived term hash). */
   private def md5Hash60Sql(e: String): String =
     s"CAST('0x' || substr(md5($e),1,15) AS BIGINT)"
+
+  /** Reachability fixpoint over the Jaccard pair graph ending in CTE
+    * `lbl(doc_id, rep)` — min reachable id per node == the
+    * propagation-converged representative. Callers prefix `WITH
+    * RECURSIVE`. Shared by the cluster gate, the leakage-safe split, and
+    * canonical selection. */
+  private val clusterRepsCte: String =
+    s"""$jaccardPairsCte,
+       |edges AS (SELECT doc_a AS src, doc_b AS dst FROM jpairs
+       |          UNION ALL SELECT doc_b, doc_a FROM jpairs),
+       |reach(node, root) AS (
+       |  SELECT doc_id, doc_id FROM documents
+       |  UNION
+       |  SELECT e.dst, r.root FROM reach r JOIN edges e ON e.src = r.node),
+       |lbl AS (SELECT node AS doc_id, MIN(root) AS rep FROM reach GROUP BY 1)""".stripMargin
+
+  /** Replica of the rounded text_quality score ending in CTE
+    * `q(doc_id, quality)` — shared by the text_quality gate and canonical
+    * selection. CTE names qb/q chosen to never collide with the pair-graph
+    * CTEs above. */
+  private val qualityCte: String = {
+    val toks = "regexp_split_to_array(trim(text), '\\s+')"
+    s"""qb AS (
+       |  SELECT doc_id,
+       |    CAST(length(text) AS DOUBLE) AS n_char,
+       |    CAST(len($toks) AS DOUBLE) AS n_tok,
+       |    CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE) AS n_alpha,
+       |    CAST(${hitsSql(toks, EnWords)} AS DOUBLE) AS en_hits
+       |  FROM documents),
+       |q AS (SELECT doc_id, round(
+       |    (CASE WHEN n_char > 0 THEN n_alpha / n_char ELSE 0.0 END) * 0.4
+       |  + (CASE WHEN n_tok > 0 THEN en_hits / n_tok ELSE 0.0 END) * 0.3
+       |  + least(n_tok / 100.0, 1.0) * 0.3, 6) AS quality
+       |FROM qb)""".stripMargin
+  }
 
   /** Shared by the sample_mixture gate and its oracle so the weights can
     * never drift apart. */
@@ -2069,7 +2160,7 @@ object Queries {
     * bucket match in ANY table (distinct pair ids), exact cosine
     * verification once per surviving pair.
     */
-  private def embeddingLshOracleSql: String = {
+  private def embeddingLshOracleSql(where: String = ""): String = {
     val bucketExprs = lshSeeds.zipWithIndex.map { case (seed, i) =>
       val planes = (0 until 4).map { b =>
         val arr = (0 until 64)
@@ -2080,7 +2171,7 @@ object Queries {
       s"$planes AS b$i"
     }
     val anyTable = lshSeeds.indices.map(i => s"a.b$i = b.b$i").mkString(" OR ")
-    s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+    s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings$where),
        |bkt AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm, ${bucketExprs.mkString(", ")} FROM e),
        |cand AS (SELECT DISTINCT a.vec_id AS doc_a, b.vec_id AS doc_b
        |         FROM bkt a JOIN bkt b ON a.vec_id < b.vec_id AND ($anyTable)),
@@ -2200,9 +2291,9 @@ object Queries {
 
   /** DuckDB twin of the exact embedding near-dup pair set (shared by its
     * gate and the LSH recall audit). */
-  private val embeddingExactPairsOracleSql: String =
-    """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-      |           FROM embeddings),
+  private def embeddingExactPairsOracleSql(where: String = ""): String =
+    s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      |           FROM embeddings$where),
       |n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
       |p AS (SELECT a.vec_id AS doc_a, b.vec_id AS doc_b,
       |        list_dot_product(a.v, b.v) / (a.nrm * b.nrm) AS sim
@@ -2778,21 +2869,8 @@ object Queries {
          |FROM m""".stripMargin
     },
 
-    "text_quality" -> {
-      val toks = "regexp_split_to_array(trim(text), '\\s+')"
-      s"""WITH b AS (
-         |  SELECT doc_id,
-         |    CAST(length(text) AS DOUBLE) AS n_char,
-         |    CAST(len($toks) AS DOUBLE) AS n_tok,
-         |    CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE) AS n_alpha,
-         |    CAST(${hitsSql(toks, EnWords)} AS DOUBLE) AS en_hits
-         |  FROM documents)
-         |SELECT doc_id, round(
-         |    (CASE WHEN n_char > 0 THEN n_alpha / n_char ELSE 0.0 END) * 0.4
-         |  + (CASE WHEN n_tok > 0 THEN en_hits / n_tok ELSE 0.0 END) * 0.3
-         |  + least(n_tok / 100.0, 1.0) * 0.3, 6) AS quality
-         |FROM b""".stripMargin
-    },
+    "text_quality" ->
+      s"WITH $qualityCte SELECT doc_id, quality FROM q",
 
     "text_fingerprint" ->
       """WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks FROM documents),
@@ -2953,14 +3031,31 @@ object Queries {
     // Reachability fixpoint over the same pair graph: min reachable id
     // per node == the propagation-converged representative.
     "dedup_cluster_reps" ->
-      s"""WITH RECURSIVE $jaccardPairsCte,
-         |edges AS (SELECT doc_a AS src, doc_b AS dst FROM jpairs
-         |          UNION ALL SELECT doc_b, doc_a FROM jpairs),
-         |reach(node, root) AS (
-         |  SELECT doc_id, doc_id FROM documents
-         |  UNION
-         |  SELECT e.dst, r.root FROM reach r JOIN edges e ON e.src = r.node)
-         |SELECT node AS doc_id, MIN(root) AS rep FROM reach GROUP BY 1""".stripMargin,
+      s"WITH RECURSIVE $clusterRepsCte SELECT doc_id, rep FROM lbl",
+
+    // Canonical copy per cluster: the fixpoint labels joined to the
+    // quality replica, top-1 per rep by (quality DESC, doc_id).
+    "dedup_canonical_quality" ->
+      s"""WITH RECURSIVE $clusterRepsCte,
+         |$qualityCte,
+         |jq AS (SELECT lbl.rep, lbl.doc_id, q.quality
+         |       FROM lbl JOIN q ON lbl.doc_id = q.doc_id),
+         |r AS (SELECT rep, doc_id, quality,
+         |        row_number() OVER (PARTITION BY rep
+         |          ORDER BY quality DESC, doc_id) AS rn
+         |      FROM jq)
+         |SELECT rep, doc_id AS canonical_id, quality AS canonical_quality
+         |FROM r WHERE rn = 1""".stripMargin,
+
+    // Cluster-keyed split: the fixpoint labels bucketed by the same md5
+    // hash as sample_hash_split, keyed on the REPRESENTATIVE id.
+    "sample_split_leakage_safe" ->
+      s"""WITH RECURSIVE $clusterRepsCte
+         |SELECT doc_id, rep,
+         |  CASE WHEN ${md5Hash60Sql("CAST(rep AS VARCHAR)")} % 10000 < 8000 THEN 'train'
+         |       WHEN ${md5Hash60Sql("CAST(rep AS VARCHAR)")} % 10000 < 9000 THEN 'val'
+         |       ELSE 'test' END AS split
+         |FROM lbl""".stripMargin,
 
     "sim_brute_topk" -> bruteTopKOracleSql,
 
@@ -2972,14 +3067,20 @@ object Queries {
     "recall_ivf_topk" -> topKRecallOracleSql(ivfOracleSql),
     "recall_quantized_rescore" -> topKRecallOracleSql(quantizedRescoreOracleSql),
     "recall_embedding_lsh" ->
-      pairRecallOracleSql(embeddingLshOracleSql, embeddingExactPairsOracleSql),
+      pairRecallOracleSql(embeddingLshOracleSql(), embeddingExactPairsOracleSql()),
+    "recall_embedding_lsh_sampled" -> {
+      val sampleWhere =
+        s"\n           WHERE ${md5Hash60Sql("CAST(vec_id AS VARCHAR)")} % 10000 < 5000"
+      pairRecallOracleSql(embeddingLshOracleSql(sampleWhere),
+        embeddingExactPairsOracleSql(sampleWhere))
+    },
     "recall_minhash_lsh" ->
       pairRecallOracleSql(minHashLshOracleSql,
         s"WITH $jaccardPairsCte SELECT doc_a, doc_b FROM jpairs"),
 
     "sim_brute_topk_agg" -> bruteTopKOracleSql,
 
-    "dedup_embedding" -> embeddingExactPairsOracleSql,
+    "dedup_embedding" -> embeddingExactPairsOracleSql(),
 
     "sql_graft_dot" ->
       """SELECT vec_id,
@@ -3136,7 +3237,7 @@ object Queries {
     "sim_ivf_topk" -> ivfOracleSql,
     "sim_ivf_topk_bulk" -> ivfOracleSql,
 
-    "dedup_embedding_lsh" -> embeddingLshOracleSql,
+    "dedup_embedding_lsh" -> embeddingLshOracleSql(),
 
     "dedup_embedding_incremental" -> incrementalEmbeddingLshOracleSql,
 
