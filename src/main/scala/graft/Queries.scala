@@ -1057,6 +1057,29 @@ object Queries {
         floor = 0.5)
     }),
 
+    // Text twin of recall_embedding_lsh_sampled — the audit form that runs
+    // at corpus scale. A doc's MinHash signature depends only on its own
+    // shingles, and banding collision only on the two signatures, so pair
+    // candidacy is pair-local and sample recall estimates full-corpus
+    // recall; the one corpus-dependent knob (the hot-shingle cap) is
+    // shared by BOTH tiers through the one collapsed index, so the ratio
+    // stays internally consistent. Exact-tier cost falls quadratically
+    // with the sample rate.
+    "recall_minhash_lsh_sampled" -> ((s, dir) => {
+      val c = Dedup.exactCollapse(
+        t(s, dir, "documents")
+          .where(graft.ops.Sampling.hashBucket(col("doc_id"), Dedup.Md5Hash60) < 5000),
+        "doc_id", "text", cache = df => df.persist())
+      val idx = Dedup.countedShingleIndexCollapsed(c, n = 3, maxDocFreq = 100L,
+        hashFn = Dedup.Md5Hash60).persist()
+      Recall.pairRecall(
+        Dedup.expandExactGroups(Dedup.minHashLshPairsFromIndex(idx, threshold = 0.5),
+          c.membership, "jaccard", idx, lit(1.0)),
+        Dedup.expandExactGroups(Dedup.ngramJaccardPairsFromIndex(idx, threshold = 0.5),
+          c.membership, "jaccard", idx, lit(1.0)),
+        floor = 0.5)
+    }),
+
     // The custom codegen'd expression through the SQL surface: graft_dot
     // registered on the session, invoked from spark.sql in the graded gate.
     "sql_graft_dot" -> ((s, dir) => {
@@ -1904,8 +1927,8 @@ object Queries {
     * (shingle index, hot cap 100, threshold 0.5) ending in CTE
     * `jpairs(doc_a, doc_b, jaccard)` — used by the pair gate and as the
     * edge set of the cluster-representative fixpoint. */
-  private val jaccardPairsCte: String =
-    """t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks FROM documents),
+  private def jaccardPairsCte(where: String = ""): String =
+    s"""t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks FROM documents$where),
       |sh AS (SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(toks) - 1),
       |         i -> array_to_string(toks[i:i+2], ' ')))) AS shingle
       |       FROM t),
@@ -1934,7 +1957,7 @@ object Queries {
     * RECURSIVE`. Shared by the cluster gate, the leakage-safe split, and
     * canonical selection. */
   private val clusterRepsCte: String =
-    s"""$jaccardPairsCte,
+    s"""${jaccardPairsCte()},
        |edges AS (SELECT doc_a AS src, doc_b AS dst FROM jpairs
        |          UNION ALL SELECT doc_b, doc_a FROM jpairs),
        |reach(node, root) AS (
@@ -2061,7 +2084,7 @@ object Queries {
     * exact permutation constants from [[Dedup.MinHashParams]], banding,
     * candidate equi-join, and exact Jaccard verification of candidates.
     */
-  private def minHashLshOracleSql: String = {
+  private def minHashLshOracleSql(where: String = ""): String = {
     val p = Dedup.MinHashParams()
     val mh = (0 until p.numPerm).map(i =>
       s"min((hm * ${p.as(i)} + ${p.bs(i)}) % ${p.prime}) AS mh_$i").mkString(", ")
@@ -2071,7 +2094,7 @@ object Queries {
         .mkString(" || ':' || ")
       s"SELECT doc_id, $b AS band, $key AS bkey FROM sig"
     }.mkString(" UNION ALL ")
-    s"""WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks FROM documents),
+    s"""WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks FROM documents$where),
        |shs AS (SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(toks) - 1),
        |          i -> array_to_string(toks[i:i+2], ' ')))) AS shingle_s FROM t),
        |sh AS (SELECT doc_id, ${md5Hash60Sql("shingle_s")} AS shingle FROM shs),
@@ -2983,7 +3006,7 @@ object Queries {
         |GROUP BY 1""".stripMargin,
 
     "dedup_ngram_jaccard" ->
-      s"""WITH $jaccardPairsCte
+      s"""WITH ${jaccardPairsCte()}
          |SELECT doc_a, doc_b, jaccard FROM jpairs""".stripMargin,
 
     // Streaming-incremental replica: wave 0 (even ids) self-dedups, its
@@ -3075,8 +3098,14 @@ object Queries {
         embeddingExactPairsOracleSql(sampleWhere))
     },
     "recall_minhash_lsh" ->
-      pairRecallOracleSql(minHashLshOracleSql,
-        s"WITH $jaccardPairsCte SELECT doc_a, doc_b FROM jpairs"),
+      pairRecallOracleSql(minHashLshOracleSql(),
+        s"WITH ${jaccardPairsCte()} SELECT doc_a, doc_b FROM jpairs"),
+    "recall_minhash_lsh_sampled" -> {
+      val sampleWhere =
+        s"\n       WHERE ${md5Hash60Sql("CAST(doc_id AS VARCHAR)")} % 10000 < 5000"
+      pairRecallOracleSql(minHashLshOracleSql(sampleWhere),
+        s"WITH ${jaccardPairsCte(sampleWhere)} SELECT doc_a, doc_b FROM jpairs")
+    },
 
     "sim_brute_topk_agg" -> bruteTopKOracleSql,
 
@@ -3230,7 +3259,7 @@ object Queries {
         |  (d.n + 3) // 4 AS resized_bytes
         |FROM d JOIN v ON d.doc_id = v.doc_id""".stripMargin,
 
-    "dedup_minhash_lsh" -> minHashLshOracleSql,
+    "dedup_minhash_lsh" -> minHashLshOracleSql(),
 
     "dedup_simhash" -> simHashOracleSql,
 

@@ -53,6 +53,10 @@ class PlanContractSpec extends SparkSpec {
     assert(plan("window_topk_quarters").contains("WindowGroupLimit"))
   }
 
+  test("dedup_canonical_quality ranks clusters through WindowGroupLimit") {
+    assert(plan("dedup_canonical_quality").contains("WindowGroupLimit"))
+  }
+
   test("text_top_tokens is TakeOrderedAndProject, never a global window") {
     val p = plan("text_top_tokens")
     assert(p.contains("TakeOrderedAndProject"))

@@ -42,7 +42,10 @@ object PlanDump {
       "dedup_incremental" -> "batch vs persisted rep-index state: equi-joins only, no history re-pairing",
       "sample_mixture" -> "group counts once, then a pure scan-side hash-threshold filter",
       "jdbc_roundtrip" -> "partitioned JDBC scan: 4 range slices, aggregate above",
-      "source_http_dsv2" -> "DSv2 REST source: symbol predicates consumed as partition pruning, required columns pruned into the record parser (scan description)")
+      "source_http_dsv2" -> "DSv2 REST source: symbol predicates consumed as partition pruning, required columns pruned into the record parser (scan description)",
+      "sample_split_leakage_safe" -> "cluster-keyed split: md5 bucket is a scan-side projection over the label join, no extra exchange",
+      "dedup_canonical_quality" -> "canonical-by-quality: WindowGroupLimit on (quality DESC, doc_id) per cluster",
+      "recall_embedding_lsh_sampled" -> "sampled audit: the hash-sample filter sits UNDER both tiers, pair cost falls quadratically")
     val keep = Seq("Exchange", "Scan", "Join", "Aggregate", "Window", "Expand",
       "TakeOrdered", "Broadcast", "Sort", "Filter", "Project", "WholeStageCodegen")
     val sb = new StringBuilder
