@@ -798,6 +798,39 @@ object Queries {
         .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6).as("jaccard"), col("src"))
     }),
 
+    // Incremental CONNECTED COMPONENTS: the label-maintenance twin of
+    // dedup_incremental. State = the persisted CC label table over the
+    // even-id history; the odd-id batch folds in via the CONTRACTED
+    // graph (each incremental pair's endpoints mapped through their
+    // prior labels, CC over {touched old reps} ∪ {batch ids} only,
+    // relabel = two equi-joins) — O(batch + touched components)
+    // regardless of history size. The oracle recomputes the fixpoint
+    // over the SAME pair semantics (per-half hot caps, like
+    // dedup_incremental's replica), so a hash match proves the
+    // incremental fold equals a full recompute over history ∪ batch.
+    "dedup_cluster_reps_incremental" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val root = graft.util.Scratch.dir("graft_inccc")
+      val hist = docs.where(pmod(col("doc_id"), lit(2)) === 0)
+      val batchDocs = docs.where(pmod(col("doc_id"), lit(2)) =!= 0)
+      // State construction (a real deployment maintains this table):
+      // full CC over the history half, persisted.
+      Dedup.clusterRepresentatives(hist.select(col("doc_id")), "doc_id",
+          Dedup.ngramJaccardPairs(hist, "doc_id", "text", n = 3, threshold = 0.5,
+            maxDocFreq = 100L, cache = df => df.persist(), hashFn = Dedup.Md5Hash60))
+        .write.parquet(root + "/labels")
+      // The incremental fold: batch pairs only (self + vs state index).
+      val st = Dedup.collapsedIndex(hist, "doc_id", "text",
+        n = 3, maxDocFreq = 100L, hashFn = Dedup.Md5Hash60)
+      val batch = Dedup.collapsedIndex(batchDocs, "doc_id", "text",
+        n = 3, maxDocFreq = 100L, hashFn = Dedup.Md5Hash60,
+        cache = df => df.persist())
+      Dedup.clusterRepresentativesIncremental(
+        s.read.parquet(root + "/labels"),
+        batchDocs.select(col("doc_id")), "doc_id",
+        Dedup.incrementalNearDupPairsCollapsed(batch, st, threshold = 0.5))
+    }),
+
     // The incremental dedup run as a LIVE stream: two document waves
     // (even ids first, then odd) through a file stream; each micro-batch
     // dedups against the persisted accepted-corpus index and appends its
@@ -3050,6 +3083,53 @@ object Queries {
         |       'state' AS src
         |FROM crossp JOIN ssz sa ON doc_a = sa.doc_id JOIN bsz sb ON doc_b = sb.doc_id
         |WHERE CAST(i AS DOUBLE) / (sa.nsh + sb.nsh - i) >= 0.5""".stripMargin,
+
+    // Full-recompute reachability fixpoint over the incremental pair
+    // semantics (history-internal pairs under the history hot cap, plus
+    // the batch self/cross pairs of the dedup_incremental replica) — a
+    // hash match proves the contracted-graph fold equals recomputing CC
+    // over history ∪ batch.
+    "dedup_cluster_reps_incremental" ->
+      """WITH RECURSIVE t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks FROM documents),
+        |sh AS (SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(toks) - 1),
+        |         i -> array_to_string(toks[i:i+2], ' ')))) AS shingle
+        |       FROM t),
+        |ssh AS (SELECT * FROM sh WHERE doc_id % 2 = 0),
+        |bsh AS (SELECT * FROM sh WHERE doc_id % 2 <> 0),
+        |sidx AS (SELECT doc_id, shingle FROM ssh WHERE shingle NOT IN (
+        |           SELECT shingle FROM ssh GROUP BY 1 HAVING count(*) > 100)),
+        |bidx AS (SELECT doc_id, shingle FROM bsh WHERE shingle NOT IN (
+        |           SELECT shingle FROM bsh GROUP BY 1 HAVING count(*) > 100)),
+        |ssz AS (SELECT doc_id, count(*) AS nsh FROM sidx GROUP BY 1),
+        |bsz AS (SELECT doc_id, count(*) AS nsh FROM bidx GROUP BY 1),
+        |histp AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+        |          FROM sidx a JOIN sidx b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |          GROUP BY 1, 2),
+        |selfp AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+        |          FROM bidx a JOIN bidx b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |          GROUP BY 1, 2),
+        |crossp AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+        |           FROM sidx a JOIN bidx b ON a.shingle = b.shingle
+        |           GROUP BY 1, 2),
+        |allp AS (
+        |  SELECT doc_a, doc_b FROM histp
+        |  JOIN ssz sa ON doc_a = sa.doc_id JOIN ssz sb ON doc_b = sb.doc_id
+        |  WHERE CAST(i AS DOUBLE) / (sa.nsh + sb.nsh - i) >= 0.5
+        |  UNION ALL
+        |  SELECT doc_a, doc_b FROM selfp
+        |  JOIN bsz sa ON doc_a = sa.doc_id JOIN bsz sb ON doc_b = sb.doc_id
+        |  WHERE CAST(i AS DOUBLE) / (sa.nsh + sb.nsh - i) >= 0.5
+        |  UNION ALL
+        |  SELECT doc_a, doc_b FROM crossp
+        |  JOIN ssz sa ON doc_a = sa.doc_id JOIN bsz sb ON doc_b = sb.doc_id
+        |  WHERE CAST(i AS DOUBLE) / (sa.nsh + sb.nsh - i) >= 0.5),
+        |edges AS (SELECT doc_a AS src, doc_b AS dst FROM allp
+        |          UNION ALL SELECT doc_b, doc_a FROM allp),
+        |reach(node, root) AS (
+        |  SELECT doc_id, doc_id FROM documents
+        |  UNION
+        |  SELECT e.dst, r.root FROM reach r JOIN edges e ON e.src = r.node)
+        |SELECT node AS doc_id, MIN(root) AS rep FROM reach GROUP BY 1""".stripMargin,
 
     // Reachability fixpoint over the same pair graph: min reachable id
     // per node == the propagation-converged representative.

@@ -485,6 +485,61 @@ object Dedup {
     (labels.select(col("node").as(idCol), col("label").as("rep")), iter)
   }
 
+  /** Fold a batch's pair graph into PERSISTED cluster labels without
+    * re-running propagation over history — the label-maintenance twin of
+    * [[incrementalNearDupPairsCollapsed]] for a growing corpus.
+    *
+    * Contracted-graph construction: every doc's prior label is, by the
+    * CC fixpoint invariant, the MIN doc id of its old component — so
+    * mapping each new edge's endpoints through their prior labels (batch
+    * endpoints map to themselves) yields a graph over
+    * {touched old reps} ∪ {batch ids} whose components are exactly the
+    * merged components, and whose per-component min (a min over old
+    * component minima and batch ids) IS the merged component's min doc
+    * id. CC therefore runs over O(batch edges + touched components)
+    * nodes regardless of history size, and relabeling is two equi-joins
+    * against the contracted labels (history docs through their old rep,
+    * batch docs through their own id); untouched history never enters
+    * the iteration and keeps its label through the left-join miss.
+    *
+    * Preconditions: `priorLabels` (doc_id, rep) is a converged CC
+    * labeling of the historical pair graph, and batch ids are disjoint
+    * from history ids (the [[incrementalNearDupPairsCollapsed]] id
+    * contract).
+    */
+  def clusterRepresentativesIncremental(priorLabels: DataFrame,
+                                        batchNodes: DataFrame, idCol: String,
+                                        pairs: DataFrame,
+                                        aCol: String = "doc_a", bCol: String = "doc_b",
+                                        maxIters: Int = 25,
+                                        cache: DataFrame => DataFrame = graft.util.CacheScope.untracked): DataFrame = {
+    val lblA = priorLabels.select(col("doc_id").as("_ia"), col("rep").as("_la"))
+    val lblB = priorLabels.select(col("doc_id").as("_ib"), col("rep").as("_lb"))
+    val contractedEdges = pairs
+      .join(lblA, col(aCol) === col("_ia"), "left")
+      .join(lblB, col(bCol) === col("_ib"), "left")
+      .select(coalesce(col("_la"), col(aCol)).as("doc_a"),
+        coalesce(col("_lb"), col(bCol)).as("doc_b"))
+      .where(col("doc_a") =!= col("doc_b"))
+      .distinct()
+    // Contracted node set: only what the batch touches, plus the batch
+    // itself (so edge-less batch docs label themselves).
+    val contractedNodes = contractedEdges.select(col("doc_a").as(idCol))
+      .unionByName(contractedEdges.select(col("doc_b").as(idCol)))
+      .unionByName(batchNodes.select(col(idCol)))
+      .distinct()
+    val contracted = clusterRepresentatives(contractedNodes, idCol, contractedEdges,
+      maxIters = maxIters, cache = cache)
+    val lut = contracted.select(col(idCol).as("_cn"), col("rep").as("_cl"))
+    val history = priorLabels
+      .join(lut, col("rep") === col("_cn"), "left")
+      .select(col("doc_id"), coalesce(col("_cl"), col("rep")).as("rep"))
+    val batch = batchNodes
+      .join(lut, col(idCol) === col("_cn"), "left")
+      .select(col(idCol).as("doc_id"), coalesce(col("_cl"), col(idCol)).as("rep"))
+    history.unionByName(batch)
+  }
+
   /** C4/CCNet-style boilerplate LINE removal: drop every line whose
     * trimmed form appears in at least `minDocFreq` DISTINCT documents
     * (nav bars, cookie banners, license footers), rebuild each document

@@ -220,4 +220,46 @@ class TextDedupSpec extends SparkSpec {
     val idx = Dedup.shingleIndex(repeated, "doc_id", "text", 3, maxDocFreq = 5L)
     assert(idx.count() == 0L) // every shingle appears in all 20 docs -> capped out
   }
+
+  test("incremental CC equals full recompute, including cross-parity chains and a late-arriving min") {
+    // Sliding 16-token windows, stride 4: adjacent docs share 12 tokens
+    // (trigram Jaccard 10/18 >= 0.5), skip-one docs share 8 (6/22 < 0.5)
+    // — a parity-ALTERNATING chain, so the history half alone has ZERO
+    // edges and the entire component only exists once the batch bridges
+    // it (the contraction's worst case). Doc 1 (batch) is an exact copy
+    // of doc 10 (history), so the merged component's min arrives WITH
+    // the batch and every history label must move. Docs 200/201 stay
+    // singletons on each side.
+    val chain = (0 until 16).map { i =>
+      (10L + i, (4 * i until 4 * i + 16).map(k => s"w$k").mkString(" "))
+    }
+    val docs = (chain ++ Seq(
+      (1L, chain.head._2),
+      (200L, "lone even document with private vocabulary entirely"),
+      (201L, "another isolated text sharing nothing with anything else here")))
+      .toDF("doc_id", "text")
+
+    val full = Dedup.clusterRepresentatives(docs.select(col("doc_id")), "doc_id",
+      Dedup.ngramJaccardPairs(docs, "doc_id", "text", n = 3, threshold = 0.5,
+        maxDocFreq = 100L))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+    val hist = docs.where(col("doc_id") % 2 === 0)
+    val batch = docs.where(col("doc_id") % 2 =!= 0)
+    val prior = Dedup.clusterRepresentatives(hist.select(col("doc_id")), "doc_id",
+      Dedup.ngramJaccardPairs(hist, "doc_id", "text", n = 3, threshold = 0.5,
+        maxDocFreq = 100L))
+    val pairs = Dedup.incrementalNearDupPairsCollapsed(
+      Dedup.collapsedIndex(batch, "doc_id", "text", n = 3, maxDocFreq = 100L),
+      Dedup.collapsedIndex(hist, "doc_id", "text", n = 3, maxDocFreq = 100L),
+      threshold = 0.5)
+    val inc = Dedup.clusterRepresentativesIncremental(prior,
+        batch.select(col("doc_id")), "doc_id", pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+    assert(inc == full)
+    assert(full.values.toSet.contains(1L)) // the chain collapsed to the batch min
+    assert(full(25L) == 1L && full(10L) == 1L)
+    assert(full(200L) == 200L && full(201L) == 201L)
+  }
 }
