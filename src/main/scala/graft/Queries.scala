@@ -866,6 +866,45 @@ object Queries {
       s.read.parquet(acceptedPath)
     }),
 
+    // Streaming cluster-label maintenance: the LIVE twin of
+    // dedup_cluster_reps_incremental. The same two waves (evens, then
+    // odds) flow through corpusLabelSink — wave 0 with empty state is a
+    // full CC over the history half, wave 1 folds the batch through the
+    // contracted graph and writes only the batch + changed-label rows.
+    // The reconstructed latest-delta-per-doc labeling must hash-match
+    // the SAME full-recompute fixpoint oracle as the batch gate.
+    "streaming_cluster_labels_live" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val waveDir = new org.apache.hadoop.fs.Path(graft.util.Scratch.dir("graft_lblw"))
+      val fs = waveDir.getFileSystem(s.sparkContext.hadoopConfiguration)
+      val tmp = new org.apache.hadoop.fs.Path(
+        graft.util.Scratch.dir("graft_lblw_tmp"), "waves")
+      docs.withColumn("w", pmod(col("doc_id"), lit(2)).cast("int"))
+        .repartitionByRange(2, col("w"))
+        .write.mode("overwrite").partitionBy("w").parquet(tmp.toString)
+      val base = System.currentTimeMillis()
+      (0 until 2).foreach { i =>
+        val part = fs.listStatus(new org.apache.hadoop.fs.Path(tmp, s"w=$i"))
+          .map(_.getPath).filter(_.getName.startsWith("part-")).head
+        val dest = new org.apache.hadoop.fs.Path(waveDir, f"wave-$i%04d.parquet")
+        if (!fs.rename(part, dest))
+          throw new java.io.IOException(s"streaming_cluster_labels_live: cannot stage $dest")
+        fs.setTimes(dest, base + i * 1000L, -1L)
+      }
+      val stream = s.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", "1").parquet(waveDir.toString)
+      val statePath = graft.util.Scratch.dir("graft_lblw_state") + "/index"
+      val labelsPath = graft.util.Scratch.dir("graft_lblw_lbl") + "/labels"
+      val ckpt = graft.util.Scratch.dir("graft_lblw_ck")
+      withShufflePartitions(s, 8) {
+        graft.streaming.EventStreams.corpusLabelSink(stream, "doc_id", "text",
+          statePath, labelsPath, ckpt).awaitTermination()
+      }
+      graft.ops.Windows.topKPerGroup(s.read.parquet(labelsPath),
+          Seq("doc_id"), Seq(col("wave").desc), k = 1)
+        .select(col("doc_id"), col("rep"))
+    }),
+
     // The SAME ingest killed mid-run and restarted: an injected failure
     // in wave 1 lands at the worst point — the accepted wave is already
     // committed, the index waves are not — then a second run from the
@@ -1999,6 +2038,56 @@ object Queries {
        |  SELECT e.dst, r.root FROM reach r JOIN edges e ON e.src = r.node),
        |lbl AS (SELECT node AS doc_id, MIN(root) AS rep FROM reach GROUP BY 1)""".stripMargin
 
+
+  /** Full-recompute reachability fixpoint over the incremental pair
+    * semantics (history-internal pairs under the history hot cap, plus
+    * the batch self/cross pairs of the dedup_incremental replica) —
+    * shared by the batch fold gate and its live streaming twin; a hash
+    * match proves the contracted-graph fold equals recomputing CC over
+    * history ∪ batch.
+    */
+  private val incrementalClusterRepsOracleSql: String =
+    """WITH RECURSIVE t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks FROM documents),
+        |sh AS (SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(toks) - 1),
+        |         i -> array_to_string(toks[i:i+2], ' ')))) AS shingle
+        |       FROM t),
+        |ssh AS (SELECT * FROM sh WHERE doc_id % 2 = 0),
+        |bsh AS (SELECT * FROM sh WHERE doc_id % 2 <> 0),
+        |sidx AS (SELECT doc_id, shingle FROM ssh WHERE shingle NOT IN (
+        |           SELECT shingle FROM ssh GROUP BY 1 HAVING count(*) > 100)),
+        |bidx AS (SELECT doc_id, shingle FROM bsh WHERE shingle NOT IN (
+        |           SELECT shingle FROM bsh GROUP BY 1 HAVING count(*) > 100)),
+        |ssz AS (SELECT doc_id, count(*) AS nsh FROM sidx GROUP BY 1),
+        |bsz AS (SELECT doc_id, count(*) AS nsh FROM bidx GROUP BY 1),
+        |histp AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+        |          FROM sidx a JOIN sidx b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |          GROUP BY 1, 2),
+        |selfp AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+        |          FROM bidx a JOIN bidx b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |          GROUP BY 1, 2),
+        |crossp AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+        |           FROM sidx a JOIN bidx b ON a.shingle = b.shingle
+        |           GROUP BY 1, 2),
+        |allp AS (
+        |  SELECT doc_a, doc_b FROM histp
+        |  JOIN ssz sa ON doc_a = sa.doc_id JOIN ssz sb ON doc_b = sb.doc_id
+        |  WHERE CAST(i AS DOUBLE) / (sa.nsh + sb.nsh - i) >= 0.5
+        |  UNION ALL
+        |  SELECT doc_a, doc_b FROM selfp
+        |  JOIN bsz sa ON doc_a = sa.doc_id JOIN bsz sb ON doc_b = sb.doc_id
+        |  WHERE CAST(i AS DOUBLE) / (sa.nsh + sb.nsh - i) >= 0.5
+        |  UNION ALL
+        |  SELECT doc_a, doc_b FROM crossp
+        |  JOIN ssz sa ON doc_a = sa.doc_id JOIN bsz sb ON doc_b = sb.doc_id
+        |  WHERE CAST(i AS DOUBLE) / (sa.nsh + sb.nsh - i) >= 0.5),
+        |edges AS (SELECT doc_a AS src, doc_b AS dst FROM allp
+        |          UNION ALL SELECT doc_b, doc_a FROM allp),
+        |reach(node, root) AS (
+        |  SELECT doc_id, doc_id FROM documents
+        |  UNION
+        |  SELECT e.dst, r.root FROM reach r JOIN edges e ON e.src = r.node)
+        |SELECT node AS doc_id, MIN(root) AS rep FROM reach GROUP BY 1""".stripMargin
+
   /** Replica of the rounded text_quality score ending in CTE
     * `q(doc_id, quality)` — shared by the text_quality gate and canonical
     * selection. CTE names qb/q chosen to never collide with the pair-graph
@@ -3089,47 +3178,11 @@ object Queries {
     // the batch self/cross pairs of the dedup_incremental replica) — a
     // hash match proves the contracted-graph fold equals recomputing CC
     // over history ∪ batch.
-    "dedup_cluster_reps_incremental" ->
-      """WITH RECURSIVE t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks FROM documents),
-        |sh AS (SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(toks) - 1),
-        |         i -> array_to_string(toks[i:i+2], ' ')))) AS shingle
-        |       FROM t),
-        |ssh AS (SELECT * FROM sh WHERE doc_id % 2 = 0),
-        |bsh AS (SELECT * FROM sh WHERE doc_id % 2 <> 0),
-        |sidx AS (SELECT doc_id, shingle FROM ssh WHERE shingle NOT IN (
-        |           SELECT shingle FROM ssh GROUP BY 1 HAVING count(*) > 100)),
-        |bidx AS (SELECT doc_id, shingle FROM bsh WHERE shingle NOT IN (
-        |           SELECT shingle FROM bsh GROUP BY 1 HAVING count(*) > 100)),
-        |ssz AS (SELECT doc_id, count(*) AS nsh FROM sidx GROUP BY 1),
-        |bsz AS (SELECT doc_id, count(*) AS nsh FROM bidx GROUP BY 1),
-        |histp AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
-        |          FROM sidx a JOIN sidx b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-        |          GROUP BY 1, 2),
-        |selfp AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
-        |          FROM bidx a JOIN bidx b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-        |          GROUP BY 1, 2),
-        |crossp AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
-        |           FROM sidx a JOIN bidx b ON a.shingle = b.shingle
-        |           GROUP BY 1, 2),
-        |allp AS (
-        |  SELECT doc_a, doc_b FROM histp
-        |  JOIN ssz sa ON doc_a = sa.doc_id JOIN ssz sb ON doc_b = sb.doc_id
-        |  WHERE CAST(i AS DOUBLE) / (sa.nsh + sb.nsh - i) >= 0.5
-        |  UNION ALL
-        |  SELECT doc_a, doc_b FROM selfp
-        |  JOIN bsz sa ON doc_a = sa.doc_id JOIN bsz sb ON doc_b = sb.doc_id
-        |  WHERE CAST(i AS DOUBLE) / (sa.nsh + sb.nsh - i) >= 0.5
-        |  UNION ALL
-        |  SELECT doc_a, doc_b FROM crossp
-        |  JOIN ssz sa ON doc_a = sa.doc_id JOIN bsz sb ON doc_b = sb.doc_id
-        |  WHERE CAST(i AS DOUBLE) / (sa.nsh + sb.nsh - i) >= 0.5),
-        |edges AS (SELECT doc_a AS src, doc_b AS dst FROM allp
-        |          UNION ALL SELECT doc_b, doc_a FROM allp),
-        |reach(node, root) AS (
-        |  SELECT doc_id, doc_id FROM documents
-        |  UNION
-        |  SELECT e.dst, r.root FROM reach r JOIN edges e ON e.src = r.node)
-        |SELECT node AS doc_id, MIN(root) AS rep FROM reach GROUP BY 1""".stripMargin,
+    "dedup_cluster_reps_incremental" -> incrementalClusterRepsOracleSql,
+
+    // The live streaming twin reconstructs the identical labeling.
+    "streaming_cluster_labels_live" -> incrementalClusterRepsOracleSql,
+
 
     // Reachability fixpoint over the same pair graph: min reachable id
     // per node == the propagation-converged representative.

@@ -93,6 +93,80 @@ object EventStreams {
       .trigger(Trigger.AvailableNow())
       .start()
 
+  /** Streaming CLUSTER-LABEL maintenance ("registry mode"): every wave is
+    * ingested, and the persisted near-dup cluster labeling is folded
+    * forward via [[graft.text.Dedup.clusterRepresentativesIncremental]] —
+    * batch pairs map through the prior labels, CC runs over the
+    * contracted graph only, so each micro-batch costs
+    * O(batch + touched components) regardless of corpus age.
+    *
+    * State: the accumulated collapsed index (as [[corpusDedupSink]]) plus
+    * a label DELTA table — wave w writes (doc_id, rep) rows only for the
+    * batch and for history docs whose label CHANGED (components can merge
+    * when a batch bridges them), so the label write is O(batch + touched)
+    * too; the current labeling is the latest delta per doc. Wave 0 with
+    * empty state degenerates to full CC over the first batch — no special
+    * bootstrap path.
+    *
+    * Replay safety matches [[corpusDedupSink]]: every output is
+    * wave-partitioned and dynamically overwritten, and all state reads
+    * exclude the current wave, so an at-least-once retry replaces its own
+    * wave's rows and never reads its own partial output.
+    */
+  def corpusLabelSink(docs: DataFrame, idCol: String, textCol: String,
+                      stateIndexPath: String, labelsPath: String,
+                      checkpoint: String, threshold: Double = 0.5,
+                      maxDocFreq: Long = 100L,
+                      hashFn: Column => Column = graft.text.Dedup.Md5Hash60): StreamingQuery =
+    docs.writeStream
+      .outputMode(OutputMode.Update())
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        val repIdxPath = stateIndexPath + "/rep_index"
+        val membershipPath = stateIndexPath + "/membership"
+        val scope = new graft.util.CacheScope
+        try {
+          val bi = graft.text.Dedup.collapsedIndex(
+            batch, idCol, textCol, n = 3, maxDocFreq, hashFn, cache = scope.persist)
+          val wave = batchId.toInt
+          def readState(path: String, schema: StructType): DataFrame =
+            Merge.readStateOrEmpty(spark, path, schema.add("wave", IntegerType))
+              .where(col("wave") < wave).drop("wave")
+          def writeWave(df: DataFrame, path: String): Unit =
+            df.withColumn("wave", lit(wave))
+              .write.mode("overwrite")
+              .option("partitionOverwriteMode", "dynamic")
+              .partitionBy("wave").parquet(path)
+          val state = graft.text.Dedup.CollapsedIndex(
+            readState(repIdxPath, bi.repIdx.schema),
+            readState(membershipPath, bi.membership.schema))
+          val pairs = graft.text.Dedup.incrementalNearDupPairsCollapsed(bi, state, threshold)
+          val labelSchema = new StructType()
+            .add("doc_id", LongType).add("rep", LongType)
+          val deltas = Merge.readStateOrEmpty(spark, labelsPath,
+              labelSchema.add("wave", IntegerType))
+            .where(col("wave") < wave)
+          val prior = scope.persist(graft.ops.Windows.topKPerGroup(
+            deltas, Seq("doc_id"), Seq(col("wave").desc), k = 1).drop("wave"))
+          val updated = scope.persist(graft.text.Dedup.clusterRepresentativesIncremental(
+            prior, batch.select(col(idCol)), idCol, pairs))
+          val changed = updated
+            .join(prior.select(col("doc_id"), col("rep").as("_old")), Seq("doc_id"))
+            .where(col("rep") =!= col("_old"))
+            .select(col("doc_id"), col("rep"))
+          val delta = updated
+            .join(batch.select(col(idCol).as("doc_id")), Seq("doc_id"))
+            .select(col("doc_id"), col("rep"))
+            .unionByName(changed)
+          writeWave(delta, labelsPath)
+          writeWave(bi.membership, membershipPath)
+          writeWave(bi.repIdx, repIdxPath)
+        } finally scope.close()
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+
   /** Typed event row for streaming tests and stateful ops. */
   final case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
                          event_type: String, value: Double)
