@@ -813,21 +813,34 @@ object Queries {
       val root = graft.util.Scratch.dir("graft_inccc")
       val hist = docs.where(pmod(col("doc_id"), lit(2)) === 0)
       val batchDocs = docs.where(pmod(col("doc_id"), lit(2)) =!= 0)
-      // State construction (a real deployment maintains this table):
-      // full CC over the history half, persisted.
-      Dedup.clusterRepresentatives(hist.select(col("doc_id")), "doc_id",
-          Dedup.ngramJaccardPairs(hist, "doc_id", "text", n = 3, threshold = 0.5,
-            maxDocFreq = 100L, cache = df => df.persist(), hashFn = Dedup.Md5Hash60))
+      // State construction (a real deployment maintains these tables —
+      // the gate pays it inline): ONE collapsed index over the history
+      // half feeds both the state-label CC (at representative grain, the
+      // dedup_cluster_reps shape) and the incremental pair join.
+      val hc = Dedup.exactCollapse(hist, "doc_id", "text", cache = df => df.persist())
+      val hidx = Dedup.countedShingleIndexCollapsed(hc, n = 3, maxDocFreq = 100L,
+        hashFn = Dedup.Md5Hash60).persist()
+      val repLabels = Dedup.clusterRepresentatives(
+        hc.reps.select(col("doc_id")), "doc_id",
+        Dedup.ngramJaccardPairsFromIndex(hidx, threshold = 0.5))
+      hc.membership
+        .join(repLabels.select(col("doc_id").as("rep_id"), col("rep").as("_rl")), Seq("rep_id"))
+        .join(hidx.select(col("doc_id").as("rep_id")).distinct()
+          .withColumn("_survived", lit(true)), Seq("rep_id"), "left")
+        .select(col("doc_id"),
+          when(col("_survived") || col("doc_id") === col("rep_id"), col("_rl"))
+            .otherwise(col("doc_id")).as("rep"))
         .write.parquet(root + "/labels")
-      // The incremental fold: batch pairs only (self + vs state index).
-      val st = Dedup.collapsedIndex(hist, "doc_id", "text",
-        n = 3, maxDocFreq = 100L, hashFn = Dedup.Md5Hash60)
+      // The incremental fold: batch pairs only (self + vs state index),
+      // batch side pre-contracted through its exact-dup membership so
+      // the fold iterates over unique batch texts.
+      val st = Dedup.CollapsedIndex(hidx, hc.membership)
       val batch = Dedup.collapsedIndex(batchDocs, "doc_id", "text",
         n = 3, maxDocFreq = 100L, hashFn = Dedup.Md5Hash60,
         cache = df => df.persist())
-      Dedup.clusterRepresentativesIncremental(
+      Dedup.clusterRepresentativesIncrementalCollapsed(
         s.read.parquet(root + "/labels"),
-        batchDocs.select(col("doc_id")), "doc_id",
+        batch.membership.select(col("doc_id"), col("rep_id")),
         Dedup.incrementalNearDupPairsCollapsed(batch, st, threshold = 0.5))
     }),
 
@@ -1979,8 +1992,10 @@ object Queries {
     * no pair edges and label themselves, exactly as they would in the
     * expanded graph.
     */
-  private def docClusterReps(s: SparkSession, dir: String): DataFrame = {
-    val docs = t(s, dir, "documents")
+  private def docClusterReps(s: SparkSession, dir: String): DataFrame =
+    clusterLabelsOf(t(s, dir, "documents"))
+
+  private def clusterLabelsOf(docs: DataFrame): DataFrame = {
     val c = Dedup.exactCollapse(docs, "doc_id", "text", cache = df => df.persist())
     val idx = Dedup.countedShingleIndexCollapsed(c, n = 3, maxDocFreq = 100L).persist()
     val repLabels = Dedup.clusterRepresentatives(

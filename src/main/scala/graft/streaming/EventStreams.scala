@@ -149,8 +149,11 @@ object EventStreams {
             .where(col("wave") < wave)
           val prior = scope.persist(graft.ops.Windows.topKPerGroup(
             deltas, Seq("doc_id"), Seq(col("wave").desc), k = 1).drop("wave"))
-          val updated = scope.persist(graft.text.Dedup.clusterRepresentativesIncremental(
-            prior, batch.select(col(idCol)), idCol, pairs))
+          // Batch side pre-contracted through its exact-dup membership:
+          // the fold iterates over unique batch texts, not batch docs.
+          val updated = scope.persist(
+            graft.text.Dedup.clusterRepresentativesIncrementalCollapsed(
+              prior, bi.membership.select(col("doc_id"), col("rep_id")), pairs))
           val changed = updated
             .join(prior.select(col("doc_id"), col("rep").as("_old")), Seq("doc_id"))
             .where(col("rep") =!= col("_old"))

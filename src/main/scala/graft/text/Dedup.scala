@@ -522,11 +522,13 @@ object Dedup {
         coalesce(col("_lb"), col(bCol)).as("doc_b"))
       .where(col("doc_a") =!= col("doc_b"))
       .distinct()
-    // Contracted node set: only what the batch touches, plus the batch
-    // itself (so edge-less batch docs label themselves).
+    // Contracted node set: EDGE ENDPOINTS only — edge-less batch docs
+    // and untouched history never enter the iteration at all; both fall
+    // through the relabel joins' coalesce to their own id/label. At
+    // corpus scale this is the difference between iterating over the
+    // touched frontier and iterating over the whole batch.
     val contractedNodes = contractedEdges.select(col("doc_a").as(idCol))
       .unionByName(contractedEdges.select(col("doc_b").as(idCol)))
-      .unionByName(batchNodes.select(col(idCol)))
       .distinct()
     val contracted = clusterRepresentatives(contractedNodes, idCol, contractedEdges,
       maxIters = maxIters, cache = cache)
@@ -538,6 +540,49 @@ object Dedup {
       .join(lut, col(idCol) === col("_cn"), "left")
       .select(col(idCol).as("doc_id"), coalesce(col("_cl"), col(idCol)).as("rep"))
     history.unionByName(batch)
+  }
+
+  /** [[clusterRepresentativesIncremental]] with the batch side
+    * PRE-CONTRACTED through its exact-duplicate membership. A batch
+    * exact-group's representative is the group's min id
+    * ([[exactCollapse]]), i.e. a valid partial labeling by the same
+    * fixpoint invariant the history labels carry — so batch endpoints
+    * contract exactly like history endpoints, intra-group cliques vanish
+    * from the contracted graph (they map to self-edges), and the fold
+    * iterates over unique batch TEXTS, not batch docs. Labels identical
+    * to the per-doc form; cost drops by the batch's duplicate factor.
+    *
+    * `batchMembership` is (doc_id, rep_id) covering every batch doc (the
+    * [[ExactCollapse]] membership); ids must be disjoint from history.
+    */
+  def clusterRepresentativesIncrementalCollapsed(priorLabels: DataFrame,
+                                                 batchMembership: DataFrame,
+                                                 pairs: DataFrame,
+                                                 aCol: String = "doc_a", bCol: String = "doc_b",
+                                                 maxIters: Int = 25,
+                                                 cache: DataFrame => DataFrame = graft.util.CacheScope.untracked): DataFrame = {
+    val combined = priorLabels.select(col("doc_id"), col("rep"))
+      .unionByName(batchMembership.select(col("doc_id"), col("rep_id").as("rep")))
+    val lblA = combined.select(col("doc_id").as("_ia"), col("rep").as("_la"))
+    val lblB = combined.select(col("doc_id").as("_ib"), col("rep").as("_lb"))
+    val contractedEdges = pairs
+      .join(lblA, col(aCol) === col("_ia"), "left")
+      .join(lblB, col(bCol) === col("_ib"), "left")
+      .select(coalesce(col("_la"), col(aCol)).as("doc_a"),
+        coalesce(col("_lb"), col(bCol)).as("doc_b"))
+      .where(col("doc_a") =!= col("doc_b"))
+      .distinct()
+    // Edge endpoints only (see clusterRepresentativesIncremental):
+    // edge-less batch reps keep their exact-group label through the
+    // relabel coalesce without entering the iteration.
+    val contractedNodes = contractedEdges.select(col("doc_a").as("id"))
+      .unionByName(contractedEdges.select(col("doc_b").as("id")))
+      .distinct()
+    val contracted = clusterRepresentatives(contractedNodes, "id", contractedEdges,
+      maxIters = maxIters, cache = cache)
+    val lut = contracted.select(col("id").as("_cn"), col("rep").as("_cl"))
+    combined.join(lut, col("rep") === col("_cn"), "left")
+      .select(col("doc_id"), coalesce(col("_cl"), col("rep")).as("rep"))
   }
 
   /** C4/CCNet-style boilerplate LINE removal: drop every line whose

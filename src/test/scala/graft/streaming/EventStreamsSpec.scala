@@ -133,6 +133,51 @@ class EventStreamsSpec extends SparkSpec {
     assert(state == Map((1L, "click") -> 7.0, (2L, "view") -> 9.0))
   }
 
+  test("corpusLabelSink composes across four waves; untouched labels are never rewritten") {
+    import org.apache.spark.sql.functions.col
+    implicit val sqlCtx = spark.sqlContext
+    // Sliding 16-token windows, stride 4 (adjacent trigram Jaccard
+    // 10/18 >= 0.5, skip-one < 0.5): a 16-doc chain whose position-i doc
+    // arrives in wave i % 4 — every near-dup pair straddles waves, so the
+    // component only fully merges at the last wave. Doc 1 (an exact copy
+    // of position 0's text) arrives in the FINAL wave and is the merged
+    // component's new minimum, forcing every settled label to move. Doc
+    // 200 is a wave-0 singleton no later wave touches.
+    val chain = (0 until 16).map { i =>
+      (10L + i, (4 * i until 4 * i + 16).map(k => s"w$k").mkString(" "))
+    }
+    val waves: Seq[Seq[(Long, String)]] = (0 until 4).map { w =>
+      chain.zipWithIndex.collect { case (d, i) if i % 4 == w => d } ++
+        (if (w == 0) Seq((200L, "lone wave zero document with private vocabulary")) else Nil) ++
+        (if (w == 3) Seq((1L, chain.head._2)) else Nil)
+    }
+    val input = MemoryStream[(Long, String)]
+    val statePath = Files.createTempDirectory("graft_lblspec_state").toString + "/index"
+    val labelsPath = Files.createTempDirectory("graft_lblspec_lbl").toString + "/labels"
+    val ckpt = Files.createTempDirectory("graft_lblspec_ck").toString
+    waves.foreach { docs =>
+      input.addData(docs: _*)
+      EventStreams.corpusLabelSink(input.toDF().toDF("doc_id", "text"),
+        "doc_id", "text", statePath, labelsPath, ckpt).awaitTermination(120000)
+    }
+    val labels = graft.ops.Windows.topKPerGroup(spark.read.parquet(labelsPath),
+        Seq("doc_id"), Seq(col("wave").desc), k = 1)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("rep")).toMap
+    val all = (chain ++ Seq((1L, chain.head._2),
+      (200L, "lone wave zero document with private vocabulary"))).toDF("doc_id", "text")
+    val full = graft.text.Dedup.clusterRepresentatives(all.select(col("doc_id")), "doc_id",
+        graft.text.Dedup.ngramJaccardPairs(all, "doc_id", "text", n = 3,
+          threshold = 0.5, maxDocFreq = 100L))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(labels == full)
+    assert(labels.values.forall(r => r == 1L || r == 200L)) // one chain component + the singleton
+    // O(touched) writes: the untouched singleton's label was written once
+    // (wave 0) and never again.
+    val deltas200 = spark.read.parquet(labelsPath)
+      .where(col("doc_id") === 200L).count()
+    assert(deltas200 == 1L)
+  }
+
   test("tumbling late semantics: drop keys on window END vs watermark, emit closed windows") {
     // Pins the drop/fold/emit boundary rules the streaming_tumbling_late
     // oracle encodes: a late row is dropped iff its WINDOW END is at or

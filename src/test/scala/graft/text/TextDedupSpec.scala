@@ -258,6 +258,17 @@ class TextDedupSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
 
     assert(inc == full)
+
+    // The collapsed fold (batch pre-contracted through exact-dup
+    // membership) must produce the identical labeling — doc 1 is an
+    // exact copy of doc 10's text, but they sit in DIFFERENT halves, so
+    // the contraction only collapses within-batch duplicates.
+    val incCollapsed = Dedup.clusterRepresentativesIncrementalCollapsed(prior,
+        Dedup.exactCollapse(batch, "doc_id", "text").membership
+          .select(col("doc_id"), col("rep_id")),
+        pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(incCollapsed == full)
     assert(full.values.toSet.contains(1L)) // the chain collapsed to the batch min
     assert(full(25L) == 1L && full(10L) == 1L)
     assert(full(200L) == 200L && full(201L) == 201L)
