@@ -822,7 +822,8 @@ object Queries {
         hashFn = Dedup.Md5Hash60).persist()
       val repLabels = Dedup.clusterRepresentatives(
         hc.reps.select(col("doc_id")), "doc_id",
-        Dedup.ngramJaccardPairsFromIndex(hidx, threshold = 0.5))
+        Dedup.ngramJaccardPairsFromIndex(hidx, threshold = 0.5),
+        cache = df => df.persist())
       hc.membership
         .join(repLabels.select(col("doc_id").as("rep_id"), col("rep").as("_rl")), Seq("rep_id"))
         .join(hidx.select(col("doc_id").as("rep_id")).distinct()
@@ -841,7 +842,8 @@ object Queries {
       Dedup.clusterRepresentativesIncrementalCollapsed(
         s.read.parquet(root + "/labels"),
         batch.membership.select(col("doc_id"), col("rep_id")),
-        Dedup.incrementalNearDupPairsCollapsed(batch, st, threshold = 0.5))
+        Dedup.incrementalNearDupPairsCollapsed(batch, st, threshold = 0.5),
+        cache = df => df.persist())
     }),
 
     // The incremental dedup run as a LIVE stream: two document waves
@@ -2000,7 +2002,8 @@ object Queries {
     val idx = Dedup.countedShingleIndexCollapsed(c, n = 3, maxDocFreq = 100L).persist()
     val repLabels = Dedup.clusterRepresentatives(
       c.reps.select(col("doc_id")), "doc_id",
-      Dedup.ngramJaccardPairsFromIndex(idx, threshold = 0.5))
+      Dedup.ngramJaccardPairsFromIndex(idx, threshold = 0.5),
+      cache = df => df.persist())
     c.membership
       .join(repLabels.select(col("doc_id").as("rep_id"), col("rep").as("_rl")), Seq("rep_id"))
       .join(idx.select(col("doc_id").as("rep_id")).distinct()

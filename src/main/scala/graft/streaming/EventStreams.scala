@@ -153,7 +153,8 @@ object EventStreams {
           // the fold iterates over unique batch texts, not batch docs.
           val updated = scope.persist(
             graft.text.Dedup.clusterRepresentativesIncrementalCollapsed(
-              prior, bi.membership.select(col("doc_id"), col("rep_id")), pairs))
+              prior, bi.membership.select(col("doc_id"), col("rep_id")), pairs,
+              cache = scope.persist))
           val changed = updated
             .join(prior.select(col("doc_id"), col("rep").as("_old")), Seq("doc_id"))
             .where(col("rep") =!= col("_old"))

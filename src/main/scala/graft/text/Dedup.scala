@@ -427,7 +427,11 @@ object Dedup {
     * CC does the same). Superseded rounds' blocks are dropped by the
     * ContextCleaner as their references expire; the edge set, reused
     * every round, goes through `cache` (CacheScope contract, like the
-    * sibling dedup operators).
+    * sibling dedup operators). (Measured alternative: fusing each round
+    * into one job — persist + lazy checkpoint driven by the convergence
+    * count — is timing-neutral at sf0.1/sf1; round cost is shuffle-
+    * stage-bound, not job-count-bound, so the simpler eager shape
+    * stays.)
     */
   def clusterRepresentatives(nodes: DataFrame, idCol: String, pairs: DataFrame,
                              aCol: String = "doc_a", bCol: String = "doc_b",
@@ -515,13 +519,18 @@ object Dedup {
                                         cache: DataFrame => DataFrame = graft.util.CacheScope.untracked): DataFrame = {
     val lblA = priorLabels.select(col("doc_id").as("_ia"), col("rep").as("_la"))
     val lblB = priorLabels.select(col("doc_id").as("_ib"), col("rep").as("_lb"))
-    val contractedEdges = pairs
+    // Through `cache`: the contracted edge set sits on top of the whole
+    // pair-generation pipeline and is scanned four ways below (node-set
+    // union a/b, bidirectional edge union inside the CC) — uncached,
+    // each scan would recompute the pair join (measured 4x the fold's
+    // cost at sf0.1).
+    val contractedEdges = cache(pairs
       .join(lblA, col(aCol) === col("_ia"), "left")
       .join(lblB, col(bCol) === col("_ib"), "left")
       .select(coalesce(col("_la"), col(aCol)).as("doc_a"),
         coalesce(col("_lb"), col(bCol)).as("doc_b"))
       .where(col("doc_a") =!= col("doc_b"))
-      .distinct()
+      .distinct())
     // Contracted node set: EDGE ENDPOINTS only — edge-less batch docs
     // and untouched history never enter the iteration at all; both fall
     // through the relabel joins' coalesce to their own id/label. At
@@ -565,13 +574,15 @@ object Dedup {
       .unionByName(batchMembership.select(col("doc_id"), col("rep_id").as("rep")))
     val lblA = combined.select(col("doc_id").as("_ia"), col("rep").as("_la"))
     val lblB = combined.select(col("doc_id").as("_ib"), col("rep").as("_lb"))
-    val contractedEdges = pairs
+    // Through `cache` — scanned four ways below, and recomputing it
+    // means recomputing the whole pair pipeline (see the per-doc form).
+    val contractedEdges = cache(pairs
       .join(lblA, col(aCol) === col("_ia"), "left")
       .join(lblB, col(bCol) === col("_ib"), "left")
       .select(coalesce(col("_la"), col(aCol)).as("doc_a"),
         coalesce(col("_lb"), col(bCol)).as("doc_b"))
       .where(col("doc_a") =!= col("doc_b"))
-      .distinct()
+      .distinct())
     // Edge endpoints only (see clusterRepresentativesIncremental):
     // edge-less batch reps keep their exact-group label through the
     // relabel coalesce without entering the iteration.
