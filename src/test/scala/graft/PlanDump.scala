@@ -45,7 +45,8 @@ object PlanDump {
       "source_http_dsv2" -> "DSv2 REST source: symbol predicates consumed as partition pruning, required columns pruned into the record parser (scan description)",
       "sample_split_leakage_safe" -> "cluster-keyed split: md5 bucket is a scan-side projection over the label join, no extra exchange",
       "dedup_canonical_quality" -> "canonical-by-quality: WindowGroupLimit on (quality DESC, doc_id) per cluster",
-      "recall_embedding_lsh_sampled" -> "sampled audit: the hash-sample filter sits UNDER both tiers, pair cost falls quadratically")
+      "recall_embedding_lsh_sampled" -> "sampled audit: the hash-sample filter sits UNDER both tiers, pair cost falls quadratically",
+      "dedup_cluster_reps_incremental" -> "incremental CC fold: relabel = equi-joins through the contracted-graph labels, history table never re-clustered")
     val keep = Seq("Exchange", "Scan", "Join", "Aggregate", "Window", "Expand",
       "TakeOrdered", "Broadcast", "Sort", "Filter", "Project", "WholeStageCodegen")
     val sb = new StringBuilder
