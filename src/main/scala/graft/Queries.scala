@@ -798,6 +798,35 @@ object Queries {
         .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6).as("jaccard"), col("src"))
     }),
 
+    // State-table COMPACTION transparency: the same incremental dedup,
+    // but the persisted index is first fragmented the way a
+    // thousand-wave ingest leaves it (48-way write => 48 small files per
+    // table) and then compacted (ops/Compact: distributed rewrite + dir
+    // swap). Oracle identical to dedup_incremental's — compaction may
+    // only change file layout, never a row — and the file-count drop is
+    // asserted inline so a no-op "compaction" fails loudly.
+    "dedup_incremental_compacted" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val root = graft.util.Scratch.dir("graft_incdedup_c")
+      val st = Dedup.collapsedIndex(docs.where(pmod(col("doc_id"), lit(2)) === 0),
+        "doc_id", "text", n = 3, maxDocFreq = 100L, hashFn = Dedup.Md5Hash60)
+      st.repIdx.repartition(48).write.parquet(root + "/rep_index")
+      st.membership.repartition(48).write.parquet(root + "/membership")
+      Seq("/rep_index", "/membership").foreach { sub =>
+        val stats = graft.ops.Compact.compactParquet(s, root + sub)
+        require(stats.filesAfter < stats.filesBefore,
+          s"compaction did not reduce $sub: $stats")
+      }
+      val batch = Dedup.collapsedIndex(docs.where(pmod(col("doc_id"), lit(2)) =!= 0),
+        "doc_id", "text", n = 3, maxDocFreq = 100L, hashFn = Dedup.Md5Hash60,
+        cache = df => df.persist())
+      Dedup.incrementalNearDupPairsCollapsed(batch,
+          Dedup.CollapsedIndex(s.read.parquet(root + "/rep_index"),
+            s.read.parquet(root + "/membership")),
+          threshold = 0.5)
+        .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6).as("jaccard"), col("src"))
+    }),
+
     // Incremental CONNECTED COMPONENTS: the label-maintenance twin of
     // dedup_incremental. State = the persisted CC label table over the
     // even-id history; the odd-id batch folds in via the CONTRACTED
@@ -2064,6 +2093,35 @@ object Queries {
     * match proves the contracted-graph fold equals recomputing CC over
     * history ∪ batch.
     */
+  private val incrementalPairsOracleSql: String =
+    """WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks FROM documents),
+      |sh AS (SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(toks) - 1),
+      |         i -> array_to_string(toks[i:i+2], ' ')))) AS shingle
+      |       FROM t),
+      |ssh AS (SELECT * FROM sh WHERE doc_id % 2 = 0),
+      |bsh AS (SELECT * FROM sh WHERE doc_id % 2 <> 0),
+      |sidx AS (SELECT doc_id, shingle FROM ssh WHERE shingle NOT IN (
+      |           SELECT shingle FROM ssh GROUP BY 1 HAVING count(*) > 100)),
+      |bidx AS (SELECT doc_id, shingle FROM bsh WHERE shingle NOT IN (
+      |           SELECT shingle FROM bsh GROUP BY 1 HAVING count(*) > 100)),
+      |ssz AS (SELECT doc_id, count(*) AS nsh FROM sidx GROUP BY 1),
+      |bsz AS (SELECT doc_id, count(*) AS nsh FROM bidx GROUP BY 1),
+      |selfp AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+      |          FROM bidx a JOIN bidx b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      |          GROUP BY 1, 2),
+      |crossp AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+      |           FROM sidx a JOIN bidx b ON a.shingle = b.shingle
+      |           GROUP BY 1, 2)
+      |SELECT doc_a, doc_b, round(CAST(i AS DOUBLE) / (sa.nsh + sb.nsh - i), 6) AS jaccard,
+      |       'batch' AS src
+      |FROM selfp JOIN bsz sa ON doc_a = sa.doc_id JOIN bsz sb ON doc_b = sb.doc_id
+      |WHERE CAST(i AS DOUBLE) / (sa.nsh + sb.nsh - i) >= 0.5
+      |UNION ALL
+      |SELECT doc_a, doc_b, round(CAST(i AS DOUBLE) / (sa.nsh + sb.nsh - i), 6) AS jaccard,
+      |       'state' AS src
+      |FROM crossp JOIN ssz sa ON doc_a = sa.doc_id JOIN bsz sb ON doc_b = sb.doc_id
+      |WHERE CAST(i AS DOUBLE) / (sa.nsh + sb.nsh - i) >= 0.5""".stripMargin
+
   private val incrementalClusterRepsOracleSql: String =
     """WITH RECURSIVE t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks FROM documents),
         |sh AS (SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(toks) - 1),
@@ -3162,34 +3220,12 @@ object Queries {
     // Incremental replica: per-half indexes with per-half hot caps
     // (matching the Spark side's independently-built state/batch
     // indexes), batch self-pairs plus state x batch cross pairs.
-    "dedup_incremental" ->
-      """WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks FROM documents),
-        |sh AS (SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(toks) - 1),
-        |         i -> array_to_string(toks[i:i+2], ' ')))) AS shingle
-        |       FROM t),
-        |ssh AS (SELECT * FROM sh WHERE doc_id % 2 = 0),
-        |bsh AS (SELECT * FROM sh WHERE doc_id % 2 <> 0),
-        |sidx AS (SELECT doc_id, shingle FROM ssh WHERE shingle NOT IN (
-        |           SELECT shingle FROM ssh GROUP BY 1 HAVING count(*) > 100)),
-        |bidx AS (SELECT doc_id, shingle FROM bsh WHERE shingle NOT IN (
-        |           SELECT shingle FROM bsh GROUP BY 1 HAVING count(*) > 100)),
-        |ssz AS (SELECT doc_id, count(*) AS nsh FROM sidx GROUP BY 1),
-        |bsz AS (SELECT doc_id, count(*) AS nsh FROM bidx GROUP BY 1),
-        |selfp AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
-        |          FROM bidx a JOIN bidx b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-        |          GROUP BY 1, 2),
-        |crossp AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
-        |           FROM sidx a JOIN bidx b ON a.shingle = b.shingle
-        |           GROUP BY 1, 2)
-        |SELECT doc_a, doc_b, round(CAST(i AS DOUBLE) / (sa.nsh + sb.nsh - i), 6) AS jaccard,
-        |       'batch' AS src
-        |FROM selfp JOIN bsz sa ON doc_a = sa.doc_id JOIN bsz sb ON doc_b = sb.doc_id
-        |WHERE CAST(i AS DOUBLE) / (sa.nsh + sb.nsh - i) >= 0.5
-        |UNION ALL
-        |SELECT doc_a, doc_b, round(CAST(i AS DOUBLE) / (sa.nsh + sb.nsh - i), 6) AS jaccard,
-        |       'state' AS src
-        |FROM crossp JOIN ssz sa ON doc_a = sa.doc_id JOIN bsz sb ON doc_b = sb.doc_id
-        |WHERE CAST(i AS DOUBLE) / (sa.nsh + sb.nsh - i) >= 0.5""".stripMargin,
+    "dedup_incremental" -> incrementalPairsOracleSql,
+
+    // Same oracle by construction: compacting the persisted state tables
+    // (ops/Compact rewrite + swap) must be result-transparent — only the
+    // file layout changes, never a row.
+    "dedup_incremental_compacted" -> incrementalPairsOracleSql,
 
     // Full-recompute reachability fixpoint over the incremental pair
     // semantics (history-internal pairs under the history hot cap, plus
