@@ -882,24 +882,9 @@ object Queries {
     // accepted doc with the wave that admitted it.
     "streaming_dedup_incremental_live" -> ((s, dir) => {
       val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
-      val waveDir = new org.apache.hadoop.fs.Path(graft.util.Scratch.dir("graft_incw"))
-      val fs = waveDir.getFileSystem(s.sparkContext.hadoopConfiguration)
-      val tmp = new org.apache.hadoop.fs.Path(
-        graft.util.Scratch.dir("graft_incw_tmp"), "waves")
-      docs.withColumn("w", pmod(col("doc_id"), lit(2)).cast("int"))
-        .repartitionByRange(2, col("w"))
-        .write.mode("overwrite").partitionBy("w").parquet(tmp.toString)
-      val base = System.currentTimeMillis()
-      (0 until 2).foreach { i =>
-        val part = fs.listStatus(new org.apache.hadoop.fs.Path(tmp, s"w=$i"))
-          .map(_.getPath).filter(_.getName.startsWith("part-")).head
-        val dest = new org.apache.hadoop.fs.Path(waveDir, f"wave-$i%04d.parquet")
-        if (!fs.rename(part, dest))
-          throw new java.io.IOException(s"streaming_dedup_incremental_live: cannot stage $dest")
-        fs.setTimes(dest, base + i * 1000L, -1L)
-      }
+      val waveDir = Tables.stageWaves(s, docs, pmod(col("doc_id"), lit(2)), 2, "graft_incw")
       val stream = s.readStream.schema(docs.schema)
-        .option("maxFilesPerTrigger", "1").parquet(waveDir.toString)
+        .option("maxFilesPerTrigger", "1").parquet(waveDir)
       val statePath = graft.util.Scratch.dir("graft_incw_state") + "/index"
       val acceptedPath = graft.util.Scratch.dir("graft_incw_acc") + "/accepted"
       val ckpt = graft.util.Scratch.dir("graft_incw_ck")
@@ -919,24 +904,9 @@ object Queries {
     // the SAME full-recompute fixpoint oracle as the batch gate.
     "streaming_cluster_labels_live" -> ((s, dir) => {
       val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
-      val waveDir = new org.apache.hadoop.fs.Path(graft.util.Scratch.dir("graft_lblw"))
-      val fs = waveDir.getFileSystem(s.sparkContext.hadoopConfiguration)
-      val tmp = new org.apache.hadoop.fs.Path(
-        graft.util.Scratch.dir("graft_lblw_tmp"), "waves")
-      docs.withColumn("w", pmod(col("doc_id"), lit(2)).cast("int"))
-        .repartitionByRange(2, col("w"))
-        .write.mode("overwrite").partitionBy("w").parquet(tmp.toString)
-      val base = System.currentTimeMillis()
-      (0 until 2).foreach { i =>
-        val part = fs.listStatus(new org.apache.hadoop.fs.Path(tmp, s"w=$i"))
-          .map(_.getPath).filter(_.getName.startsWith("part-")).head
-        val dest = new org.apache.hadoop.fs.Path(waveDir, f"wave-$i%04d.parquet")
-        if (!fs.rename(part, dest))
-          throw new java.io.IOException(s"streaming_cluster_labels_live: cannot stage $dest")
-        fs.setTimes(dest, base + i * 1000L, -1L)
-      }
+      val waveDir = Tables.stageWaves(s, docs, pmod(col("doc_id"), lit(2)), 2, "graft_lblw")
       val stream = s.readStream.schema(docs.schema)
-        .option("maxFilesPerTrigger", "1").parquet(waveDir.toString)
+        .option("maxFilesPerTrigger", "1").parquet(waveDir)
       val statePath = graft.util.Scratch.dir("graft_lblw_state") + "/index"
       val labelsPath = graft.util.Scratch.dir("graft_lblw_lbl") + "/labels"
       val ckpt = graft.util.Scratch.dir("graft_lblw_ck")
@@ -959,24 +929,9 @@ object Queries {
     // uninterrupted run's.
     "streaming_dedup_restart" -> ((s, dir) => {
       val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
-      val waveDir = new org.apache.hadoop.fs.Path(graft.util.Scratch.dir("graft_rsw"))
-      val fs = waveDir.getFileSystem(s.sparkContext.hadoopConfiguration)
-      val tmp = new org.apache.hadoop.fs.Path(
-        graft.util.Scratch.dir("graft_rsw_tmp"), "waves")
-      docs.withColumn("w", pmod(col("doc_id"), lit(2)).cast("int"))
-        .repartitionByRange(2, col("w"))
-        .write.mode("overwrite").partitionBy("w").parquet(tmp.toString)
-      val base = System.currentTimeMillis()
-      (0 until 2).foreach { i =>
-        val part = fs.listStatus(new org.apache.hadoop.fs.Path(tmp, s"w=$i"))
-          .map(_.getPath).filter(_.getName.startsWith("part-")).head
-        val dest = new org.apache.hadoop.fs.Path(waveDir, f"wave-$i%04d.parquet")
-        if (!fs.rename(part, dest))
-          throw new java.io.IOException(s"streaming_dedup_restart: cannot stage $dest")
-        fs.setTimes(dest, base + i * 1000L, -1L)
-      }
+      val waveDir = Tables.stageWaves(s, docs, pmod(col("doc_id"), lit(2)), 2, "graft_rsw")
       def stream = s.readStream.schema(docs.schema)
-        .option("maxFilesPerTrigger", "1").parquet(waveDir.toString)
+        .option("maxFilesPerTrigger", "1").parquet(waveDir)
       val statePath = graft.util.Scratch.dir("graft_rsw_state") + "/index"
       val acceptedPath = graft.util.Scratch.dir("graft_rsw_acc") + "/accepted"
       val ckpt = graft.util.Scratch.dir("graft_rsw_ck")

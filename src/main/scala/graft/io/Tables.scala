@@ -23,31 +23,54 @@ object Tables {
   def part(spark: SparkSession, dir: String): DataFrame      = table(spark, dir, "part")
   def orders(spark: SparkSession, dir: String): DataFrame    = table(spark, dir, "orders")
   def lineitem(spark: SparkSession, dir: String): DataFrame  = table(spark, dir, "lineitem")
-  /** The events table ships with TIMESTAMP(NANOS) parquet timestamps,
-    * which Spark has no native type for. Sessions set
-    * `spark.sql.legacy.parquet.nanosAsLong`; here the long nanos column is
-    * converted to a micros TimestampType (integral DIV — double division
-    * would lose precision above 2^53 ns). Driver data is micro-aligned, so
-    * the conversion is lossless.
+  /** Normalize the events `ts` column to a plain `TimestampType`,
+    * whatever parquet encoding the driver's generator shipped. Three
+    * encodings have been observed across testdata regenerations:
+    *
+    *  - TIMESTAMP(NANOS), which Spark has no native type for — sessions
+    *    set `spark.sql.legacy.parquet.nanosAsLong` and the column
+    *    surfaces as `LongType` nanos; converted via integral DIV (double
+    *    division would lose precision above 2^53 ns; driver data is
+    *    micro-aligned, so the conversion is lossless);
+    *  - TIMESTAMP_NTZ (micros, isAdjustedToUTC=0) — the session timezone
+    *    is pinned to UTC everywhere in this project, so casting to the
+    *    instant type is a lossless reinterpretation of the same wall
+    *    clock the DuckDB oracle reads natively;
+    *  - plain TIMESTAMP (ltz) — already the normal form.
+    *
+    * Every event-time consumer (sessionize gap arithmetic, as-of
+    * tolerance, watermarks, window()) runs on the normalized column, so
+    * a future encoding change breaks exactly one function — this one —
+    * and EventTimeEncodingSpec pins all three paths.
+    */
+  private[graft] def normalizeEventTs(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.{col, expr}
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+    df.schema("ts").dataType match {
+      case LongType =>
+        df.withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+      case TimestampNTZType =>
+        df.withColumn("ts", col("ts").cast(TimestampType))
+      case _ => df
+    }
+  }
+
+  /** The events table, with `ts` normalized across parquet timestamp
+    * encodings — see [[normalizeEventTs]].
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
     // Self-sufficient on sessions built without the legacy conf (it is
-    // runtime-mutable): without it the read below throws
+    // runtime-mutable): without it a TIMESTAMP(NANOS) read throws
     // PARQUET_TYPE_ILLEGAL before any conversion could run.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val df = table(spark, dir, "events")
-    df.schema("ts").dataType match {
-      case org.apache.spark.sql.types.LongType =>
-        df.withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts DIV 1000)"))
-      case _ => df
-    }
+    normalizeEventTs(table(spark, dir, "events"))
   }
   def documents(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "embeddings")
 
   /** Streaming twin of [[events]]: file-stream source with a DECLARED
     * schema (stream sources cannot infer) taken from the parquet footer,
-    * plus the same nanos->micros conversion.
+    * plus the same [[normalizeEventTs]] encoding normalization.
     */
   def eventsStream(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -64,11 +87,7 @@ object Tables {
         spark.readStream.schema(schema).parquet(eventsPath.toString)
       else spark.readStream.schema(schema)
         .option("pathGlobFilter", "events.parquet").parquet(dir)
-    df.schema("ts").dataType match {
-      case org.apache.spark.sql.types.LongType =>
-        df.withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts DIV 1000)"))
-      case _ => df
-    }
+    normalizeEventTs(df)
   }
 
   /** Multi-wave twin of [[eventsStream]]: stages the events table as
@@ -129,53 +148,72 @@ object Tables {
     import org.apache.spark.sql.functions._
     require(nWaves >= 2, s"a multi-wave fixture needs >= 2 waves, got $nWaves")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val raw = table(spark, dir, "events")
+    // Normalize BEFORE staging: the wave files then carry plain TIMESTAMP
+    // whatever the source encoding, and the stream needs no per-encoding
+    // branch of its own.
+    val raw = normalizeEventTs(table(spark, dir, "events"))
+    // Wave boundaries are computed in NANOS (micros * 1000) even though
+    // the normalized column is micros: the DuckDB oracle's replica of the
+    // displacement schedule uses epoch_ns, and span = max - min + 1
+    // differs between the two units (off by 999 ns), which could flip a
+    // boundary row's wave. Micro-aligned data makes micros*1000 exactly
+    // the nanos the oracle sees.
+    val tns = unix_micros(col("ts")) * 1000
     val Array(tsMin, tsMax) = raw
-      .agg(min(col("ts")).cast("long"), max(col("ts")).cast("long"))
+      .agg(min(tns), max(tns))
       .collect().head.toSeq.map(_.asInstanceOf[Long]).toArray
     val span = tsMax - tsMin + 1
-    val waveDir = new org.apache.hadoop.fs.Path(graft.util.Scratch.dir("graft_waves"))
+    val waveDir = stageWaves(spark, raw,
+      waveFor(((tns - tsMin) * nWaves / span).cast("int")), nWaves,
+      "graft_waves")
+    normalizeEventTs(spark.readStream.schema(raw.schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(waveDir))
+  }
+
+  /** Stage `df` as `nWaves` single-file parquet waves keyed by the
+    * integer `wave` column (0-based), with strictly increasing file
+    * modification times, and return the wave directory: a
+    * `maxFilesPerTrigger=1` file stream over it delivers one wave per
+    * micro-batch, oldest-first. Shared by the event-time wave fixtures
+    * here and the document-wave streaming gates in Queries.
+    *
+    * ONE parallel job stages every wave: range-partitioning on the wave
+    * index puts each wave in its own task (same value never splits), and
+    * the hive-partitioned write lands one file per wave directory —
+    * a wave-at-a-time repartition(1) loop would funnel the whole fixture
+    * through nWaves sequential single-task writes.
+    */
+  private[graft] def stageWaves(spark: SparkSession, df: DataFrame,
+                                wave: org.apache.spark.sql.Column,
+                                nWaves: Int, tag: String): String = {
+    import org.apache.spark.sql.functions.col
+    val waveDir = new org.apache.hadoop.fs.Path(graft.util.Scratch.dir(tag))
     val fs = waveDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val base = System.currentTimeMillis()
-    // ONE parallel job stages every wave: range-partitioning on the wave
-    // index puts each wave in its own task (same value never splits), and
-    // the hive-partitioned write lands one file per wave directory — the
-    // previous wave-at-a-time repartition(1) loop funneled the whole
-    // fixture through nWaves sequential single-task writes.
     val tmp = new org.apache.hadoop.fs.Path(
-      graft.util.Scratch.dir("graft_wave_tmp"), "waves")
-    raw.withColumn("w",
-        waveFor(((col("ts").cast("long") - tsMin) * nWaves / span).cast("int")))
+      graft.util.Scratch.dir(tag + "_tmp"), "waves")
+    df.withColumn("w", wave.cast("int"))
       .repartitionByRange(nWaves, col("w"))
       .write.mode("overwrite").partitionBy("w").parquet(tmp.toString)
+    val base = System.currentTimeMillis()
     (0 until nWaves).foreach { i =>
-      val dir = new org.apache.hadoop.fs.Path(tmp, s"w=$i")
+      val src = new org.apache.hadoop.fs.Path(tmp, s"w=$i")
       val dest = new org.apache.hadoop.fs.Path(waveDir, f"wave-$i%04d.parquet")
-      if (fs.exists(dir)) {
-        val part = fs.listStatus(dir)
-          .map(_.getPath).filter(_.getName.startsWith("part-")).head
-        if (!fs.rename(part, dest))
-          throw new java.io.IOException(s"wavedEventsStream: cannot stage $dest")
-      } else {
-        // An empty wave still needs a file so delivery order (and the
-        // wave count the gates assert) is independent of the data split.
-        raw.limit(0).repartition(1).write.mode("overwrite")
-          .parquet(new org.apache.hadoop.fs.Path(tmp, s"empty$i").toString)
-        val part = fs.listStatus(new org.apache.hadoop.fs.Path(tmp, s"empty$i"))
-          .map(_.getPath).filter(_.getName.startsWith("part-")).head
-        if (!fs.rename(part, dest))
-          throw new java.io.IOException(s"wavedEventsStream: cannot stage empty $dest")
-      }
+      val part =
+        if (fs.exists(src))
+          fs.listStatus(src).map(_.getPath).filter(_.getName.startsWith("part-")).head
+        else {
+          // An empty wave still needs a file so delivery order (and the
+          // wave count the gates assert) is independent of the data split.
+          val empty = new org.apache.hadoop.fs.Path(tmp, s"empty$i")
+          df.limit(0).repartition(1).write.mode("overwrite").parquet(empty.toString)
+          fs.listStatus(empty).map(_.getPath).filter(_.getName.startsWith("part-")).head
+        }
+      if (!fs.rename(part, dest))
+        throw new java.io.IOException(s"stageWaves($tag): cannot stage $dest")
       // Oldest-first delivery order is decided by modification time.
       fs.setTimes(dest, base + i * 1000L, -1L)
     }
-    val df = spark.readStream.schema(raw.schema)
-      .option("maxFilesPerTrigger", "1")
-      .parquet(waveDir.toString)
-    df.schema("ts").dataType match {
-      case org.apache.spark.sql.types.LongType =>
-        df.withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts DIV 1000)"))
-      case _ => df
-    }
+    waveDir.toString
   }
 }
