@@ -24,6 +24,17 @@ object Bench {
     entry.findFirstMatchIn(line).map(_.group(1).toDouble)
   }
 
+  /** JSON string literal: escapes backslash, quote, and control chars. */
+  private def jsonStr(s: String): String = "\"" + s.flatMap {
+    case '"'  => "\\\""
+    case '\\' => "\\\\"
+    case '\n' => "\\n"
+    case '\r' => "\\r"
+    case '\t' => "\\t"
+    case c if c < ' ' => f"\\u${c.toInt}%04x"
+    case c => c.toString
+  } + "\""
+
   private def refineForked(name: String, fallback: Double): Double = {
     import scala.jdk.CollectionConverters._
     try {
@@ -120,27 +131,45 @@ object Bench {
     // where query cost is comparable to warm-up cost). The parent suite
     // doesn't need it — q1_agg plus the preceding queries warm the JVM.
     val warmTarget = sys.env.contains("SPARK_GRAFT_WARM_TARGET")
-    val inSuite = selected.map { case (name, fn) =>
+    // A query that THROWS is a failure, never a timing: recording
+    // elapsed-to-error would let a crash masquerade as a ~30x speedup in
+    // round-over-round comparisons (this happened when a testdata
+    // regeneration broke 12 queries — the artifact showed them as 0.06 s
+    // "improvements"). Failed queries carry their error instead of a
+    // number and are excluded from the total.
+    val inSuite: Seq[(String, Either[String, Double])] =
+      selected.map { case (name, fn) =>
       if (warmTarget) {
         try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
         catch { case _: Throwable => () }
         cleanup()
       }
+      var err: Option[String] = None
       val times = (1 to reps).map { _ =>
         val t0 = System.nanoTime()
         try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-        catch { case e: Throwable => System.err.println(s"[bench] $name failed: $e") }
+        catch { case e: Throwable =>
+          if (err.isEmpty)
+            err = Some(s"${e.getClass.getName}: ${String.valueOf(e.getMessage).take(300)}")
+        }
         val dt = (System.nanoTime() - t0) / 1e9
         cleanup()
         dt
       }.sorted
-      val dt = times(times.length / 2)
-      // One parse-safe line per query AS IT COMPLETES: a bounded stdout
-      // tail capture that truncates the final summary line still keeps
-      // the per-query timings (they're the most recent lines).
-      val repsJson = times.map(t => f"$t%.3f").mkString("[", ",", "]")
-      println(f"""{"query":"$name","sec":$dt%.3f,"reps":$repsJson}""")
-      name -> dt
+      err match {
+        case Some(msg) =>
+          System.err.println(s"[bench] $name FAILED: $msg")
+          println(s"""{"query":"$name","err":${jsonStr(msg)}}""")
+          name -> Left(msg)
+        case None =>
+          val dt = times(times.length / 2)
+          // One parse-safe line per query AS IT COMPLETES: a bounded stdout
+          // tail capture that truncates the final summary line still keeps
+          // the per-query timings (they're the most recent lines).
+          val repsJson = times.map(t => f"$t%.3f").mkString("[", ",", "]")
+          println(f"""{"query":"$name","sec":$dt%.3f,"reps":$repsJson}""")
+          name -> Right(dt)
+      }
     }
     // Fork-refinement pass: median-of-reps inside ONE shared session still
     // overstates the late-alphabet heavy queries (every rep pays the
@@ -155,15 +184,23 @@ object Bench {
     val forkSec = sys.env.get("SPARK_GRAFT_FORK_SEC").map(_.toDouble).getOrElse(2.0)
     val forkEnabled = !sys.env.contains("SPARK_GRAFT_NO_FORK") && only.isEmpty
     val results = if (!forkEnabled) inSuite else inSuite.map {
-      case (name, dt) if dt >= forkSec =>
-        name -> refineForked(name, dt)
+      case (name, Right(dt)) if dt >= forkSec =>
+        name -> Right(refineForked(name, dt)): (String, Either[String, Double])
       case kept => kept
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
+    val ok = results.collect { case (k, Right(v)) => k -> v }
+    val failed = results.collect { case (k, Left(e)) => k -> e }
+    val qs = ok.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
+    val failedJson = failed.map { case (k, e) => jsonStr(k) + ":" + jsonStr(e) }
+      .mkString("{", ",", "}")
+    val total = ok.map(_._2).sum
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
+        s""""failed":$failedJson,"failed_count":${failed.size},"sf":"$sfDir"}"""
+    if (failed.nonEmpty)
+      System.err.println(s"[bench] *** ${failed.size}/${results.size} queries FAILED" +
+        s" (excluded from total): ${failed.map(_._1).mkString(", ")} ***")
     println(line)
     // Durable copy of the full artifact: survives any stdout truncation.
     val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_local.json")

@@ -20,13 +20,21 @@ object Verify {
     // contract (the driver always runs the full contract).
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
-    SparkEntry.queries
+    // A query that throws must leave an EXPLICIT error record, not just
+    // vanish: the driver's correctness artifact is keyed on the dumped
+    // result dirs, so a silently-skipped query shrinks the denominator
+    // and "N green / N checked" reads as fully green while part of the
+    // contract is erroring. verify_errors.json enumerates every failure
+    // (and the summary line prints declared vs succeeded vs failed).
+    val contract = SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
-      .foreach { case (name, fn) =>
+    val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    contract.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        errors(name) = s"${e.getClass.getName}: ${String.valueOf(e.getMessage).take(500)}"
+        System.err.println(s"[verify] $name FAILED: ${errors(name)}")
       }
       // Untracked per-query persists (dedup/corpus indexes) would
       // otherwise accumulate across the 60+ query loop.
@@ -47,6 +55,12 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    val errJson = errors
+      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$outDir/verify_errors.json"), errJson)
+    System.err.println(s"[verify] contract: ${contract.size} declared, " +
+      s"${contract.size - errors.size} dumped, ${errors.size} FAILED" +
+      (if (errors.nonEmpty) s" (${errors.keys.mkString(", ")})" else ""))
     spark.stop()
   }
 }
