@@ -197,16 +197,26 @@ object FmpPartitionReader {
       .map(mapper.readTree)
   }
 
+  /** The retryable status set (reference extract.py:52-56): 429 — the
+    * status a rate-limited financial API actually returns — plus the
+    * transient 5xx family. Other 4xx fail immediately; retrying a 404
+    * would just hammer the endpoint.
+    */
+  private val RetryableStatuses = Set(429, 500, 502, 503, 504)
+
   /** HTTP transport: ONE GET per symbol returning a JSON array
     * (reference extract.py:69-95), parsed eagerly — the response is one
-    * symbol's bounded record list, never the corpus. Transient server
-    * errors (5xx) are retried with linear backoff; client errors (4xx)
-    * fail immediately — retrying a 404 would just hammer the endpoint.
-    * A task-level failure after the retries still gets Spark's own task
-    * retry, which re-fetches this one symbol alone.
+    * symbol's bounded record list, never the corpus. Statuses in
+    * [[RetryableStatuses]] are retried with bounded linear backoff; a
+    * 429's `Retry-After: <seconds>` header, when present and within the
+    * cap, overrides the backoff (an HTTP-date Retry-After is ignored —
+    * the linear backoff applies). A task-level failure after the
+    * retries still gets Spark's own task retry, which re-fetches this
+    * one symbol alone.
     */
   private def httpRecords(url: String, mapper: ObjectMapper,
                           maxAttempts: Int = 3): Iterator[JsonNode] = {
+    val maxRetryAfterMs = 10000L
     var attempt = 0
     while (true) {
       attempt += 1
@@ -224,11 +234,14 @@ object FmpPartitionReader {
           throw new java.io.IOException(s"GET $url: expected a JSON array body")
         return scala.jdk.CollectionConverters.IteratorHasAsScala(root.elements()).asScala
       }
+      val retryAfterMs = Option(conn.getHeaderField("Retry-After"))
+        .flatMap(v => scala.util.Try(v.trim.toLong).toOption)
+        .map(sec => math.min(sec * 1000L, maxRetryAfterMs))
       Option(conn.getErrorStream).foreach(_.close())
-      if (code < 500 || attempt >= maxAttempts)
+      if (!RetryableStatuses.contains(code) || attempt >= maxAttempts)
         throw new java.io.IOException(
           s"GET $url failed with HTTP $code after $attempt attempt(s)")
-      Thread.sleep(50L * attempt)
+      Thread.sleep(retryAfterMs.getOrElse(50L * attempt))
     }
     Iterator.empty // unreachable; satisfies the type checker
   }

@@ -13,15 +13,20 @@ import com.sun.net.httpserver.{HttpExchange, HttpHandler, HttpServer}
   * comparable against one oracle. A symbol with no staged data returns
   * `[]` (the reference's no-data response, extract.py:88-92).
   *
-  * `failFirst = true` returns HTTP 500 on the FIRST request to each
-  * distinct path and serves normally after — deterministic fault
-  * injection for the reader's retry path.
+  * `failFirst = true` returns HTTP `failStatus` (default 500) on the
+  * FIRST request to each distinct path and serves normally after —
+  * deterministic fault injection for the reader's retry path. With
+  * `failStatus = 429`, `retryAfterSec` sets the `Retry-After` header on
+  * the failure response (the rate-limit shape a real financial API
+  * returns).
   *
   * Built on the JDK-native `com.sun.net.httpserver` (public JDK API since
   * Java 6); binds an ephemeral localhost port. Gate/test fixture — a real
   * deployment points `url` at the actual endpoint instead.
   */
-final class LoopbackApiServer(root: String, failFirst: Boolean = false) {
+final class LoopbackApiServer(root: String, failFirst: Boolean = false,
+                              failStatus: Int = 500,
+                              retryAfterSec: Option[Long] = None) {
 
   private val seen = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
   private val hits = new java.util.concurrent.ConcurrentHashMap[String, Integer]()
@@ -32,8 +37,11 @@ final class LoopbackApiServer(root: String, failFirst: Boolean = false) {
       try {
         val path = x.getRequestURI.getPath
         hits.merge(path, 1, (a, b) => a + b)
-        if (failFirst && seen.add(path)) respond(x, 500, "transient failure")
-        else {
+        if (failFirst && seen.add(path)) {
+          retryAfterSec.foreach(s =>
+            x.getResponseHeaders.set("Retry-After", s.toString))
+          respond(x, failStatus, "transient failure")
+        } else {
           val parts = path.split("/").filter(_.nonEmpty)
           if (parts.length != 2) respond(x, 404, "expected /{endpoint}/{symbol}")
           else respond(x, 200, bodyFor(parts(0), parts(1)))

@@ -79,6 +79,40 @@ class FmpSourceSpec extends SparkSpec {
     } finally server.stop()
   }
 
+  test("HTTP transport: 429 with Retry-After is retried like the reference's policy") {
+    // Reference retry set {429,500,502,503,504} (extract.py:52-56): a
+    // rate-limited first attempt must be re-requested, honoring the
+    // server's Retry-After before the second GET.
+    val server = new LoopbackApiServer(stage(), failFirst = true,
+      failStatus = 429, retryAfterSec = Some(0L))
+    try {
+      val df = spark.read.format("graft.sources.FmpSource")
+        .option("url", server.url).option("endpoint", "income-statement")
+        .option("symbols", "AAA,BBB").option("dataset", "income").load()
+      assert(df.count() == 3)
+      assert(server.hitCount("/income-statement/AAA") == 2)
+      assert(server.hitCount("/income-statement/BBB") == 2)
+    } finally server.stop()
+  }
+
+  test("HTTP transport: a 404 fails immediately, no retry") {
+    val server = new LoopbackApiServer(stage(), failFirst = true, failStatus = 404)
+    try {
+      val df = spark.read.format("graft.sources.FmpSource")
+        .option("url", server.url).option("endpoint", "income-statement")
+        .option("symbols", "AAA").option("dataset", "income").load()
+      val e = intercept[org.apache.spark.SparkException] { df.count() }
+      assert(e.getMessage.contains("HTTP 404") ||
+        Option(e.getCause).exists(_.getMessage.contains("HTTP 404")))
+      // Exactly ONE request: the source-level retry loop must not
+      // re-request a non-retryable status. (failFirst serves 200 after
+      // the first failure, so a retry would have SUCCEEDED — the thrown
+      // exception above already proves no retry happened; local mode
+      // runs tasks with maxFailures=1, so no task-level re-run either.)
+      assert(server.hitCount("/income-statement/AAA") == 1)
+    } finally server.stop()
+  }
+
   test("HTTP transport: an empty-array response is a symbol with no data") {
     val server = new LoopbackApiServer(stage())
     try {
