@@ -14,9 +14,10 @@ import org.apache.spark.sql.functions._
   *
   * The output directory serves as a drop-in SPARK_GRAFT_SF_DIR for Bench:
   * sf0.1 x 10 ~ sf1 for every per-row and per-group cost. The events
-  * table is written with the nanos column as BIGINT (Spark cannot write
-  * TIMESTAMP(NANOS)); [[graft.io.Tables.events]] already branches on the
-  * column type, so readers are unaffected.
+  * table round-trips in whatever encoding the source directory carries
+  * (BIGINT nanos under `nanosAsLong` for legacy data, TIMESTAMP_NTZ for
+  * current); [[graft.io.Tables.normalizeEventTs]] handles every observed
+  * encoding, so readers are unaffected either way.
   */
 object ScaleData {
   def main(args: Array[String]): Unit = {
