@@ -37,8 +37,12 @@ object Verify {
         System.err.println(s"[verify] $name FAILED: ${errors(name)}")
       }
       // Untracked per-query persists (dedup/corpus indexes) would
-      // otherwise accumulate across the 60+ query loop.
+      // otherwise accumulate across the 135-query loop — clearCache()
+      // only drops catalog-tracked relations, so raw persist()s and
+      // localCheckpoint blocks need the explicit unpersist sweep (same
+      // three-step cleanup Bench uses between measurements).
       spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
