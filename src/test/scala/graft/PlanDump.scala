@@ -43,7 +43,7 @@ object PlanDump {
       "sample_mixture" -> "group counts once, then a pure scan-side hash-threshold filter",
       "jdbc_roundtrip" -> "partitioned JDBC scan: 4 range slices, aggregate above",
       "source_http_dsv2" -> "DSv2 REST source: symbol predicates consumed as partition pruning, required columns pruned into the record parser (scan description)",
-      "sample_split_leakage_safe" -> "cluster-keyed split: md5 bucket is a scan-side projection over the label join, no extra exchange",
+      "sample_split_leakage_safe" -> "cluster-keyed split: md5 bucket is ONE scan-side projection over the persisted label table, zero exchanges",
       "dedup_canonical_quality" -> "canonical-by-quality: WindowGroupLimit on (quality DESC, doc_id) per cluster",
       "recall_embedding_lsh_sampled" -> "sampled audit: the hash-sample filter sits UNDER both tiers, pair cost falls quadratically",
       "dedup_cluster_reps_incremental" -> "incremental CC fold: relabel = equi-joins through the contracted-graph labels, history table never re-clustered")
