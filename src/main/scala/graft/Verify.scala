@@ -20,6 +20,13 @@ object Verify {
     // contract (the driver always runs the full contract).
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    // Same guard as Bench: a typo'd name must fail loudly, not silently
+    // verify an empty subset.
+    only.foreach { names =>
+      val unknown = names -- SparkEntry.queries.keySet
+      require(unknown.isEmpty,
+        s"SPARK_GRAFT_ONLY names not in the contract: ${unknown.mkString(", ")}")
+    }
     // A query that throws must leave an EXPLICIT error record, not just
     // vanish: the driver's correctness artifact is keyed on the dumped
     // result dirs, so a silently-skipped query shrinks the denominator
