@@ -67,6 +67,17 @@ class PlanContractSpec extends SparkSpec {
     assert(plan("filter_golden_row").contains("PushedFilters: [IsNotNull(o_orderkey), EqualTo(o_orderkey,100)"))
   }
 
+  test("events ts-normalization cast never blocks column pruning") {
+    // Tables.events rewrites ts through an encoding-normalizing cast;
+    // when a query never touches ts, Catalyst must prune the cast AND
+    // the underlying column out of the parquet scan — at 100 TB, reading
+    // a dead timestamp column on every event scan is a real cost.
+    val p = io.Tables.events(spark, dir).groupBy("event_type").count()
+      .queryExecution.executedPlan.toString
+    val scan = p.linesIterator.filter(_.contains("FileScan")).mkString("\n")
+    assert(scan.contains("ReadSchema: struct<event_type:string>"), scan)
+  }
+
   test("unpivot_wide_long is Expand with zero exchanges") {
     val p = plan("unpivot_wide_long")
     assert(p.contains("Expand") && !p.contains("Exchange"))
