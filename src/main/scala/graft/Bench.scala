@@ -24,6 +24,12 @@ object Bench {
     entry.findFirstMatchIn(line).map(_.group(1).toDouble)
   }
 
+  /** Locale-stable 3-decimal format: the artifact must be valid JSON on
+    * any JVM default locale (f"%.3f" would emit "1,234" under de_DE).
+    */
+  private def fmt3(v: Double): String =
+    String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+
   /** JSON string literal: escapes backslash, quote, and control chars. */
   private def jsonStr(s: String): String = "\"" + s.flatMap {
     case '"'  => "\\\""
@@ -69,8 +75,8 @@ object Bench {
       // the parent, cold-JVM residue in the child). The smaller median is
       // therefore the closer estimate.
       val best = math.min(fallback, sec)
-      System.err.println(
-        f"[bench] $name refined: in-suite $fallback%.3f, fresh JVM $sec%.3f -> $best%.3f")
+      System.err.println(s"[bench] $name refined: in-suite ${fmt3(fallback)}, " +
+        s"fresh JVM ${fmt3(sec)} -> ${fmt3(best)}")
       best
     } catch { case e: Throwable =>
       System.err.println(s"[bench] fork refine failed for $name, keeping in-suite: $e")
@@ -138,12 +144,16 @@ object Bench {
     // where query cost is comparable to warm-up cost). The parent suite
     // doesn't need it — q1_agg plus the preceding queries warm the JVM.
     val warmTarget = sys.env.contains("SPARK_GRAFT_WARM_TARGET")
-    // A query that THROWS is a failure, never a timing: recording
-    // elapsed-to-error would let a crash masquerade as a ~30x speedup in
-    // round-over-round comparisons (this happened when a testdata
-    // regeneration broke 12 queries — the artifact showed them as 0.06 s
-    // "improvements"). Failed queries carry their error instead of a
-    // number and are excluded from the total.
+    // A query whose EVERY rep throws is a failure, never a timing:
+    // recording elapsed-to-error would let a crash masquerade as a ~30x
+    // speedup in round-over-round comparisons (this happened when a
+    // testdata regeneration broke 12 queries — the artifact showed them
+    // as 0.06 s "improvements"). Failed queries carry their error
+    // instead of a number and are excluded from the total. A query with
+    // SOME failing reps (a one-off flake: OOM pressure, scratch-dir
+    // race) keeps the median of its successful reps and is surfaced in
+    // the artifact's "flaky" map rather than discarded.
+    val flaky = scala.collection.mutable.LinkedHashMap[String, Int]()
     val inSuite: Seq[(String, Either[String, Double])] =
       selected.map { case (name, fn) =>
       if (warmTarget) {
@@ -152,30 +162,40 @@ object Bench {
         cleanup()
       }
       var err: Option[String] = None
-      val times = (1 to reps).map { _ =>
+      var failedReps = 0
+      val times = (1 to reps).flatMap { _ =>
         val t0 = System.nanoTime()
-        try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-        catch { case e: Throwable =>
-          if (err.isEmpty)
-            err = Some(s"${e.getClass.getName}: ${String.valueOf(e.getMessage).take(300)}")
-        }
+        val ok =
+          try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
+          catch { case e: Throwable =>
+            failedReps += 1
+            if (err.isEmpty)
+              err = Some(s"${e.getClass.getName}: ${String.valueOf(e.getMessage).take(300)}")
+            false
+          }
         val dt = (System.nanoTime() - t0) / 1e9
         cleanup()
-        dt
+        if (ok) Some(dt) else None
       }.sorted
-      err match {
-        case Some(msg) =>
-          System.err.println(s"[bench] $name FAILED: $msg")
-          println(s"""{"query":"$name","err":${jsonStr(msg)}}""")
-          name -> Left(msg)
-        case None =>
-          val dt = times(times.length / 2)
-          // One parse-safe line per query AS IT COMPLETES: a bounded stdout
-          // tail capture that truncates the final summary line still keeps
-          // the per-query timings (they're the most recent lines).
-          val repsJson = times.map(t => f"$t%.3f").mkString("[", ",", "]")
-          println(f"""{"query":"$name","sec":$dt%.3f,"reps":$repsJson}""")
-          name -> Right(dt)
+      if (times.isEmpty) {
+        val msg = err.getOrElse("no reps ran")
+        System.err.println(s"[bench] $name FAILED (all $reps reps): $msg")
+        println(s"""{"query":"$name","err":${jsonStr(msg)}}""")
+        name -> Left(msg)
+      } else {
+        if (failedReps > 0) {
+          flaky(name) = failedReps
+          System.err.println(s"[bench] $name FLAKY: $failedReps/$reps reps threw " +
+            s"(${err.getOrElse("")}); keeping median of the ${times.length} good reps")
+        }
+        val dt = times(times.length / 2)
+        // One parse-safe line per query AS IT COMPLETES: a bounded stdout
+        // tail capture that truncates the final summary line still keeps
+        // the per-query timings (they're the most recent lines).
+        val repsJson = times.map(fmt3).mkString("[", ",", "]")
+        val flakyJson = if (failedReps > 0) s""","flaky_reps":$failedReps""" else ""
+        println(s"""{"query":"$name","sec":${fmt3(dt)},"reps":$repsJson$flakyJson}""")
+        name -> Right(dt)
       }
     }
     // Fork-refinement pass: median-of-reps inside ONE shared session still
@@ -197,14 +217,17 @@ object Bench {
     }
     val ok = results.collect { case (k, Right(v)) => k -> v }
     val failed = results.collect { case (k, Left(e)) => k -> e }
-    val qs = ok.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
+    val qs = ok.map { case (k, v) => "\"" + k + "\":" + fmt3(v) }
       .mkString("{", ",", "}")
     val failedJson = failed.map { case (k, e) => jsonStr(k) + ":" + jsonStr(e) }
+      .mkString("{", ",", "}")
+    val flakyJson = flaky.map { case (k, n) => jsonStr(k) + ":" + n }
       .mkString("{", ",", "}")
     val total = ok.map(_._2).sum
     val line =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
         s""""failed":$failedJson,"failed_count":${failed.size},""" +
+        s""""flaky":$flakyJson,""" +
         s""""seeded_state":$seedState,"sf":"$sfDir"}"""
     if (failed.nonEmpty)
       System.err.println(s"[bench] *** ${failed.size}/${results.size} queries FAILED" +

@@ -50,6 +50,13 @@ object Tables {
       case LongType =>
         df.withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
       case TimestampNTZType =>
+        // The cast reinterprets NTZ wall-clock micros in the SESSION
+        // timezone and is lossless only under UTC. Pin it here
+        // (mirroring the nanosAsLong defense) so a session built
+        // without the project's UTC conf reads correct instants
+        // instead of silently shifted ones. Scoped to the NTZ branch:
+        // the other encodings carry their own zone and don't need it.
+        df.sparkSession.conf.set("spark.sql.session.timeZone", "UTC")
         df.withColumn("ts", col("ts").cast(TimestampType))
       case _ => df
     }

@@ -234,9 +234,12 @@ object FmpPartitionReader {
           throw new java.io.IOException(s"GET $url: expected a JSON array body")
         return scala.jdk.CollectionConverters.IteratorHasAsScala(root.elements()).asScala
       }
+      // Clamp into [0, cap] BEFORE the seconds->millis multiply: a
+      // negative header ("Retry-After: -1") would make Thread.sleep
+      // throw, and a huge one would overflow sec * 1000.
       val retryAfterMs = Option(conn.getHeaderField("Retry-After"))
         .flatMap(v => scala.util.Try(v.trim.toLong).toOption)
-        .map(sec => math.min(sec * 1000L, maxRetryAfterMs))
+        .map(sec => math.max(0L, math.min(sec, maxRetryAfterMs / 1000L)) * 1000L)
       Option(conn.getErrorStream).foreach(_.close())
       if (!RetryableStatuses.contains(code) || attempt >= maxAttempts)
         throw new java.io.IOException(
