@@ -12,9 +12,100 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object Tables {
 
-  /** Read one of the TPC-H-ish test tables from an sf directory. */
+  /** Catalog types a timestamp-bearing driver column may surface as
+    * across testdata regenerations (the three encodings observed on
+    * `events.ts`): plain TIMESTAMP, TIMESTAMP_NTZ micros, and
+    * TIMESTAMP(NANOS) surfacing as `bigint` under `nanosAsLong`. All
+    * three normalize to TimestampType at the reader ([[normalizeTs]]).
+    */
+  private val TsEncodings = Set("timestamp", "timestamp_ntz", "bigint")
+
+  /** The declared schema of every driver-generated table: column ->
+    * acceptable parquet-surface catalog types, in no particular order.
+    * [[table]] asserts reads against this so a regeneration that renames,
+    * drops, adds, or retypes a column fails LOUDLY at the reader with one
+    * named error — round 6 lost 12 gates to a silent `events.ts`
+    * encoding change that surfaced only as downstream query errors.
+    */
+  private[graft] val declaredTables: Map[String, Seq[(String, Set[String])]] = Map(
+    "region" -> Seq("r_regionkey" -> Set("int"), "r_name" -> Set("string")),
+    "nation" -> Seq("n_nationkey" -> Set("int"), "n_name" -> Set("string"),
+      "n_regionkey" -> Set("int")),
+    "customer" -> Seq("c_custkey" -> Set("bigint"), "c_name" -> Set("string"),
+      "c_nationkey" -> Set("int"), "c_acctbal" -> Set("double"),
+      "c_mktsegment" -> Set("string")),
+    "supplier" -> Seq("s_suppkey" -> Set("bigint"), "s_name" -> Set("string"),
+      "s_nationkey" -> Set("int"), "s_acctbal" -> Set("double")),
+    "part" -> Seq("p_partkey" -> Set("bigint"), "p_name" -> Set("string"),
+      "p_brand" -> Set("string"), "p_type" -> Set("string"),
+      "p_size" -> Set("int"), "p_retailprice" -> Set("double")),
+    "orders" -> Seq("o_orderkey" -> Set("bigint"), "o_custkey" -> Set("bigint"),
+      "o_orderstatus" -> Set("string"), "o_totalprice" -> Set("double"),
+      "o_orderdate" -> TsEncodings, "o_orderpriority" -> Set("string")),
+    "lineitem" -> Seq("l_orderkey" -> Set("bigint"), "l_partkey" -> Set("bigint"),
+      "l_suppkey" -> Set("bigint"), "l_linenumber" -> Set("int"),
+      "l_quantity" -> Set("double"), "l_extendedprice" -> Set("double"),
+      "l_discount" -> Set("double"), "l_tax" -> Set("double"),
+      "l_returnflag" -> Set("string"), "l_linestatus" -> Set("string"),
+      "l_shipdate" -> TsEncodings),
+    "events" -> Seq("event_id" -> Set("bigint"), "ts" -> TsEncodings,
+      "user_id" -> Set("bigint"), "event_type" -> Set("string"),
+      "value" -> Set("double"), "props" -> Set("string")),
+    "documents" -> Seq("doc_id" -> Set("bigint"), "text" -> Set("string"),
+      "lang" -> Set("string"), "source" -> Set("string"),
+      "n_chars" -> Set("bigint")),
+    "embeddings" -> Seq("vec_id" -> Set("bigint"),
+      "embedding" -> Set("array<float>"), "label" -> Set("int")))
+
+  /** Timestamp-bearing columns normalized at the reader per table. */
+  private val tsColumns: Map[String, Seq[String]] = Map(
+    "events" -> Seq("ts"), "orders" -> Seq("o_orderdate"),
+    "lineitem" -> Seq("l_shipdate"))
+
+  /** Assert `df` matches the declared schema of driver table `name`
+    * (unknown names pass through — scratch tables are not driver
+    * contract). Comparison is on `catalogString` (nullability-blind,
+    * order-blind). Throws one line naming every drifted column.
+    */
+  private def assertDeclared(name: String, df: DataFrame): DataFrame =
+    declaredTables.get(name) match {
+      case None => df
+      case Some(cols) =>
+        val actual = df.schema.fields.map(f => f.name -> f.dataType.catalogString)
+        val actualMap = actual.toMap
+        val expNames = cols.map(_._1).toSet
+        val problems =
+          cols.collect { case (c, _) if !actualMap.contains(c) => s"$name.$c missing" } ++
+          actual.collect { case (c, _) if !expNames.contains(c) => s"$name.$c unexpected" } ++
+          cols.collect { case (c, ok) if actualMap.contains(c) && !ok(actualMap(c)) =>
+            s"$name.$c ${ok.mkString("{", "|", "}")}->${actualMap(c)}" }
+        if (problems.nonEmpty)
+          throw new IllegalStateException(
+            s"testdata drift: ${problems.mkString("; ")} — the driver's generator " +
+              "changed this table; update Tables.declaredTables and the reader " +
+              "normalization (io/Tables.scala) in ONE place instead of chasing " +
+              "downstream gate errors")
+        df
+    }
+
+  /** Read one of the TPC-H-ish test tables from an sf directory,
+    * schema-asserted against [[declaredTables]] and with timestamp
+    * columns normalized across parquet encodings ([[normalizeTs]]).
+    */
   def table(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+    tsColumns.getOrElse(name, Nil).foldLeft(rawTable(spark, dir, name))(normalizeTs)
+
+  /** [[table]] without the timestamp normalization: the parquet-surface
+    * schema, asserted. Stream readers need this — their declared schema
+    * must match the FILES' encoding, with normalization applied on top.
+    */
+  private def rawTable(spark: SparkSession, dir: String, name: String): DataFrame = {
+    if (tsColumns.contains(name))
+      // Must be set before the read: a TIMESTAMP(NANOS) file otherwise
+      // throws PARQUET_TYPE_ILLEGAL before any normalization could run.
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    assertDeclared(name, spark.read.parquet(s"$dir/$name.parquet"))
+  }
 
   def region(spark: SparkSession, dir: String): DataFrame    = table(spark, dir, "region")
   def nation(spark: SparkSession, dir: String): DataFrame    = table(spark, dir, "nation")
@@ -43,12 +134,16 @@ object Tables {
     * a future encoding change breaks exactly one function — this one —
     * and EventTimeEncodingSpec pins all three paths.
     */
-  private[graft] def normalizeEventTs(df: DataFrame): DataFrame = {
+  private[graft] def normalizeEventTs(df: DataFrame): DataFrame =
+    normalizeTs(df, "ts")
+
+  /** [[normalizeEventTs]] for any declared timestamp column. */
+  private[graft] def normalizeTs(df: DataFrame, c: String): DataFrame = {
     import org.apache.spark.sql.functions.{col, expr}
     import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
-    df.schema("ts").dataType match {
+    df.schema(c).dataType match {
       case LongType =>
-        df.withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+        df.withColumn(c, expr(s"timestamp_micros(`$c` DIV 1000)"))
       case TimestampNTZType =>
         // The cast reinterprets NTZ wall-clock micros in the SESSION
         // timezone and is lossless only under UTC. Pin it here
@@ -57,7 +152,7 @@ object Tables {
         // instead of silently shifted ones. Scoped to the NTZ branch:
         // the other encodings carry their own zone and don't need it.
         df.sparkSession.conf.set("spark.sql.session.timeZone", "UTC")
-        df.withColumn("ts", col("ts").cast(TimestampType))
+        df.withColumn(c, col(c).cast(TimestampType))
       case _ => df
     }
   }
@@ -65,13 +160,8 @@ object Tables {
   /** The events table, with `ts` normalized across parquet timestamp
     * encodings — see [[normalizeEventTs]].
     */
-  def events(spark: SparkSession, dir: String): DataFrame = {
-    // Self-sufficient on sessions built without the legacy conf (it is
-    // runtime-mutable): without it a TIMESTAMP(NANOS) read throws
-    // PARQUET_TYPE_ILLEGAL before any conversion could run.
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    normalizeEventTs(table(spark, dir, "events"))
-  }
+  def events(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "events") // asserted + ts-normalized there
   def documents(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "embeddings")
 
@@ -81,7 +171,9 @@ object Tables {
     */
   def eventsStream(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val schema = table(spark, dir, "events").schema // footer-only read
+    // Footer-only read; the RAW (pre-normalization) schema — the stream's
+    // declared schema must match the files' actual encoding.
+    val schema = rawTable(spark, dir, "events").schema
     // The file source requires a directory. When the events table IS a
     // directory (standard multi-part write layout) stream it directly; a
     // glob filter on the leaf name would match nothing and yield a
@@ -155,10 +247,10 @@ object Tables {
     import org.apache.spark.sql.functions._
     require(nWaves >= 2, s"a multi-wave fixture needs >= 2 waves, got $nWaves")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    // Normalize BEFORE staging: the wave files then carry plain TIMESTAMP
-    // whatever the source encoding, and the stream needs no per-encoding
-    // branch of its own.
-    val raw = normalizeEventTs(table(spark, dir, "events"))
+    // table() normalizes BEFORE staging: the wave files then carry plain
+    // TIMESTAMP whatever the source encoding, and the stream needs no
+    // per-encoding branch of its own.
+    val raw = table(spark, dir, "events")
     // Wave boundaries are computed in NANOS (micros * 1000) even though
     // the normalized column is micros: the DuckDB oracle's replica of the
     // displacement schedule uses epoch_ns, and span = max - min + 1
