@@ -1970,6 +1970,31 @@ object Queries {
         q.awaitTermination()
       }
       s.read.parquet(out)
+    }),
+
+    // Late/out-of-order twin of the stream-stream interval join: rows
+    // displaced two waves arrive behind the in-order waves' watermark.
+    // Each SIDE drops its sub-watermark late inputs (raw event time vs
+    // the global watermark — the min over both sides' per-type maxima);
+    // surviving late rows still match the other side's state, whose
+    // eviction bounds (click_ts < wm; purchase_ts < wm - 1h) provably
+    // never remove a row a surviving input could need (see the oracle's
+    // derivation comment). EventStreamsSpec pins the drop-vs-match rule
+    // per side on a controlled fixture.
+    "streaming_join_late" -> ((s, dir) => {
+      val ckpt = graft.util.Scratch.dir("graft_sjlate_ck")
+      val out = graft.util.Scratch.dir("graft_sjlate_out") + "/t"
+      withShufflePartitions(s, 8) {
+        val q = graft.streaming.EventStreams
+          .clickPurchaseJoin(Tables.lateWavedEventsStream(s, dir, nWaves = 4),
+            watermark = "96 hours")
+          .writeStream.outputMode("append")
+          .option("checkpointLocation", ckpt)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .format("parquet").option("path", out).start()
+        q.awaitTermination()
+      }
+      s.read.parquet(out)
     })
   )
 
@@ -3874,6 +3899,49 @@ object Queries {
         |FROM events c JOIN events p
         |  ON c.event_type = 'click' AND p.event_type = 'purchase'
         | AND p.user_id = c.user_id
-        | AND p.ts <= c.ts AND p.ts >= c.ts - INTERVAL 1 HOUR""".stripMargin
+        | AND p.ts <= c.ts AND p.ts >= c.ts - INTERVAL 1 HOUR""".stripMargin,
+
+    // Late-delivery interval join. The join's global watermark is the
+    // MIN over the two sides' per-operator maxima (each side only sees
+    // its own event_type), with the same two-wave lag and ms flooring as
+    // the shared late CTEs. A delivered row is dropped iff its raw event
+    // time is behind the watermark in force at its delivered wave; a
+    // surviving pair is emitted iff BOTH endpoints survived their own
+    // delivery-time filter. State eviction needs no modeling: a
+    // surviving click has click_ts >= wm(v) >= every earlier eviction
+    // bound, and its purchases sit >= click_ts - 1h >= wm - 1h, above
+    // the purchase-side bound; symmetrically for late purchases — so no
+    // needed row is ever evicted before its partner arrives at these
+    // wave/watermark parameters.
+    "streaming_join_late" ->
+      """WITH e AS (SELECT event_id, user_id, event_type, value,
+        |        CAST(ts AS TIMESTAMP) AS tsv, epoch_ns(ts) AS tns,
+        |        epoch_us(CAST(ts AS TIMESTAMP)) AS tus
+        |      FROM events),
+        |b AS (SELECT min(tns) AS tmin, max(tns) - min(tns) + 1 AS span FROM e),
+        |d AS (SELECT e.*,
+        |        CASE WHEN event_id % 10 = 0
+        |             THEN least(CAST(((tns - b.tmin) * 4) // b.span AS INT) + 2, 3)
+        |             ELSE CAST(((tns - b.tmin) * 4) // b.span AS INT) END AS wv
+        |      FROM e, b),
+        |m AS (SELECT wv,
+        |        max(CASE WHEN event_type = 'click' THEN tus END) AS mxc,
+        |        max(CASE WHEN event_type = 'purchase' THEN tus END) AS mxp
+        |      FROM d GROUP BY wv),
+        |w AS (SELECT wv,
+        |        (least(max(mxc) OVER lag2, max(mxp) OVER lag2) // 1000
+        |          - 345600000) * 1000 AS wm_us
+        |      FROM m
+        |      WINDOW lag2 AS (ORDER BY wv
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND 2 PRECEDING)),
+        |s AS (SELECT d.*, w.wm_us FROM d JOIN w ON d.wv = w.wv),
+        |surv AS (SELECT * FROM s WHERE wm_us IS NULL OR tus >= wm_us)
+        |SELECT c.event_id AS click_id, c.user_id, c.tsv AS click_ts,
+        |  p.event_id AS purchase_id, p.tsv AS purchase_ts,
+        |  p.value AS purchase_value
+        |FROM surv c JOIN surv p
+        |  ON c.event_type = 'click' AND p.event_type = 'purchase'
+        | AND p.user_id = c.user_id
+        | AND p.tsv <= c.tsv AND p.tsv >= c.tsv - INTERVAL 1 HOUR""".stripMargin
   )
 }

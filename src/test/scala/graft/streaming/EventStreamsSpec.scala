@@ -245,6 +245,46 @@ class EventStreamsSpec extends SparkSpec {
       (9L, ts("2024-01-01 12:00:00"), ts("2024-01-01 12:00:00"), 1L)), got.toString)
   }
 
+  test("stream-stream join late semantics: each side drops sub-watermark inputs, in-watermark late rows still match state") {
+    // Pins the drop-vs-match rules the streaming_join_late oracle
+    // encodes: a late input is dropped iff its RAW event time is behind
+    // the global watermark (per side, on that side's event-time column);
+    // a surviving late row still joins the other side's state (whose
+    // eviction bounds cannot have removed a matchable partner).
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val joined = EventStreams.clickPurchaseJoin(input.toDF(), watermark = "1 hour")
+    val q = joined.writeStream.format("memory").queryName("join_late_probe")
+      .outputMode(OutputMode.Append()).start()
+    // Batch 1 (all on time): one click/purchase pair emits immediately;
+    // unpaired state rows for each side; max ts 20:00 on both sides ->
+    // watermark 19:00 in force for batch 2.
+    input.addData(
+      event(1, "2024-01-01 10:00:00", 1, "purchase", 5.0),
+      event(2, "2024-01-01 10:30:00", 1, "click", 0.0),
+      event(7, "2024-01-01 19:00:00", 2, "purchase", 7.0),
+      event(9, "2024-01-01 11:00:00", 3, "click", 0.0),
+      event(11, "2024-01-01 19:40:00", 4, "click", 0.0),
+      event(3, "2024-01-01 20:00:00", 9, "click", 0.0),
+      event(4, "2024-01-01 20:00:00", 9, "purchase", 9.0))
+    q.processAllAvailable()
+    // Batch 2 (all event-time late): click 5 and purchase 8 are behind
+    // the 19:00 watermark -> dropped on their own side (no pair with the
+    // state rows they would otherwise match); click 6 and purchase 10
+    // are late but in-watermark -> each matches the other side's state.
+    input.addData(
+      event(5, "2024-01-01 10:40:00", 1, "click", 0.0),
+      event(6, "2024-01-01 19:30:00", 2, "click", 0.0),
+      event(8, "2024-01-01 10:50:00", 3, "purchase", 3.0),
+      event(10, "2024-01-01 19:10:00", 4, "purchase", 4.0))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("join_late_probe")
+      .select("click_id", "purchase_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == Set((2L, 1L), (3L, 4L), (6L, 7L), (11L, 10L)), got.toString)
+  }
+
   test("lateWavedEventsStream displaces exactly the event_id % 10 rows one wave later") {
     val dir = "/root/testdata/sf0.001"
     val st = graft.io.Tables.lateWavedEventsStream(spark, dir, nWaves = 4)
