@@ -145,6 +145,79 @@ class PlanContractSpec extends SparkSpec {
     assert(!p.contains("SinglePartition"), "pair dedup must stay distributed")
   }
 
+  // ---- streaming plan contracts (round 8): the 15+1 streaming gates'
+  // load-bearing plan properties. Logical pins read the unstarted
+  // stream's analyzed plan; runtime pins drive one micro-batch through
+  // a MemoryStream and read the progress' state operators — the names
+  // distinguish watermark-bounded state from the unbounded variants
+  // (e.g. dedupeWithinWatermark vs dedupe), which is exactly the 100 TB
+  // property a refactor could silently lose.
+
+  test("streaming watermark nodes: present on every stateful path, both join sides") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val evs = io.Tables.eventsStream(spark, dir)
+    def analyzed(df: org.apache.spark.sql.DataFrame): String =
+      df.queryExecution.analyzed.toString
+    assert(analyzed(graft.streaming.EventStreams.tumblingAgg(evs))
+      .contains("EventTimeWatermark"))
+    assert(analyzed(graft.streaming.EventStreams.dedupStream(evs))
+      .contains("EventTimeWatermark"))
+    assert(analyzed(graft.streaming.EventStreams.sessionize(
+        evs.select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
+          col("value")).as[graft.streaming.EventStreams.Event],
+        gapMs = 1800000L).toDF())
+      .contains("EventTimeWatermark"))
+    val join = analyzed(graft.streaming.EventStreams.clickPurchaseJoin(evs))
+    assert("EventTimeWatermark".r.findAllIn(join).size == 2,
+      "both join sides must carry a watermark (unbounded join state otherwise)")
+  }
+
+  test("streaming state operators: bounded-state names and counts; join is symmetric-hash, never cartesian") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import graft.streaming.EventStreams
+    import EventStreams.Event
+    def ev(id: Long, t: String, u: Long, typ: String) =
+      Event(id, java.sql.Timestamp.valueOf(t), u, typ, 1.0)
+    def probe(name: String)(mk: org.apache.spark.sql.DataFrame =>
+        org.apache.spark.sql.DataFrame): (Seq[String], String) = {
+      val input =
+        org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Event]
+      input.addData(
+        ev(1, "2024-01-01 10:00:00", 1, "purchase"),
+        ev(2, "2024-01-01 10:30:00", 1, "click"),
+        ev(3, "2024-01-01 12:00:00", 2, "view"))
+      val q = mk(input.toDF()).writeStream.format("memory").queryName(name)
+        .outputMode("append").start()
+      q.processAllAvailable()
+      val names = Option(q.lastProgress).toSeq
+        .flatMap(_.stateOperators.map(_.operatorName))
+      val buf = new java.io.ByteArrayOutputStream()
+      Console.withOut(new java.io.PrintStream(buf)) { q.explain() }
+      q.stop()
+      (names, buf.toString)
+    }
+    val (aggOps, _) = probe("sp_agg")(EventStreams.tumblingAgg(_))
+    assert(aggOps == Seq("stateStoreSave"), s"agg state operators: $aggOps")
+    val (dedupOps, _) = probe("sp_dedup")(EventStreams.dedupStream(_))
+    assert(dedupOps == Seq("dedupeWithinWatermark"),
+      s"dedup state must be watermark-bounded, got: $dedupOps")
+    val (sessOps, _) = probe("sp_sess") { df =>
+      import spark.implicits._
+      import org.apache.spark.sql.functions.col
+      EventStreams.sessionize(
+        df.select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
+          col("value")).as[Event], gapMs = 1800000L).toDF()
+    }
+    assert(sessOps == Seq("flatMapGroupsWithState"), s"session state: $sessOps")
+    val (joinOps, joinPlan) = probe("sp_join")(EventStreams.clickPurchaseJoin(_))
+    assert(joinOps == Seq("symmetricHashJoin"), s"join state: $joinOps")
+    assert(joinPlan.contains("StreamingSymmetricHashJoin"), joinPlan.take(400))
+    assert(!joinPlan.contains("Cartesian") && !joinPlan.contains("BroadcastNestedLoop"),
+      "stream-stream join must never degrade to a cartesian shape")
+  }
+
   test("DSv2 source plan carries pruned columns and pruned symbols") {
     val p = plan("source_http_dsv2")
     // Column pruning reached the scan (4 of 9 bronze fields)…
