@@ -240,6 +240,139 @@ object VectorExpressions {
     override def prettyName: String = "graft_int8_quantize"
   }
 
+  /** All random-hyperplane LSH bucket ids for a vector in ONE pass:
+    * `tables` hash tables of `nbits` sign bits each, planes supplied as a
+    * flattened `[table][bit][pos]` coefficient array. Semantically
+    * identical to `tables x nbits` independent [[DotProduct]]-vs-literal-
+    * plane sign tests (same left-to-right double accumulation over the
+    * `min(|vec|, dim)` prefix; a null element zeroes every bucket exactly
+    * as a null dot falls into the `otherwise(0)` branch of the unfused
+    * form) — but the vector is loaded from its ArrayData ONCE instead of
+    * `tables x nbits` times, and the generated code is one compact
+    * triple loop instead of `tables x nbits` unrolled loop bodies. At
+    * nbits 17 x 3 tables the unfused form emits 51 loops per row — the
+    * fused kernel measured materially cheaper on the bucket-build stage
+    * of multi-million-vector corpora and keeps the method far below the
+    * JIT HugeMethodLimit.
+    */
+  case class LshBuckets(child: Expression, planes: Array[Double],
+                        tables: Int, nbits: Int, dim: Int)
+      extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+    require(planes.length == tables * nbits * dim,
+      s"planes length ${planes.length} != tables*nbits*dim ${tables * nbits * dim}")
+
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+    override def nullable: Boolean = child.nullable
+
+    override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+      child.dataType match {
+        case ArrayType(_: NumericType, _) =>
+          org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+        case other =>
+          org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+            s"graft_lsh_buckets requires a numeric array, got $other")
+      }
+
+    private def elemType: NumericType =
+      child.dataType.asInstanceOf[ArrayType].elementType.asInstanceOf[NumericType]
+
+    override def nullSafeEval(input: Any): Any = {
+      val arr = input.asInstanceOf[ArrayData]
+      val n = math.min(arr.numElements(), dim)
+      val xs = new Array[Double](n)
+      var i = 0
+      while (i < n) {
+        // Null element -> every per-bit dot is null -> every bit falls in
+        // the unfused form's otherwise(0) branch -> all buckets 0.
+        if (arr.isNullAt(i)) return zeroBuckets(tables)
+        xs(i) = elemType match {
+          case FloatType => arr.getFloat(i).toDouble
+          case DoubleType => arr.getDouble(i)
+          case IntegerType => arr.getInt(i).toDouble
+          case LongType => arr.getLong(i).toDouble
+          case ShortType => arr.getShort(i).toDouble
+          case ByteType => arr.getByte(i).toDouble
+          case d: DecimalType => arr.getDecimal(i, d.precision, d.scale).toDouble
+        }
+        i += 1
+      }
+      VectorExpressions.lshBucketsRow(xs, planes, tables, nbits, dim)
+    }
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val planesRef = ctx.addReferenceObj("lshPlanes", planes, "double[]")
+      val getter: (String, String) => String = (buf, idx) => elemType match {
+        case FloatType => s"(double) $buf.getFloat($idx)"
+        case DoubleType => s"$buf.getDouble($idx)"
+        case IntegerType => s"(double) $buf.getInt($idx)"
+        case LongType => s"(double) $buf.getLong($idx)"
+        case ShortType => s"(double) $buf.getShort($idx)"
+        case ByteType => s"(double) $buf.getByte($idx)"
+        case d: DecimalType => s"$buf.getDecimal($idx, ${d.precision}, ${d.scale}).toDouble()"
+      }
+      nullSafeCodeGen(ctx, ev, a => {
+        val i = ctx.freshName("i")
+        val n = ctx.freshName("n")
+        val xs = ctx.freshName("xs")
+        val anyNull = ctx.freshName("anyNull")
+        s"""
+           |int $n = java.lang.Math.min($a.numElements(), $dim);
+           |boolean $anyNull = false;
+           |double[] $xs = new double[$n];
+           |for (int $i = 0; $i < $n; $i++) {
+           |  if ($a.isNullAt($i)) { $anyNull = true; break; }
+           |  $xs[$i] = ${getter(a, i)};
+           |}
+           |${ev.value} = $anyNull
+           |  ? graft.functions.VectorExpressions.zeroBuckets($tables)
+           |  : graft.functions.VectorExpressions.lshBucketsRow($xs, $planesRef, $tables, $nbits, $dim);
+         """.stripMargin
+      })
+    }
+
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+
+    override def prettyName: String = "graft_lsh_buckets"
+  }
+
+  /** Kernel shared by [[LshBuckets]]'s eval and codegen paths: one bucket
+    * id per table, bit b of table t set iff the (t,b) plane's dot with the
+    * vector prefix is strictly positive.
+    */
+  def lshBucketsRow(xs: Array[Double], planes: Array[Double],
+                    tables: Int, nbits: Int, dim: Int): ArrayData = {
+    val out = new Array[Long](tables)
+    val n = xs.length
+    var t = 0
+    while (t < tables) {
+      var bucket = 0L
+      var b = 0
+      while (b < nbits) {
+        val base = (t * nbits + b) * dim
+        var acc = 0.0
+        var p = 0
+        while (p < n) { acc += xs(p) * planes(base + p); p += 1 }
+        if (acc > 0) bucket |= 1L << b
+        b += 1
+      }
+      out(t) = bucket
+      t += 1
+    }
+    org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(out)
+  }
+
+  /** All-zero bucket array (the null-element result — see [[LshBuckets]]). */
+  def zeroBuckets(tables: Int): ArrayData =
+    org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(new Array[Long](tables))
+
+  /** Column-level fused multi-table LSH bucketing (see [[LshBuckets]]). */
+  def lshBuckets(vec: Column, planes: Array[Double], tables: Int,
+                 nbits: Int, dim: Int): Column =
+    GraftShims.column(LshBuckets(GraftShims.expression(vec), planes, tables, nbits, dim))
+
   /** Kernel shared by [[Int8Quantize]]'s eval and codegen paths. */
   def quantizeRow(xs: Array[Double]): InternalRow = {
     var maxAbs = 0.0

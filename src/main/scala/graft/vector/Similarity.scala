@@ -219,13 +219,9 @@ object Similarity {
     require(seeds.nonEmpty, "lshNearDupPairs needs at least one hash-table seed")
     val base = corpus.select(col(idCol).as("id"), col(vecCol).as("v"))
       .withColumn("nrm", sqrt(dot(col("v"), col("v"))))
-    val tables = array(seeds.zipWithIndex.map { case (s, i) =>
-      struct(lit(i).as("tbl"), lshBucket(col("v"), dim, nbits, s).as("bucket"))
-    }: _*)
     val bucketed = base
-      .select(col("id"), col("v"), col("nrm"), explode(tables).as("tb"))
       .select(col("id"), col("v"), col("nrm"),
-        col("tb.tbl").as("tbl"), col("tb.bucket").as("bucket"))
+        posexplode(lshBucketsAll(col("v"), dim, nbits, seeds)).as(Seq("tbl", "bucket")))
     bucketed.select(col("id").as("doc_a"), col("v").as("va"), col("nrm").as("na"),
         col("tbl"), col("bucket"))
       .join(bucketed.select(col("id").as("doc_b"), col("v").as("vb"), col("nrm").as("nb"),
@@ -246,14 +242,10 @@ object Similarity {
                      dim: Int, nbits: Int = 8,
                      seeds: Seq[Long] = Seq(42L)): DataFrame = {
     require(seeds.nonEmpty, "lshBucketTable needs at least one hash-table seed")
-    val tables = array(seeds.zipWithIndex.map { case (s, i) =>
-      struct(lit(i).as("tbl"), lshBucket(col("v"), dim, nbits, s).as("bucket"))
-    }: _*)
     corpus.select(col(idCol).as("id"), col(vecCol).as("v"))
       .withColumn("nrm", sqrt(dot(col("v"), col("v"))))
-      .select(col("id"), col("v"), col("nrm"), explode(tables).as("tb"))
       .select(col("id"), col("v"), col("nrm"),
-        col("tb.tbl").as("tbl"), col("tb.bucket").as("bucket"))
+        posexplode(lshBucketsAll(col("v"), dim, nbits, seeds)).as(Seq("tbl", "bucket")))
   }
 
   /** Incremental embedding near-dup: a NEW vector batch against the
@@ -298,7 +290,9 @@ object Similarity {
     * previous form — a statically unrolled `element_at` chain of dim x
     * nbits terms — is exactly the HugeMethodLimit JIT-killing anti-pattern
     * VectorExpressions documents: it benchmarked 4x slower than even the
-    * exact O(n^2) tier.)
+    * exact O(n^2) tier.) Single-table form; the bucketing paths use the
+    * fused [[lshBucketsAll]], which computes every table in one vector
+    * pass with bit-identical results (pinned in SimilaritySpec).
     */
   def lshBucket(vec: Column, dim: Int, nbits: Int = 8, seed: Long = 42L): Column = {
     val bits = (0 until nbits).map { b =>
@@ -307,6 +301,55 @@ object Similarity {
     }
     bits.reduce((a, c) => a.bitwiseOR(c))
   }
+
+  /** Flattened `[table][bit][pos]` hyperplane coefficients for the fused
+    * bucketing kernel — same [[hyperplaneCoef]] planes as [[lshBucket]].
+    */
+  def planesFor(dim: Int, nbits: Int, seeds: Seq[Long]): Array[Double] = {
+    val planes = new Array[Double](seeds.size * nbits * dim)
+    for ((s, t) <- seeds.zipWithIndex; b <- 0 until nbits; p <- 0 until dim)
+      planes((t * nbits + b) * dim + p) = hyperplaneCoef(s, b, p)
+    planes
+  }
+
+  /** All hash-table bucket ids for a vector as `array<long>` (index =
+    * table), via the one-pass codegen'd
+    * [[graft.functions.VectorExpressions.LshBuckets]] kernel —
+    * bit-identical to `seeds.map(lshBucket(vec, dim, nbits, _))`.
+    */
+  def lshBucketsAll(vec: Column, dim: Int, nbits: Int, seeds: Seq[Long]): Column =
+    graft.functions.VectorExpressions.lshBuckets(
+      vec, planesFor(dim, nbits, seeds), seeds.size, nbits, dim)
+
+  /** Bucket-count knob sized to the corpus, not a constant — the
+    * `shuffle.partitions` of ANN (SCALE.md). Buckets-per-table ~
+    * n / targetOccupancy, so expected candidate pairs stay ~linear in n
+    * (sum over buckets of occ^2/2 ~ n * targetOccupancy / 2 per table)
+    * instead of n^2 / 2^nbits under a fixed nbits. Clamped to [minBits,
+    * maxBits]; ceil keeps occupancy <= target (the error side that
+    * over-partitions, never the side that lets candidates go quadratic).
+    */
+  def autoNbits(n: Long, targetOccupancy: Int = 16,
+                minBits: Int = 8, maxBits: Int = 24): Int = {
+    require(n > 0 && targetOccupancy > 0, "autoNbits needs positive n and occupancy")
+    val bits = math.ceil(math.log(n.toDouble / targetOccupancy) / math.log(2.0)).toInt
+    math.min(maxBits, math.max(minBits, bits))
+  }
+
+  /** Candidate-generation diagnostics over a [[lshBucketTable]]: per hash
+    * table, the occupied-bucket count, the max occupancy, and the exact
+    * candidate-pair count the verify stage will score (sum over buckets of
+    * occ*(occ-1)/2). This is the number to watch when sizing `nbits`: the
+    * verify cost is candidate_pairs x one cosine, so candidates/true-pairs
+    * is the LSH overshoot ratio (SCALE.md tracks it across corpus scales).
+    */
+  def lshBucketStats(buckets: DataFrame): DataFrame =
+    buckets.groupBy(col("tbl"), col("bucket")).agg(count(lit(1)).as("occ"))
+      .groupBy(col("tbl")).agg(
+        count(lit(1)).as("n_buckets"),
+        max(col("occ")).as("max_occ"),
+        sum((col("occ") * (col("occ") - lit(1))).cast(LongType) / 2)
+          .cast(LongType).as("candidate_pairs"))
 
   /** Deterministic hyperplane coefficient for (seed, bit, pos): splitmix-
     * style integer mix mapped to [-1, 1). Public so independent

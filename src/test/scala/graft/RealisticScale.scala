@@ -148,12 +148,29 @@ object RealisticProbe {
     if (!skipExactEmb)
       timed("dedup_embedding_exact")(
         Similarity.nearDupPairs(embs, "vec_id", "embedding", threshold = 0.99))
-    // Buckets sized to the corpus: ~2^nbits buckets per table should keep
-    // bucket occupancy ~tens, the knob a real deployment scales with n.
-    val nbits = if (nVecs > 100000) 14 else 10
+    // Buckets auto-sized to the corpus (buckets-per-table ~ n/16) so the
+    // candidate set stays ~linear in n — the knob a real deployment
+    // scales with n, now codified as Similarity.autoNbits.
+    val nbits = Similarity.autoNbits(nVecs)
+    val lshSeeds = Seq(42L, 43L, 44L)
     timed("dedup_embedding_lsh")(
       Similarity.lshNearDupPairs(embs, "vec_id", "embedding", dim = 64,
-        threshold = 0.99, nbits = nbits, seeds = Seq(42L, 43L, 44L)))
+        threshold = 0.99, nbits = nbits, seeds = lshSeeds))
+    // Candidate-generation diagnostics: the verify stage scores exactly
+    // candidate_pairs cosines, so candidates/true-pairs is the overshoot
+    // ratio SCALE.md tracks across corpus scales.
+    val stats = Similarity.lshBucketStats(
+      Similarity.lshBucketTable(embs, "vec_id", "embedding", dim = 64,
+        nbits = nbits, seeds = lshSeeds))
+      .orderBy(col("tbl")).collect()
+    val totalCand = stats.map(_.getAs[Long]("candidate_pairs")).sum
+    val truePairs = nVecs / 100 + (nVecs + 49) / 100
+    stats.foreach { r =>
+      println(s"""{"probe":"lsh_buckets","tbl":${r.getAs[Int]("tbl")},"nbits":$nbits,""" +
+        s""""n_buckets":${r.getAs[Long]("n_buckets")},"max_occ":${r.getAs[Long]("max_occ")},""" +
+        s""""candidate_pairs":${r.getAs[Long]("candidate_pairs")}}""")
+    }
+    println(f"""{"probe":"lsh_candidates","nbits":$nbits,"total_candidates":$totalCand,"true_pairs":$truePairs,"overshoot":${totalCand.toDouble / truePairs}%.1f}""")
     spark.stop()
   }
 }

@@ -133,4 +133,54 @@ class SimilaritySpec extends SparkSpec {
     assert(got(0L) == got(1L))
     assert(got(0L) != got(2L)) // opposite vectors flip every sign bit
   }
+
+  test("fused lshBucketsAll is bit-identical to per-seed lshBucket") {
+    val seeds = Seq(42L, 43L, 44L)
+    val rnd = new scala.util.Random(7)
+    // Random vectors plus edge shapes: shorter and longer than dim (the
+    // kernel buckets over the min(|vec|, dim) prefix, like the dot form).
+    val rows = (0L until 200L).map(i => (i, Array.fill(5)(rnd.nextFloat() * 2 - 1))) ++
+      Seq((900L, Array.fill(3)(rnd.nextFloat())), (901L, Array.fill(8)(rnd.nextFloat())))
+    val df = rows.toDF("id", "v")
+    val unfused = df.select(col("id"),
+      array(seeds.map(s => Similarity.lshBucket(col("v"), dim = 5, nbits = 7, seed = s)): _*).as("b"))
+    val fused = df.select(col("id"),
+      Similarity.lshBucketsAll(col("v"), dim = 5, nbits = 7, seeds).as("b"))
+    val u = unfused.collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val f = fused.collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(f == u)
+    // A null element zeroes every bucket (the unfused otherwise(0) branch).
+    val nulled = Seq((0L, Array[java.lang.Float](1.0f, null, 2.0f, 3.0f, 4.0f)))
+      .toDF("id", "v")
+      .select(Similarity.lshBucketsAll(col("v"), dim = 5, nbits = 7, seeds).as("b"))
+      .collect().head.getSeq[Long](0)
+    assert(nulled == Seq(0L, 0L, 0L))
+  }
+
+  test("autoNbits tracks corpus size at fixed occupancy, clamped") {
+    assert(Similarity.autoNbits(20000L) == 11)
+    assert(Similarity.autoNbits(200000L) == 14)
+    assert(Similarity.autoNbits(2000000L) == 17)
+    assert(Similarity.autoNbits(10L) == 8)          // floor clamp
+    assert(Similarity.autoNbits(Long.MaxValue) == 24) // ceiling clamp
+    // One decade adds ~log2(10) bits: buckets track n, occupancy stays flat.
+    assert(Similarity.autoNbits(2000000L) - Similarity.autoNbits(20000L) == 6)
+  }
+
+  test("lshBucketStats counts the exact verify-stage candidate pairs") {
+    val df = Seq((0L, Array(1.0f, 2.0f, 3.0f)), (1L, Array(1.0f, 2.0f, 3.0f)),
+      (2L, Array(1.1f, 2.1f, 3.1f)), (3L, Array(-1.0f, -2.0f, -3.0f)))
+      .toDF("vec_id", "embedding")
+    val bt = Similarity.lshBucketTable(df, "vec_id", "embedding", dim = 3,
+      nbits = 2, seeds = Seq(42L))
+    val stats = Similarity.lshBucketStats(bt).collect()
+    assert(stats.length == 1)
+    val candidates = stats.head.getAs[Long]("candidate_pairs")
+    // Exact candidate count: sum over buckets of occ*(occ-1)/2, which must
+    // equal the number of same-bucket (a<b) pairs the verify join scores.
+    val manual = bt.select(col("id").as("a"), col("bucket"))
+      .join(bt.select(col("id").as("b"), col("bucket")), Seq("bucket"))
+      .where(col("a") < col("b")).count()
+    assert(candidates == manual)
+  }
 }
