@@ -1,0 +1,559 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.io.Tables
+import graft.ops.{AsOf, BloomPrune, Merge, Normalize, Quality, Recall, Reshape, Summary, Windows}
+import graft.text.{Dedup, TextAnalysis}
+import graft.vector.Similarity
+import graft.multimodal.BinaryOps
+
+/** Gate registry — event-time batch twins and Structured Streaming gates (SURVEY.md §2.10).
+  * Entries moved verbatim from the former monolithic [[Queries]];
+  * [[Queries]] merges the family registries. */
+private[graft] object QueriesStreaming {
+
+  import QueriesShared._
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "events_tumbling" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("cnt"),
+          sum(col("value").cast(DecimalType(18, 6))).cast(DoubleType).as("sum_value"))
+        .select(col("window.start").as("hour_start"), col("event_type"),
+          col("cnt"), col("sum_value"))),
+
+    // REAL Structured Streaming execution in the gate (not just the batch
+    // twin): file-stream source over the events table, watermarked
+    // tumbling aggregate, AvailableNow trigger, parquet sink. Append mode
+    // emits exactly the windows the final watermark (= max event time at
+    // 0s delay) has closed, so the oracle is the batch aggregate minus
+    // windows whose end is past the last event.
+    "streaming_tumbling_live" -> ((s, dir) => {
+      val ckpt = graft.util.Scratch.dir("graft_stream_ck")
+      val out = graft.util.Scratch.dir("graft_stream_out") + "/agg"
+      withShufflePartitions(s, 8) {
+        val q = graft.streaming.EventStreams
+          .tumblingAgg(Tables.eventsStream(s, dir), watermark = "0 seconds")
+          .writeStream.outputMode("append")
+          .option("checkpointLocation", ckpt)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .format("parquet").option("path", out).start()
+        q.awaitTermination()
+      }
+      s.read.parquet(out)
+        .select(col("hour_start"), col("event_type"), col("cnt"),
+          col("sum_value").cast(DoubleType).as("sum_value"))
+    }),
+
+    // Sliding 2-hour windows on a 1-hour slide: each event lands in two
+    // overlapping windows (streaming-compatible semantics in batch).
+    "events_sliding" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .groupBy(window(col("ts"), "2 hours", "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("cnt"),
+          sum(col("value").cast(DecimalType(18, 6))).cast(DoubleType).as("sum_value"))
+        .select(col("window.start").as("win_start"), col("event_type"),
+          col("cnt"), col("sum_value"))),
+
+    // Backward as-of join (SURVEY.md §7.6): each click gets the latest
+    // prior purchase value of the same user. Single-shuffle union+window
+    // form — no range explosion on hot keys.
+    "events_sessionize" -> ((s, dir) => batchSessions(s, dir)),
+
+    // SQL-surface parity: the same engine running `spark.sql` over temp
+    // views (per-nation revenue by quarter — the flagship shape in SQL).
+    "streaming_dedup_incremental_live" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val waveDir = Tables.stageWaves(s, docs, pmod(col("doc_id"), lit(2)), 2, "graft_incw")
+      val stream = s.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", "1").parquet(waveDir)
+      val statePath = graft.util.Scratch.dir("graft_incw_state") + "/index"
+      val acceptedPath = graft.util.Scratch.dir("graft_incw_acc") + "/accepted"
+      val ckpt = graft.util.Scratch.dir("graft_incw_ck")
+      withShufflePartitions(s, 8) {
+        graft.streaming.EventStreams.corpusDedupSink(stream, "doc_id", "text",
+          statePath, acceptedPath, ckpt).awaitTermination()
+      }
+      s.read.parquet(acceptedPath)
+    }),
+
+    // Streaming cluster-label maintenance: the LIVE twin of
+    // dedup_cluster_reps_incremental. The same two waves (evens, then
+    // odds) flow through corpusLabelSink — wave 0 with empty state is a
+    // full CC over the history half, wave 1 folds the batch through the
+    // contracted graph and writes only the batch + changed-label rows.
+    // The reconstructed latest-delta-per-doc labeling must hash-match
+    // the SAME full-recompute fixpoint oracle as the batch gate.
+    "streaming_cluster_labels_live" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val waveDir = Tables.stageWaves(s, docs, pmod(col("doc_id"), lit(2)), 2, "graft_lblw")
+      val stream = s.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", "1").parquet(waveDir)
+      val statePath = graft.util.Scratch.dir("graft_lblw_state") + "/index"
+      val labelsPath = graft.util.Scratch.dir("graft_lblw_lbl") + "/labels"
+      val ckpt = graft.util.Scratch.dir("graft_lblw_ck")
+      withShufflePartitions(s, 8) {
+        graft.streaming.EventStreams.corpusLabelSink(stream, "doc_id", "text",
+          statePath, labelsPath, ckpt).awaitTermination()
+      }
+      graft.ops.Windows.topKPerGroup(s.read.parquet(labelsPath),
+          Seq("doc_id"), Seq(col("wave").desc), k = 1)
+        .select(col("doc_id"), col("rep"))
+    }),
+
+    // The SAME ingest killed mid-run and restarted: an injected failure
+    // in wave 1 lands at the worst point — the accepted wave is already
+    // committed, the index waves are not — then a second run from the
+    // unchanged checkpoint REPLAYS wave 1 (foreachBatch is
+    // at-least-once). The replay-safe sink (wave-keyed dynamic
+    // overwrite, state reads excluding the current wave) must converge
+    // to the identical accepted set: the oracle is the same as the
+    // uninterrupted run's.
+    "streaming_dedup_restart" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val waveDir = Tables.stageWaves(s, docs, pmod(col("doc_id"), lit(2)), 2, "graft_rsw")
+      def stream = s.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", "1").parquet(waveDir)
+      val statePath = graft.util.Scratch.dir("graft_rsw_state") + "/index"
+      val acceptedPath = graft.util.Scratch.dir("graft_rsw_acc") + "/accepted"
+      val ckpt = graft.util.Scratch.dir("graft_rsw_ck")
+      val tripped = new java.util.concurrent.atomic.AtomicBoolean(false)
+      val chaos: Long => Unit = b =>
+        if (b == 1L && tripped.compareAndSet(false, true))
+          throw new RuntimeException(
+            "injected: accepted wave committed, index waves lost")
+      withShufflePartitions(s, 8) {
+        val q1 = graft.streaming.EventStreams.corpusDedupSink(stream, "doc_id",
+          "text", statePath, acceptedPath, ckpt, chaosAfterAccept = chaos)
+        try { q1.awaitTermination(); throw new IllegalStateException(
+          "streaming_dedup_restart: the injected failure never fired")
+        } catch {
+          case e: org.apache.spark.sql.streaming.StreamingQueryException
+            if e.getMessage.contains("injected") => () // the planned crash
+        }
+        graft.streaming.EventStreams.corpusDedupSink(stream, "doc_id", "text",
+          statePath, acceptedPath, ckpt, chaosAfterAccept = chaos)
+          .awaitTermination()
+      }
+      s.read.parquet(acceptedPath)
+    }),
+
+    // Sketch-based near-dup. Gate configuration uses the md5-derived
+    // 60-bit term hash (Dedup.Md5Hash60) so DuckDB can replicate the
+    // MinHash signatures, banding, and verification EXACTLY; production
+    // default stays xxhash64.
+    "interval_join_sessions" -> ((s, dir) => {
+      val sess = batchSessions(s, dir)
+        .select(col("user_id"), col("session_seq"),
+          col("session_start"), col("session_end"))
+      val ev = Tables.events(s, dir).select(col("user_id"), col("event_id"), col("ts"))
+      graft.ops.RangeJoin.intervalJoin(ev, sess, Seq("user_id"), "ts",
+          "session_start", "session_end", binWidth = 3600L * 1000000L)
+        .select(col("event_id"), col("user_id"), col("ts"), col("session_seq"))
+    }),
+
+    // ---- per-key quota cap ------------------------------------------------
+    // First-N-per-key cap (per-domain / per-user quota of corpus
+    // curation): WindowGroupLimit keeps k rows per group in memory.
+    "streaming_dedup_live" -> ((s, dir) => {
+      val ckpt = graft.util.Scratch.dir("graft_sdedup_ck")
+      val out = graft.util.Scratch.dir("graft_sdedup_out") + "/t"
+      withShufflePartitions(s, 8) {
+        val q = graft.streaming.EventStreams
+          .dedupStream(Tables.eventsStream(s, dir), watermark = "2 hours")
+          .select(col("event_id"), col("user_id"), col("event_type"),
+            col("ts"), col("value"))
+          .writeStream.outputMode("append")
+          .option("checkpointLocation", ckpt)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .format("parquet").option("path", out).start()
+        q.awaitTermination()
+      }
+      s.read.parquet(out)
+    }),
+
+    // ---- live custom-state sessionization ----------------------------------
+    // flatMapGroupsWithState executed for real. A session emits either
+    // when a later event of its user arrives past the gap, or when the
+    // trailing no-data batch fires its event-time timeout (set to last
+    // event ms + gap; Spark fires on timeout STRICTLY below the
+    // watermark — verified against FlatMapGroupsWithStateExec) — so only
+    // final sessions ending within the gap of the stream's max timestamp
+    // stay in state. The oracle expresses exactly that set. total_value
+    // is a sequential fold in (ts, event_id) order on both engines
+    // (DuckDB's ordered SUM is the same left fold — verified). The gate
+    // relies on the file source delivering all files in ONE batch
+    // (maxFilesPerTrigger unset — see EventStreams.sessionize's
+    // single-wave ordering contract).
+    "streaming_sessionize_live" -> ((s, dir) => {
+      import s.implicits._
+      val ckpt = graft.util.Scratch.dir("graft_ssess_ck")
+      val out = graft.util.Scratch.dir("graft_ssess_out") + "/t"
+      val evs = Tables.eventsStream(s, dir)
+        .select(col("event_id"), col("ts"), col("user_id"),
+          col("event_type"), col("value"))
+        .as[graft.streaming.EventStreams.Event]
+      withShufflePartitions(s, 8) {
+        val q = graft.streaming.EventStreams.sessionize(evs, gapMs = 30L * 60 * 1000)
+          .toDF()
+          .writeStream.outputMode("append")
+          .option("checkpointLocation", ckpt)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .format("parquet").option("path", out).start()
+        q.awaitTermination()
+      }
+      s.read.parquet(out)
+    }),
+
+    // ---- live incremental MERGE sink ---------------------------------------
+    // foreachBatch MERGE into Parquet state, executed for real: the
+    // winner per key is a total order over state AND batch, so the final
+    // state equals a batch last-write-wins dedup over all events no
+    // matter how the stream micro-batched (the convergence contract).
+    "streaming_merge_live" -> ((s, dir) => {
+      val ckpt = graft.util.Scratch.dir("graft_smerge_ck")
+      val statePath = graft.util.Scratch.dir("graft_smerge_state") + "/state"
+      withShufflePartitions(s, 8) {
+        val q = graft.streaming.EventStreams.mergeSink(
+          Tables.eventsStream(s, dir)
+            .select(col("user_id"), col("event_type"), col("event_id"),
+              col("ts"), col("value")),
+          statePath, keys = Seq("user_id", "event_type"),
+          precedence = Seq(col("ts").desc, col("event_id").desc),
+          checkpoint = ckpt)
+        q.awaitTermination()
+      }
+      s.read.parquet(statePath)
+    }),
+
+    // ---- multi-wave delivery twins ----------------------------------------
+    // The same sessionize / merge pipelines driven through the waved
+    // fixture (Tables.wavedEventsStream): three time-ordered micro-batches
+    // via maxFilesPerTrigger=1, so sessions span batches, event-time
+    // timeouts fire BETWEEN batches as the watermark advances wave to
+    // wave, and the merge folds three partial states. The oracles are
+    // IDENTICAL to the _live twins: re-batching must not change a single
+    // answer — that is the cross-micro-batch state contract.
+    "streaming_sessionize_waves" -> ((s, dir) => {
+      import s.implicits._
+      val ckpt = graft.util.Scratch.dir("graft_ssessw_ck")
+      val out = graft.util.Scratch.dir("graft_ssessw_out") + "/t"
+      val evs = Tables.wavedEventsStream(s, dir, nWaves = 3)
+        .select(col("event_id"), col("ts"), col("user_id"),
+          col("event_type"), col("value"))
+        .as[graft.streaming.EventStreams.Event]
+      withShufflePartitions(s, 8) {
+        val q = graft.streaming.EventStreams.sessionize(evs, gapMs = 30L * 60 * 1000)
+          .toDF()
+          .writeStream.outputMode("append")
+          .option("checkpointLocation", ckpt)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .format("parquet").option("path", out).start()
+        q.awaitTermination()
+      }
+      s.read.parquet(out)
+    }),
+
+    "streaming_merge_waves" -> ((s, dir) => {
+      val ckpt = graft.util.Scratch.dir("graft_smergew_ck")
+      val statePath = graft.util.Scratch.dir("graft_smergew_state") + "/state"
+      withShufflePartitions(s, 8) {
+        val q = graft.streaming.EventStreams.mergeSink(
+          Tables.wavedEventsStream(s, dir, nWaves = 3)
+            .select(col("user_id"), col("event_type"), col("event_id"),
+              col("ts"), col("value")),
+          statePath, keys = Seq("user_id", "event_type"),
+          precedence = Seq(col("ts").desc, col("event_id").desc),
+          checkpoint = ckpt)
+        q.awaitTermination()
+      }
+      s.read.parquet(statePath)
+    }),
+
+    // ---- late/out-of-order delivery twins ---------------------------------
+    // The same pipelines driven through the LATE fixture
+    // (Tables.lateWavedEventsStream): every event_id % 10 == 0 row is
+    // delivered one wave after its event-time wave, so it arrives BEHIND
+    // the watermark the in-order waves advanced. With a 96-hour allowed
+    // lateness over ~7.5-day waves, roughly half the displaced rows are
+    // within the watermark (they must FOLD into open state) and half are
+    // beyond it (they must be DROPPED) — the two late-data behaviors the
+    // time-ordered waves fixture can never exercise. The oracles replicate
+    // the delivery schedule and per-wave watermark sequence exactly
+    // (boundary rules pinned by EventStreamsSpec's late-semantics probes).
+    "streaming_tumbling_late" -> ((s, dir) => {
+      val ckpt = graft.util.Scratch.dir("graft_stlate_ck")
+      val out = graft.util.Scratch.dir("graft_stlate_out") + "/agg"
+      withShufflePartitions(s, 8) {
+        val q = graft.streaming.EventStreams
+          .tumblingAgg(Tables.lateWavedEventsStream(s, dir, nWaves = 4),
+            watermark = "96 hours")
+          .writeStream.outputMode("append")
+          .option("checkpointLocation", ckpt)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .format("parquet").option("path", out).start()
+        q.awaitTermination()
+      }
+      s.read.parquet(out)
+        .select(col("hour_start"), col("event_type"), col("cnt"),
+          col("sum_value").cast(DoubleType).as("sum_value"))
+    }),
+
+    "streaming_sessionize_late" -> ((s, dir) => {
+      import s.implicits._
+      val ckpt = graft.util.Scratch.dir("graft_sslate_ck")
+      val out = graft.util.Scratch.dir("graft_sslate_out") + "/t"
+      val evs = Tables.lateWavedEventsStream(s, dir, nWaves = 4)
+        .select(col("event_id"), col("ts"), col("user_id"),
+          col("event_type"), col("value"))
+        .as[graft.streaming.EventStreams.Event]
+      withShufflePartitions(s, 8) {
+        val q = graft.streaming.EventStreams
+          .sessionize(evs, gapMs = 30L * 60 * 1000, watermark = "96 hours")
+          .toDF()
+          .writeStream.outputMode("append")
+          .option("checkpointLocation", ckpt)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .format("parquet").option("path", out).start()
+        q.awaitTermination()
+      }
+      s.read.parquet(out)
+    }),
+
+    "streaming_merge_late" -> ((s, dir) => {
+      val ckpt = graft.util.Scratch.dir("graft_smlate_ck")
+      val statePath = graft.util.Scratch.dir("graft_smlate_state") + "/state"
+      withShufflePartitions(s, 8) {
+        val q = graft.streaming.EventStreams.mergeSink(
+          Tables.lateWavedEventsStream(s, dir, nWaves = 4)
+            .select(col("user_id"), col("event_type"), col("event_id"),
+              col("ts"), col("value")),
+          statePath, keys = Seq("user_id", "event_type"),
+          precedence = Seq(col("ts").desc, col("event_id").desc),
+          checkpoint = ckpt)
+        q.awaitTermination()
+      }
+      s.read.parquet(statePath)
+    }),
+
+    // ---- live stream-stream interval join ---------------------------------
+    // Clicks joined to same-user purchases within the prior hour, both
+    // sides watermarked (bounded join state) — the streaming as-of window,
+    // executed for real and graded against the batch theta-join oracle.
+    "streaming_join_live" -> ((s, dir) => {
+      val ckpt = graft.util.Scratch.dir("graft_sjoin_ck")
+      val out = graft.util.Scratch.dir("graft_sjoin_out") + "/t"
+      withShufflePartitions(s, 8) {
+        val q = graft.streaming.EventStreams
+          .clickPurchaseJoin(Tables.eventsStream(s, dir), watermark = "2 hours")
+          .writeStream.outputMode("append")
+          .option("checkpointLocation", ckpt)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .format("parquet").option("path", out).start()
+        q.awaitTermination()
+      }
+      s.read.parquet(out)
+    }),
+
+    // Late/out-of-order twin of the stream-stream interval join: rows
+    // displaced two waves arrive behind the in-order waves' watermark.
+    // Each SIDE drops its sub-watermark late inputs (raw event time vs
+    // the global watermark — the min over both sides' per-type maxima);
+    // surviving late rows still match the other side's state, whose
+    // eviction bounds (click_ts < wm; purchase_ts < wm - 1h) provably
+    // never remove a row a surviving input could need (see the oracle's
+    // derivation comment). EventStreamsSpec pins the drop-vs-match rule
+    // per side on a controlled fixture.
+    "streaming_join_late" -> ((s, dir) => {
+      val ckpt = graft.util.Scratch.dir("graft_sjlate_ck")
+      val out = graft.util.Scratch.dir("graft_sjlate_out") + "/t"
+      withShufflePartitions(s, 8) {
+        val q = graft.streaming.EventStreams
+          .clickPurchaseJoin(Tables.lateWavedEventsStream(s, dir, nWaves = 4),
+            watermark = "96 hours")
+          .writeStream.outputMode("append")
+          .option("checkpointLocation", ckpt)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .format("parquet").option("path", out).start()
+        q.awaitTermination()
+      }
+      s.read.parquet(out)
+    })
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "events_tumbling" ->
+      """SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour_start, event_type, count(*) AS cnt,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY 1, 2""".stripMargin,
+
+    "streaming_tumbling_live" ->
+      """SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour_start, event_type,
+        |  count(*) AS cnt,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY 1, 2
+        |HAVING CAST(date_trunc('hour', ts) AS TIMESTAMP) + INTERVAL 1 HOUR
+        |  <= (SELECT max(CAST(ts AS TIMESTAMP)) FROM events)""".stripMargin,
+
+    "events_sliding" ->
+      """SELECT CAST(ws AS TIMESTAMP) AS win_start, event_type, count(*) AS cnt,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+        |FROM (
+        |  SELECT unnest([date_trunc('hour', ts) - INTERVAL 1 HOUR,
+        |                 date_trunc('hour', ts)]) AS ws,
+        |         event_type, value
+        |  FROM events)
+        |GROUP BY 1, 2""".stripMargin,
+
+    "events_sessionize" ->
+      """WITH f AS (
+        |  SELECT user_id, ts, event_id, value,
+        |    lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+        |  FROM events),
+        |g AS (
+        |  SELECT user_id, ts, event_id, value,
+        |    CASE WHEN prev_ts IS NULL
+        |           OR epoch_ms(ts) - epoch_ms(prev_ts) >= 1800000 THEN 1 ELSE 0 END AS new_session
+        |  FROM f),
+        |h AS (
+        |  SELECT user_id, ts, event_id, value,
+        |    SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+        |  FROM g)
+        |SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq,
+        |  CAST(MIN(ts) AS TIMESTAMP) AS session_start,
+        |  CAST(MAX(ts) AS TIMESTAMP) AS session_end,
+        |  count(*) AS n_events,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+        |FROM h GROUP BY 1, 2""".stripMargin,
+
+    "streaming_dedup_incremental_live" -> incrementalLiveOracleSql,
+    // Crash + replay must converge to the UNINTERRUPTED run's result —
+    // the whole point of the replay-safe sink. Same oracle by
+    // construction.
+    "streaming_dedup_restart" -> incrementalLiveOracleSql,
+
+    // Incremental replica: per-half indexes with per-half hot caps
+    // (matching the Spark side's independently-built state/batch
+    // indexes), batch self-pairs plus state x batch cross pairs.
+    "streaming_cluster_labels_live" -> incrementalClusterRepsOracleSql,
+
+
+    // Reachability fixpoint over the same pair graph: min reachable id
+    // per node == the propagation-converged representative.
+    "interval_join_sessions" ->
+      """WITH f AS (
+        |  SELECT user_id, ts, event_id,
+        |    lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+        |  FROM events),
+        |g AS (
+        |  SELECT user_id, ts, event_id,
+        |    CASE WHEN prev_ts IS NULL
+        |           OR epoch_ms(ts) - epoch_ms(prev_ts) >= 1800000 THEN 1 ELSE 0 END AS new_session
+        |  FROM f),
+        |h AS (
+        |  SELECT user_id, ts, event_id,
+        |    SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+        |  FROM g),
+        |sess AS (
+        |  SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq,
+        |    MIN(ts) AS session_start, MAX(ts) AS session_end
+        |  FROM h GROUP BY 1, 2)
+        |SELECT e.event_id, e.user_id, CAST(e.ts AS TIMESTAMP) AS ts, s.session_seq
+        |FROM events e JOIN sess s
+        |  ON e.user_id = s.user_id
+        | AND e.ts >= s.session_start AND e.ts <= s.session_end""".stripMargin,
+
+    "streaming_dedup_live" ->
+      """SELECT event_id, user_id, event_type, CAST(ts AS TIMESTAMP) AS ts, value
+        |FROM events""".stripMargin,
+
+    // Emitted sessions = sessions closed by a later event PLUS final
+    // sessions whose event-time timeout (last event ms + gap) fell
+    // STRICTLY before the final watermark (max event ms) — Spark's
+    // timeout predicate is `timeoutTimestamp < watermark`. Final
+    // sessions at or within the gap of the stream's max timestamp stay
+    // open. total_value replicated as DuckDB's ordered SUM (same left
+    // fold).
+    "streaming_sessionize_live" -> sessionizeEmittedOracleSql,
+    // Multi-wave delivery emits the SAME session set (see the gate).
+    "streaming_sessionize_waves" -> sessionizeEmittedOracleSql,
+
+
+    // The streaming merge converges to the batch last-write-wins dedup
+    // regardless of micro-batch boundaries.
+    "streaming_merge_live" -> mergeLwwOracleSql,
+    // Micro-batch boundaries (three waves here) cannot change the state.
+    "streaming_merge_waves" -> mergeLwwOracleSql,
+
+    // Late/out-of-order delivery: watermark semantics graded for real —
+    // beyond-watermark rows dropped, in-watermark late rows folded, the
+    // per-wave watermark sequence replicated in SQL.
+    "streaming_tumbling_late" -> tumblingLateOracleSql,
+    "streaming_sessionize_late" -> sessionizeLateOracleSql,
+    // No watermark on the merge path: out-of-order delivery must
+    // CONVERGE — precedence is a total order, so displaced rows cannot
+    // change the winner per key.
+    "streaming_merge_late" -> mergeLwwOracleSql,
+
+    // AvailableNow drains the source before the watermark can evict
+    // unmatched state, so the live join emits exactly the batch theta-join.
+    "streaming_join_live" ->
+      """SELECT c.event_id AS click_id, c.user_id, CAST(c.ts AS TIMESTAMP) AS click_ts,
+        |  p.event_id AS purchase_id, CAST(p.ts AS TIMESTAMP) AS purchase_ts,
+        |  p.value AS purchase_value
+        |FROM events c JOIN events p
+        |  ON c.event_type = 'click' AND p.event_type = 'purchase'
+        | AND p.user_id = c.user_id
+        | AND p.ts <= c.ts AND p.ts >= c.ts - INTERVAL 1 HOUR""".stripMargin,
+
+    // Late-delivery interval join. The join's global watermark is the
+    // MIN over the two sides' per-operator maxima (each side only sees
+    // its own event_type), with the same two-wave lag and ms flooring as
+    // the shared late CTEs. A delivered row is dropped iff its raw event
+    // time is behind the watermark in force at its delivered wave; a
+    // surviving pair is emitted iff BOTH endpoints survived their own
+    // delivery-time filter. State eviction needs no modeling: a
+    // surviving click has click_ts >= wm(v) >= every earlier eviction
+    // bound, and its purchases sit >= click_ts - 1h >= wm - 1h, above
+    // the purchase-side bound; symmetrically for late purchases — so no
+    // needed row is ever evicted before its partner arrives at these
+    // wave/watermark parameters.
+    "streaming_join_late" ->
+      """WITH e AS (SELECT event_id, user_id, event_type, value,
+        |        CAST(ts AS TIMESTAMP) AS tsv, epoch_ns(ts) AS tns,
+        |        epoch_us(CAST(ts AS TIMESTAMP)) AS tus
+        |      FROM events),
+        |b AS (SELECT min(tns) AS tmin, max(tns) - min(tns) + 1 AS span FROM e),
+        |d AS (SELECT e.*,
+        |        CASE WHEN event_id % 10 = 0
+        |             THEN least(CAST(((tns - b.tmin) * 4) // b.span AS INT) + 2, 3)
+        |             ELSE CAST(((tns - b.tmin) * 4) // b.span AS INT) END AS wv
+        |      FROM e, b),
+        |m AS (SELECT wv,
+        |        max(CASE WHEN event_type = 'click' THEN tus END) AS mxc,
+        |        max(CASE WHEN event_type = 'purchase' THEN tus END) AS mxp
+        |      FROM d GROUP BY wv),
+        |w AS (SELECT wv,
+        |        (least(max(mxc) OVER lag2, max(mxp) OVER lag2) // 1000
+        |          - 345600000) * 1000 AS wm_us
+        |      FROM m
+        |      WINDOW lag2 AS (ORDER BY wv
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND 2 PRECEDING)),
+        |s AS (SELECT d.*, w.wm_us FROM d JOIN w ON d.wv = w.wv),
+        |surv AS (SELECT * FROM s WHERE wm_us IS NULL OR tus >= wm_us)
+        |SELECT c.event_id AS click_id, c.user_id, c.tsv AS click_ts,
+        |  p.event_id AS purchase_id, p.tsv AS purchase_ts,
+        |  p.value AS purchase_value
+        |FROM surv c JOIN surv p
+        |  ON c.event_type = 'click' AND p.event_type = 'purchase'
+        | AND p.user_id = c.user_id
+        | AND p.tsv <= c.tsv AND p.tsv >= c.tsv - INTERVAL 1 HOUR""".stripMargin
+  )
+}

@@ -1,0 +1,821 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.io.Tables
+import graft.ops.{AsOf, BloomPrune, Merge, Normalize, Quality, Recall, Reshape, Summary, Windows}
+import graft.text.{Dedup, TextAnalysis}
+import graft.vector.Similarity
+import graft.multimodal.BinaryOps
+
+/** Gate registry — text-corpus analysis, dedup tiers, sampling/packing (training-data extensions).
+  * Entries moved verbatim from the former monolithic [[Queries]];
+  * [[Queries]] merges the family registries. */
+private[graft] object QueriesText {
+
+  import QueriesShared._
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_normalize" -> ((s, dir) =>
+      t(s, dir, "documents").select(col("doc_id"),
+        md5(TextAnalysis.normalizeText(col("text"))).as("norm_md5"),
+        length(TextAnalysis.normalizeText(col("text"))).cast(LongType).as("norm_len"))),
+
+    // O-U1 union of normalized source branches (transform.py:205-230).
+    "text_stats" -> ((s, dir) =>
+      t(s, dir, "documents").select(col("doc_id"),
+        TextAnalysis.tokenCount(col("text")).cast(LongType).as("n_tokens"),
+        TextAnalysis.subwordCount(col("text")).cast(LongType).as("n_subwords"))),
+
+    "text_langid" -> ((s, dir) =>
+      t(s, dir, "documents").select(col("doc_id"),
+        TextAnalysis.langId(col("text")).as("lang_guess"))),
+
+    "text_quality" -> ((s, dir) =>
+      t(s, dir, "documents").select(col("doc_id"),
+        round(TextAnalysis.qualityScore(col("text")), 6).as("quality"))),
+
+    "text_fingerprint" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("toks"))
+        .select(col("doc_id"),
+          md5(concat_ws(" ", col("toks"))).as("fingerprint"),
+          TextAnalysis.rollingFingerprintFromTokens(col("toks")).as("rolling_fp"))),
+
+    // Exact top-k most frequent tokens (training-data vocabulary view):
+    // explode -> count -> global top-k with deterministic tiebreak.
+    // orderBy+limit compiles to TakeOrderedAndProject (map-side partial
+    // top-k) — a partition-less Window here would funnel the ENTIRE
+    // vocabulary (10^8+ tokens at web scale) through one task. Rank is
+    // then derived window-free on the k survivors: rank = 1 + number of
+    // rows sorting strictly before, via a broadcast self-join bounded at
+    // k^2 = 400 comparisons regardless of corpus size.
+    "text_top_tokens" -> ((s, dir) => {
+      val counts = t(s, dir, "documents")
+        .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("toks"))
+        .select(explode(col("toks")).as("token"))
+        .groupBy(col("token")).agg(count(lit(1)).as("cnt"))
+      val top = counts.orderBy(col("cnt").desc, col("token").asc).limit(20)
+      val other = top.select(col("cnt").as("cnt2"), col("token").as("token2"))
+      top.join(broadcast(other),
+          col("cnt2") > col("cnt") ||
+            (col("cnt2") === col("cnt") && col("token2") < col("token")),
+          "left")
+        .groupBy(col("token"), col("cnt"))
+        .agg((count(col("token2")) + 1).cast(LongType).as("rank"))
+    }),
+
+    // Per-token document frequency + IDF (ln(N/df), rounded). Corpus
+    // cardinality rides along as a broadcast 1-row aggregate — the whole
+    // query is ONE lazy plan, no eager .count() driver action per call.
+    "text_idf" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val n = docs.agg(count(lit(1)).cast(DoubleType).as("n_docs"))
+      docs.select(col("doc_id"), TextAnalysis.tokens(col("text")).as("toks"))
+        .select(col("doc_id"), explode(array_distinct(col("toks"))).as("token"))
+        .groupBy(col("token")).agg(count(lit(1)).as("df"))
+        .crossJoin(broadcast(n))
+        .withColumn("idf", round(log(col("n_docs") / col("df")), 6))
+        .select(col("token"), col("df"), col("idf"))
+    }),
+
+    // Approximate distinct (the 100 TB variant of agg_distinct_users).
+    // HLL sketches are engine-specific, so the gate emits the
+    // DETERMINISTIC check — Spark's fixed HLL++ estimate (rsd 2%,
+    // measured <=0.7% across the test SFs) within a 5% envelope of exact
+    // — next to the exact count; the oracle's twin row is literal TRUE.
+    "corpus_clean" -> ((s, dir) =>
+      graft.text.CorpusPipeline.clean(t(s, dir, "documents"), "doc_id", "text",
+        lang = "en", minQuality = 0.45, jaccardThreshold = 0.5, maxDocFreq = 100L)),
+
+    // ---- dedup ------------------------------------------------------------
+    "dedup_exact" -> ((s, dir) =>
+      Dedup.exactDuplicates(t(s, dir, "documents"), "doc_id", "text")),
+
+    "dedup_ngram_jaccard" -> ((s, dir) =>
+      Dedup.ngramJaccardPairs(t(s, dir, "documents"), "doc_id", "text",
+        n = 3, threshold = 0.5, maxDocFreq = 100L)),
+
+    // Pairs -> whole-cluster dedup: every document labeled with the
+    // smallest doc_id reachable through the Jaccard pair graph
+    // (iterative min-label propagation; the oracle's recursive CTE
+    // computes the same reachability fixpoint).
+    "dedup_cluster_reps" -> ((s, dir) => docClusterReps(s, dir)),
+
+    // Per-cluster CANONICAL selection: among a near-dup cluster, keep the
+    // highest-quality copy (ties to the smallest id) — the keeper policy a
+    // training pipeline wants when duplicates differ in extraction quality
+    // (the rep id is a graph label, not a quality judgement). Quality is
+    // the rounded text_quality score so the ordering is cross-engine
+    // deterministic; top-1 per cluster compiles to WindowGroupLimit
+    // (map-side partial rank, no full sort of the corpus).
+    "dedup_canonical_quality" -> ((s, dir) => {
+      val labeled = docClusterLabelTable(s, dir)
+        .join(t(s, dir, "documents").select(col("doc_id"),
+          round(TextAnalysis.qualityScore(col("text")), 6).as("quality")), Seq("doc_id"))
+      graft.ops.Windows.topKPerGroup(labeled, Seq("rep"),
+          Seq(col("quality").desc, col("doc_id").asc), k = 1)
+        .select(col("rep"), col("doc_id").as("canonical_id"),
+          col("quality").as("canonical_quality"))
+    }),
+
+    // Incremental ingestion dedup: the even-id half plays the ACCEPTED
+    // corpus (its shingle index persisted to parquet and read back — the
+    // state-table form a growing 100 TB corpus maintains), the odd-id
+    // half arrives as the new batch. Pairs = batch-internal + batch vs
+    // state-index; the historical corpus is never re-paired with itself.
+    "dedup_incremental" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      // State construction (the accepted-corpus index a deployment
+      // maintains) runs through StateSeed: fresh per call in Verify,
+      // built once per JVM under the bench's seeded mode so reps time
+      // the incremental fold, not fixture construction.
+      val root = graft.util.StateSeed.root("graft_incdedup", dir) { root =>
+        val st = Dedup.collapsedIndex(docs.where(pmod(col("doc_id"), lit(2)) === 0),
+          "doc_id", "text", n = 3, maxDocFreq = 100L, hashFn = Dedup.Md5Hash60)
+        // Persisted state = BOTH halves of the collapsed index.
+        st.repIdx.write.parquet(root + "/rep_index")
+        st.membership.write.parquet(root + "/membership")
+      }
+      val batch = Dedup.collapsedIndex(docs.where(pmod(col("doc_id"), lit(2)) =!= 0),
+        "doc_id", "text", n = 3, maxDocFreq = 100L, hashFn = Dedup.Md5Hash60,
+        cache = df => df.persist())
+      Dedup.incrementalNearDupPairsCollapsed(batch,
+          Dedup.CollapsedIndex(s.read.parquet(root + "/rep_index"),
+            s.read.parquet(root + "/membership")),
+          threshold = 0.5)
+        .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6).as("jaccard"), col("src"))
+    }),
+
+    // State-table COMPACTION transparency: the same incremental dedup,
+    // but the persisted index is first fragmented the way a
+    // thousand-wave ingest leaves it (48-way write => 48 small files per
+    // table) and then compacted (ops/Compact: distributed rewrite + dir
+    // swap). Oracle identical to dedup_incremental's — compaction may
+    // only change file layout, never a row — and the file-count drop is
+    // asserted inline so a no-op "compaction" fails loudly.
+    "dedup_incremental_compacted" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val root = graft.util.StateSeed.root("graft_incdedup_c", dir) { root =>
+        val st = Dedup.collapsedIndex(docs.where(pmod(col("doc_id"), lit(2)) === 0),
+          "doc_id", "text", n = 3, maxDocFreq = 100L, hashFn = Dedup.Md5Hash60)
+        st.repIdx.repartition(48).write.parquet(root + "/rep_index")
+        st.membership.repartition(48).write.parquet(root + "/membership")
+        Seq("/rep_index", "/membership").foreach { sub =>
+          val stats = graft.ops.Compact.compactParquet(s, root + sub)
+          require(stats.filesAfter < stats.filesBefore,
+            s"compaction did not reduce $sub: $stats")
+        }
+      }
+      val batch = Dedup.collapsedIndex(docs.where(pmod(col("doc_id"), lit(2)) =!= 0),
+        "doc_id", "text", n = 3, maxDocFreq = 100L, hashFn = Dedup.Md5Hash60,
+        cache = df => df.persist())
+      Dedup.incrementalNearDupPairsCollapsed(batch,
+          Dedup.CollapsedIndex(s.read.parquet(root + "/rep_index"),
+            s.read.parquet(root + "/membership")),
+          threshold = 0.5)
+        .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6).as("jaccard"), col("src"))
+    }),
+
+    // Incremental CONNECTED COMPONENTS: the label-maintenance twin of
+    // dedup_incremental. State = the persisted CC label table over the
+    // even-id history; the odd-id batch folds in via the CONTRACTED
+    // graph (each incremental pair's endpoints mapped through their
+    // prior labels, CC over {touched old reps} ∪ {batch ids} only,
+    // relabel = two equi-joins) — O(batch + touched components)
+    // regardless of history size. The oracle recomputes the fixpoint
+    // over the SAME pair semantics (per-half hot caps, like
+    // dedup_incremental's replica), so a hash match proves the
+    // incremental fold equals a full recompute over history ∪ batch.
+    "dedup_cluster_reps_incremental" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val batchDocs = docs.where(pmod(col("doc_id"), lit(2)) =!= 0)
+      // State construction (a real deployment maintains these tables):
+      // ONE collapsed index over the history half feeds both the
+      // state-label CC (at representative grain, the dedup_cluster_reps
+      // shape) and the incremental pair join; all three state tables
+      // land on disk. Runs through StateSeed — fresh per call in
+      // Verify, once per JVM under the bench's seeded mode, so bench
+      // reps time the incremental fold, not history-state construction.
+      val root = graft.util.StateSeed.root("graft_inccc", dir) { root =>
+        val hist = docs.where(pmod(col("doc_id"), lit(2)) === 0)
+        val hc = Dedup.exactCollapse(hist, "doc_id", "text", cache = df => df.persist())
+        val hidx = Dedup.countedShingleIndexCollapsed(hc, n = 3, maxDocFreq = 100L,
+          hashFn = Dedup.Md5Hash60).persist()
+        val repLabels = Dedup.clusterRepresentatives(
+          hc.reps.select(col("doc_id")), "doc_id",
+          Dedup.ngramJaccardPairsFromIndex(hidx, threshold = 0.5),
+          cache = df => df.persist())
+        hc.membership
+          .join(repLabels.select(col("doc_id").as("rep_id"), col("rep").as("_rl")), Seq("rep_id"))
+          .join(hidx.select(col("doc_id").as("rep_id")).distinct()
+            .withColumn("_survived", lit(true)), Seq("rep_id"), "left")
+          .select(col("doc_id"),
+            when(col("_survived") || col("doc_id") === col("rep_id"), col("_rl"))
+              .otherwise(col("doc_id")).as("rep"))
+          .write.parquet(root + "/labels")
+        hidx.write.parquet(root + "/rep_index")
+        hc.membership.write.parquet(root + "/membership")
+      }
+      // The incremental fold: batch pairs only (self + vs state index),
+      // batch side pre-contracted through its exact-dup membership so
+      // the fold iterates over unique batch texts. State comes from the
+      // persisted tables — the form a growing corpus actually reads.
+      val st = Dedup.CollapsedIndex(s.read.parquet(root + "/rep_index"),
+        s.read.parquet(root + "/membership"))
+      val batch = Dedup.collapsedIndex(batchDocs, "doc_id", "text",
+        n = 3, maxDocFreq = 100L, hashFn = Dedup.Md5Hash60,
+        cache = df => df.persist())
+      Dedup.clusterRepresentativesIncrementalCollapsed(
+        s.read.parquet(root + "/labels"),
+        batch.membership.select(col("doc_id"), col("rep_id")),
+        Dedup.incrementalNearDupPairsCollapsed(batch, st, threshold = 0.5),
+        cache = df => df.persist())
+    }),
+
+    // The incremental dedup run as a LIVE stream: two document waves
+    // (even ids first, then odd) through a file stream; each micro-batch
+    // dedups against the persisted accepted-corpus index and appends its
+    // survivors (streaming/EventStreams.corpusDedupSink). Output: every
+    // accepted doc with the wave that admitted it.
+    "dedup_minhash_lsh" -> ((s, dir) =>
+      Dedup.minHashLshPairs(t(s, dir, "documents"), "doc_id", "text",
+        n = 3, threshold = 0.5, maxDocFreq = 100L, hashFn = Dedup.Md5Hash60)),
+
+    // Same md5-hash gate trick; 60-bit width (4x15-bit bands) keeps every
+    // shift inside positive BIGINT range on both engines.
+    "dedup_simhash" -> ((s, dir) =>
+      Dedup.simHashPairs(t(s, dir, "documents"), "doc_id", "text", maxHamming = 3,
+          hashFn = Dedup.Md5Hash60, bits = 60)
+        .select(col("doc_a"), col("doc_b"), col("hamming").cast(LongType).as("hamming"))),
+
+    // ---- similarity search ------------------------------------------------
+    "recall_minhash_lsh" -> ((s, dir) => {
+      // ONE exact-collapsed shingle index feeds both tiers (the approx
+      // tier's signature + verify sides AND the exact twin's self-join) —
+      // the audit previously re-tokenized and re-indexed the corpus per
+      // tier, costing ~2x the op it audits. Exact pairs are
+      // hash-independent (candidates are verified by true Jaccard), so
+      // sharing the Md5Hash60 index with the exact side changes nothing;
+      // both tiers expand through the same membership, so the recall
+      // ratio is the document-level ratio the oracle replicates.
+      val c = Dedup.exactCollapse(t(s, dir, "documents"), "doc_id", "text",
+        cache = df => df.persist())
+      val idx = Dedup.countedShingleIndexCollapsed(c, n = 3, maxDocFreq = 100L,
+        hashFn = Dedup.Md5Hash60).persist()
+      Recall.pairRecall(
+        Dedup.expandExactGroups(Dedup.minHashLshPairsFromIndex(idx, threshold = 0.5),
+          c.membership, "jaccard", idx, lit(1.0)),
+        Dedup.expandExactGroups(Dedup.ngramJaccardPairsFromIndex(idx, threshold = 0.5),
+          c.membership, "jaccard", idx, lit(1.0)),
+        floor = 0.5)
+    }),
+
+    // Text twin of recall_embedding_lsh_sampled — the audit form that runs
+    // at corpus scale. A doc's MinHash signature depends only on its own
+    // shingles, and banding collision only on the two signatures, so pair
+    // candidacy is pair-local and sample recall estimates full-corpus
+    // recall; the one corpus-dependent knob (the hot-shingle cap) is
+    // shared by BOTH tiers through the one collapsed index, so the ratio
+    // stays internally consistent. Exact-tier cost falls quadratically
+    // with the sample rate.
+    "recall_minhash_lsh_sampled" -> ((s, dir) => {
+      val c = Dedup.exactCollapse(
+        t(s, dir, "documents")
+          .where(graft.ops.Sampling.hashBucket(col("doc_id"), Dedup.Md5Hash60) < 5000),
+        "doc_id", "text", cache = df => df.persist())
+      val idx = Dedup.countedShingleIndexCollapsed(c, n = 3, maxDocFreq = 100L,
+        hashFn = Dedup.Md5Hash60).persist()
+      Recall.pairRecall(
+        Dedup.expandExactGroups(Dedup.minHashLshPairsFromIndex(idx, threshold = 0.5),
+          c.membership, "jaccard", idx, lit(1.0)),
+        Dedup.expandExactGroups(Dedup.ngramJaccardPairsFromIndex(idx, threshold = 0.5),
+          c.membership, "jaccard", idx, lit(1.0)),
+        floor = 0.5)
+    }),
+
+    // The custom codegen'd expression through the SQL surface: graft_dot
+    // registered on the session, invoked from spark.sql in the graded gate.
+    "sample_hash_split" -> ((s, dir) =>
+      graft.ops.Sampling.hashSplit(
+          t(s, dir, "documents").select(col("doc_id")), "doc_id",
+          Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1),
+          hashFn = Dedup.Md5Hash60)
+        .select(col("doc_id"), col("split"))),
+
+    // LEAKAGE-SAFE split: hash-split by NEAR-DUP CLUSTER, not by document.
+    // A per-doc split quietly places near-duplicates of training documents
+    // in the eval set (train/test contamination); splitting on the cluster
+    // representative keeps every member of a near-dup cluster — and every
+    // exact copy — on the same side of the wall. Same pair-graph fixpoint
+    // as dedup_cluster_reps, same md5 bucket as sample_hash_split, so the
+    // oracle replicates both stages exactly.
+    "sample_split_leakage_safe" -> ((s, dir) =>
+      graft.ops.Sampling.hashSplit(docClusterLabelTable(s, dir), "rep",
+          Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1),
+          hashFn = Dedup.Md5Hash60)
+        .select(col("doc_id"), col("rep"), col("split"))),
+
+    // Deterministic data MIXING: the largest sample whose composition
+    // matches the target weights (binding group kept whole, others
+    // hash-thresholded down to their share).
+    "sample_mixture" -> ((s, dir) =>
+      graft.ops.Sampling.mixtureSample(
+          t(s, dir, "documents").select(col("doc_id"), col("source")),
+          "doc_id", "source", MixtureTargets, hashFn = Dedup.Md5Hash60)
+        .select(col("doc_id"), col("source"))),
+
+    // Per-stratum deterministic sampling (corpus mixing weights as one
+    // scan-side filter).
+    "sample_stratified" -> ((s, dir) =>
+      graft.ops.Sampling.stratifiedHashSample(
+          t(s, dir, "documents").select(col("doc_id"), col("lang")), "doc_id", "lang",
+          Map("en" -> 1.0, "zh" -> 0.5), defaultRate = 0.25,
+          hashFn = Dedup.Md5Hash60)
+        .groupBy(col("lang")).agg(count(lit(1)).as("cnt"))),
+
+    // Corpus-safety pattern density (PII/boilerplate signals) as pure
+    // scan-side regex counts.
+    "text_pattern_counts" -> ((s, dir) => {
+      val counts = TextAnalysis.FilterPatterns.map { case (name, p) =>
+        TextAnalysis.patternCount(col("text"), p).cast(LongType).as(s"n_$name")
+      }
+      t(s, dir, "documents").select(col("doc_id") +: counts: _*)
+    }),
+
+    // PII redaction: the corpus carries no PII, so both engines append the
+    // same synthetic email/URL/digit-run suffix, then redact with the
+    // FilterPatterns chain in list order. Pure scan-side projection.
+    "text_redact" -> ((s, dir) =>
+      t(s, dir, "documents").select(col("doc_id"),
+          concat(col("text"),
+            lit(" contact user"), col("doc_id").cast(StringType),
+            lit("@example.com via https://www.Example"),
+            col("doc_id").cast(StringType),
+            lit(".com/a id 90000"), col("doc_id").cast(StringType)).as("text"))
+        .select(col("doc_id"), TextAnalysis.redact(col("text")).as("redacted"))),
+
+    // Per-domain provenance accounting: extract+normalize every URL host
+    // (deterministic synthetic URLs appended — the corpus has none), one
+    // row per occurrence. Scan-side regex, explode, no shuffle.
+    "text_url_hosts" -> ((s, dir) =>
+      t(s, dir, "documents").select(col("doc_id"),
+          concat(col("text"),
+            lit(" see https://www.Mirror"),
+            pmod(col("doc_id"), lit(7)).cast(StringType),
+            lit(".net/x and http://cdn"),
+            pmod(col("doc_id"), lit(3)).cast(StringType),
+            lit(".example.org:8080/y")).as("text"))
+        .select(col("doc_id"),
+          posexplode(TextAnalysis.urlHosts(col("text"))).as(Seq("url_idx", "host")))
+        .select(col("doc_id"), col("url_idx").cast(LongType).as("url_idx"),
+          col("host"))),
+
+    // Overlapping token-window chunking (size 32, stride 16) for
+    // context-window packing / RAG indexing; chunk content surfaces as an
+    // md5 digest (the driver's hasher can't sort raw arrays).
+    "text_chunks" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("toks"))
+        .select(col("doc_id"),
+          explode(TextAnalysis.overlappingChunks(col("toks"), 32, 16)).as("c"))
+        .select(col("doc_id"),
+          col("c.chunk_idx").cast(LongType).as("chunk_idx"),
+          size(col("c.chunk_toks")).cast(LongType).as("n_toks"),
+          md5(concat_ws(" ", col("c.chunk_toks"))).as("chunk_digest"))),
+
+    // C4/CCNet boilerplate-line removal over a synthetic page fixture
+    // (nav/footer/unsubscribe lines shared across >=10 docs are stripped;
+    // each doc's own text line survives).
+    "text_remove_boilerplate" -> ((s, dir) =>
+      Dedup.removeBoilerplateLines(
+        t(s, dir, "documents").select(col("doc_id"),
+          concat_ws("\n",
+            concat(lit("nav: "), col("source")),
+            col("text"),
+            concat(lit("(c) footer "), col("lang")),
+            lit("unsubscribe here")).as("text")),
+        "doc_id", "text", minDocFreq = 10)),
+
+    // Benchmark decontamination: exact-fingerprint matches of a benchmark
+    // set (doc_id % 10 == 0 stands in) against the full corpus.
+    "contamination_report" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      Dedup.contaminationReport(docs, "doc_id", "text",
+        docs.where(pmod(col("doc_id"), lit(10)) === 0), "doc_id", "text")
+    }),
+
+    // ---- S5 wide->long / long->wide ---------------------------------------
+    // S5 unpivot (reference extract.py:158-187): the yfinance metric
+    // matrix melted to per-metric rows. Expand-based — no shuffle.
+    "text_repetition" -> ((s, dir) => {
+      val u = graft.functions.TextExpressions.ngramStats(col("toks"), 1)
+      val b = graft.functions.TextExpressions.ngramStats(col("toks"), 2)
+      t(s, dir, "documents")
+        .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("toks"))
+        .select(col("doc_id"), u.as("u"), b.as("b"))
+        .select(col("doc_id"),
+          when(col("u.total") > 0,
+            round(lit(1.0) - col("u.n_distinct").cast(DoubleType) /
+              col("u.total").cast(DoubleType), 6))
+            .otherwise(lit(0.0)).as("repetition_ratio"),
+          when(col("b.total") > 0,
+            round(col("b.max_count").cast(DoubleType) /
+              col("b.total").cast(DoubleType), 6))
+            .otherwise(lit(0.0)).as("top_bigram_frac"))
+    }),
+
+    // ---- embedding quantization -------------------------------------------
+    // Symmetric int8 quantization (4x smaller vectors for the ANN recall
+    // tier; floats re-read only at exact rescore). floor(x*scale + 0.5)
+    // is bit-replicable in DuckDB; the gate emits the code digest.
+    "corpus_filter_report" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id"), col("text"), TextAnalysis.tokens(col("text")).as("toks"))
+        .select(col("doc_id"), col("text"),
+          graft.functions.TextExpressions.ngramStats(col("toks"), 1).as("u0"))
+        .select(col("doc_id"),
+          (TextAnalysis.langId(col("text")) === "en").as("pass_lang"),
+          (round(TextAnalysis.qualityScore(col("text")), 6) >= 0.45).as("pass_quality"),
+          (when(col("u0.total") > 0,
+            lit(1.0) - col("u0.n_distinct").cast(DoubleType) /
+              col("u0.total").cast(DoubleType))
+            .otherwise(lit(0.0)) < 0.6).as("pass_repetition"),
+          (TextAnalysis.patternCount(col("text"),
+            TextAnalysis.FilterPatterns.collectFirst { case ("long_digits", p) => p }.get) === 0)
+            .as("pass_no_digit_runs"))
+        .withColumn("keep",
+          col("pass_lang") && col("pass_quality") &&
+            col("pass_repetition") && col("pass_no_digit_runs"))),
+
+    // ---- sequence packing -------------------------------------------------
+    // Concat-and-chunk assignment (the pretraining packing pass): docs
+    // hash-sharded, shard-local running token sums map each doc to its
+    // (shard, chunk) span — nShards independent windows, never a global
+    // one-partition running sum. Gate uses the md5 hash so DuckDB
+    // replicates shards exactly.
+    "pack_chunks" -> ((s, dir) =>
+      graft.ops.Packing.chunkAssignments(
+        t(s, dir, "documents").select(col("doc_id"), col("text")),
+        "doc_id", TextAnalysis.tokenCount(col("text")),
+        maxTokens = 512, nShards = 8, hashFn = Dedup.Md5Hash60)),
+
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "text_normalize" ->
+      """SELECT doc_id,
+        |  md5(trim(regexp_replace(lower(text), '[ \t\n\f\r\x0B]+', ' ', 'g'))) AS norm_md5,
+        |  CAST(length(trim(regexp_replace(lower(text), '[ \t\n\f\r\x0B]+', ' ', 'g'))) AS BIGINT) AS norm_len
+        |FROM documents""".stripMargin,
+
+    "text_stats" ->
+      """SELECT doc_id,
+        |  len(regexp_split_to_array(trim(text), '\s+')) AS n_tokens,
+        |  len(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9\s]')) AS n_subwords
+        |FROM documents""".stripMargin,
+
+    "text_langid" -> {
+      val toks = "regexp_split_to_array(trim(text), '\\s+')"
+      val hits = TextAnalysis.StopwordLists.map { case (lang, words) =>
+        s"${hitsSql(toks, words)} AS h_$lang"
+      }.mkString(",\n    ")
+      val langs = TextAnalysis.StopwordLists.map(_._1)
+      val best = s"greatest(${langs.map(l => s"h_$l").mkString(", ")})"
+      val cases = langs.map(l => s"WHEN h_$l = best THEN '$l'").mkString(" ")
+      s"""WITH b AS (
+         |  SELECT doc_id,
+         |    $hits
+         |  FROM documents),
+         |m AS (SELECT doc_id, $best AS best, * FROM b)
+         |SELECT doc_id, CASE WHEN best = 0 THEN 'und' $cases ELSE 'und' END AS lang_guess
+         |FROM m""".stripMargin
+    },
+
+    "text_quality" ->
+      s"WITH $qualityCte SELECT doc_id, quality FROM q",
+
+    "text_fingerprint" ->
+      """WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks FROM documents),
+        |s AS (SELECT doc_id, toks,
+        |        list_distinct(list_transform(range(1, len(toks) - 1),
+        |          i -> array_to_string(toks[i:i+2], ' '))) AS sh
+        |      FROM t)
+        |SELECT doc_id,
+        |  md5(array_to_string(toks, ' ')) AS fingerprint,
+        |  CASE WHEN len(sh) > 0 THEN list_min(list_transform(sh, x -> md5(x)))
+        |       ELSE md5(array_to_string(toks, ' ')) END AS rolling_fp
+        |FROM s""".stripMargin,
+
+    "corpus_clean" -> {
+      val toks = "regexp_split_to_array(trim(text), '\\s+')"
+      val hits = TextAnalysis.StopwordLists.map { case (lang, words) =>
+        s"${hitsSql(toks, words)} AS h_$lang"
+      }.mkString(", ")
+      val langs = TextAnalysis.StopwordLists.map(_._1)
+      val best = s"greatest(${langs.map(l => s"h_$l").mkString(", ")})"
+      val cases = langs.map(l => s"WHEN h_$l = $best THEN '$l'").mkString(" ")
+      s"""WITH h AS (
+         |  SELECT doc_id, text,
+         |    CAST(length(text) AS DOUBLE) AS n_char,
+         |    CAST(len($toks) AS DOUBLE) AS n_tok,
+         |    CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE) AS n_alpha,
+         |    CAST(${hitsSql(toks, EnWords)} AS DOUBLE) AS en_hits,
+         |    $hits
+         |  FROM documents),
+         |scored AS (
+         |  SELECT doc_id, text,
+         |    CASE WHEN $best = 0 THEN 'und' $cases ELSE 'und' END AS lang_guess,
+         |    round(
+         |        (CASE WHEN n_char > 0 THEN n_alpha / n_char ELSE 0.0 END) * 0.4
+         |      + (CASE WHEN n_tok > 0 THEN en_hits / n_tok ELSE 0.0 END) * 0.3
+         |      + least(n_tok / 100.0, 1.0) * 0.3, 6) AS quality
+         |  FROM h),
+         |kept AS (SELECT * FROM scored WHERE lang_guess = 'en' AND quality >= 0.45),
+         |fp AS (SELECT doc_id, text, lang_guess, quality,
+         |         md5(array_to_string($toks, ' ')) AS fp FROM kept),
+         |keepers AS (SELECT fp, min(doc_id) AS keeper FROM fp GROUP BY 1),
+         |ae AS (SELECT f.doc_id, f.text, f.lang_guess, f.quality
+         |       FROM fp f JOIN keepers k ON f.fp = k.fp WHERE f.doc_id = k.keeper),
+         |t2 AS (SELECT doc_id, $toks AS toks FROM ae),
+         |sh AS (SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(toks) - 1),
+         |         i -> array_to_string(toks[i:i+2], ' ')))) AS shingle FROM t2),
+         |hot AS (SELECT shingle FROM sh GROUP BY 1 HAVING count(*) > 100),
+         |idx AS (SELECT doc_id, shingle FROM sh WHERE shingle NOT IN (SELECT shingle FROM hot)),
+         |sizes AS (SELECT doc_id, count(*) AS nsh FROM idx GROUP BY 1),
+         |pairs AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS i
+         |          FROM idx a JOIN idx b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+         |          GROUP BY 1, 2),
+         |near_losers AS (
+         |  SELECT DISTINCT db AS doc_id FROM pairs
+         |  JOIN sizes sa ON da = sa.doc_id
+         |  JOIN sizes sb ON db = sb.doc_id
+         |  WHERE CAST(i AS DOUBLE) / (sa.nsh + sb.nsh - i) >= 0.5)
+         |SELECT doc_id, lang_guess, quality FROM ae
+         |WHERE doc_id NOT IN (SELECT doc_id FROM near_losers)""".stripMargin
+    },
+
+    "text_top_tokens" ->
+      """WITH c AS (
+        |  SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS token FROM documents),
+        |g AS (SELECT token, count(*) AS cnt FROM c GROUP BY 1),
+        |r AS (SELECT token, cnt, row_number() OVER (ORDER BY cnt DESC, token) AS rank FROM g)
+        |SELECT token, cnt, rank FROM r WHERE rank <= 20""".stripMargin,
+
+    "text_idf" ->
+      """WITH d AS (
+        |  SELECT doc_id, unnest(list_distinct(regexp_split_to_array(trim(text), '\s+'))) AS token
+        |  FROM documents),
+        |g AS (SELECT token, count(*) AS df FROM d GROUP BY 1)
+        |SELECT token, df,
+        |  round(ln((SELECT CAST(count(*) AS DOUBLE) FROM documents) / df), 6) AS idf
+        |FROM g""".stripMargin,
+
+    "dedup_exact" ->
+      """SELECT fingerprint, count(*) AS cnt, min(doc_id) AS keeper FROM (
+        |  SELECT doc_id,
+        |    md5(array_to_string(regexp_split_to_array(trim(text), '\s+'), ' ')) AS fingerprint
+        |  FROM documents)
+        |GROUP BY 1""".stripMargin,
+
+    "dedup_ngram_jaccard" ->
+      s"""WITH ${jaccardPairsCte()}
+         |SELECT doc_a, doc_b, jaccard FROM jpairs""".stripMargin,
+
+    // Streaming-incremental replica: wave 0 (even ids) self-dedups, its
+    // survivors' index becomes the state; wave 1 (odd ids) pairs against
+    // that state plus itself. Sizes always come from the wave-local
+    // window (the Spark side attaches nsh at batch-index build).
+    "dedup_incremental" -> incrementalPairsOracleSql,
+
+    // Same oracle by construction: compacting the persisted state tables
+    // (ops/Compact rewrite + swap) must be result-transparent — only the
+    // file layout changes, never a row.
+    "dedup_incremental_compacted" -> incrementalPairsOracleSql,
+
+    // Full-recompute reachability fixpoint over the incremental pair
+    // semantics (history-internal pairs under the history hot cap, plus
+    // the batch self/cross pairs of the dedup_incremental replica) — a
+    // hash match proves the contracted-graph fold equals recomputing CC
+    // over history ∪ batch.
+    "dedup_cluster_reps_incremental" -> incrementalClusterRepsOracleSql,
+
+    // The live streaming twin reconstructs the identical labeling.
+    "dedup_cluster_reps" ->
+      s"WITH RECURSIVE $clusterRepsCte SELECT doc_id, rep FROM lbl",
+
+    // Canonical copy per cluster: the fixpoint labels joined to the
+    // quality replica, top-1 per rep by (quality DESC, doc_id).
+    "dedup_canonical_quality" ->
+      s"""WITH RECURSIVE $clusterRepsCte,
+         |$qualityCte,
+         |jq AS (SELECT lbl.rep, lbl.doc_id, q.quality
+         |       FROM lbl JOIN q ON lbl.doc_id = q.doc_id),
+         |r AS (SELECT rep, doc_id, quality,
+         |        row_number() OVER (PARTITION BY rep
+         |          ORDER BY quality DESC, doc_id) AS rn
+         |      FROM jq)
+         |SELECT rep, doc_id AS canonical_id, quality AS canonical_quality
+         |FROM r WHERE rn = 1""".stripMargin,
+
+    // Cluster-keyed split: the fixpoint labels bucketed by the same md5
+    // hash as sample_hash_split, keyed on the REPRESENTATIVE id.
+    "sample_split_leakage_safe" ->
+      s"""WITH RECURSIVE $clusterRepsCte
+         |SELECT doc_id, rep,
+         |  CASE WHEN ${md5Hash60Sql("CAST(rep AS VARCHAR)")} % 10000 < 8000 THEN 'train'
+         |       WHEN ${md5Hash60Sql("CAST(rep AS VARCHAR)")} % 10000 < 9000 THEN 'val'
+         |       ELSE 'test' END AS split
+         |FROM lbl""".stripMargin,
+
+    "recall_minhash_lsh" ->
+      pairRecallOracleSql(minHashLshOracleSql(),
+        s"WITH ${jaccardPairsCte()} SELECT doc_a, doc_b FROM jpairs"),
+    "recall_minhash_lsh_sampled" -> {
+      val sampleWhere =
+        s"\n       WHERE ${md5Hash60Sql("CAST(doc_id AS VARCHAR)")} % 10000 < 5000"
+      pairRecallOracleSql(minHashLshOracleSql(sampleWhere),
+        s"WITH ${jaccardPairsCte(sampleWhere)} SELECT doc_a, doc_b FROM jpairs")
+    },
+
+    "dedup_minhash_lsh" -> minHashLshOracleSql(),
+
+    "dedup_simhash" -> simHashOracleSql,
+
+    "sample_hash_split" ->
+      s"""WITH b AS (SELECT doc_id,
+         |  ${md5Hash60Sql("CAST(doc_id AS VARCHAR)")} % 10000 AS bucket
+         |  FROM documents)
+         |SELECT doc_id,
+         |  CASE WHEN bucket < 8000 THEN 'train' WHEN bucket < 9000 THEN 'val'
+         |       ELSE 'test' END AS split
+         |FROM b""".stripMargin,
+
+    "sample_mixture" -> mixtureOracleSql,
+
+    "sample_stratified" ->
+      s"""WITH b AS (SELECT doc_id, lang,
+         |  ${md5Hash60Sql("CAST(doc_id AS VARCHAR)")} % 10000 AS bucket
+         |  FROM documents)
+         |SELECT lang, count(*) AS cnt FROM b
+         |WHERE bucket < (CASE lang WHEN 'en' THEN 10000 WHEN 'zh' THEN 5000
+         |  ELSE 2500 END)
+         |GROUP BY 1""".stripMargin,
+
+    "text_pattern_counts" -> {
+      // DuckDB standard strings keep backslashes literal — embed the Java
+      // regex as-is (the FilterPatterns subset is Java/RE2-identical).
+      val cols = TextAnalysis.FilterPatterns.map { case (name, p) =>
+        s"len(regexp_extract_all(text, '${p.replace("'", "''")}')) AS n_$name"
+      }.mkString(",\n  ")
+      s"SELECT doc_id,\n  $cols\nFROM documents"
+    },
+
+    "text_redact" ->
+      """WITH f AS (SELECT doc_id,
+        |    text || ' contact user' || doc_id || '@example.com via https://www.Example'
+        |      || doc_id || '.com/a id 90000' || doc_id AS text
+        |  FROM documents)
+        |SELECT doc_id,
+        |  regexp_replace(regexp_replace(regexp_replace(text,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<email>', 'g'),
+        |    'https?://[^\s]+', '<url>', 'g'),
+        |    '[0-9]{6,}', '<long_digits>', 'g') AS redacted
+        |FROM f""".stripMargin,
+
+    "text_url_hosts" ->
+      """WITH f AS (SELECT doc_id,
+        |    text || ' see https://www.Mirror' || (doc_id % 7) || '.net/x and http://cdn'
+        |      || (doc_id % 3) || '.example.org:8080/y' AS text
+        |  FROM documents),
+        |h AS (SELECT doc_id,
+        |    list_transform(regexp_extract_all(text, 'https?://([^/\s:]+)', 1),
+        |      x -> regexp_replace(lower(x), '^www\.', '')) AS hosts
+        |  FROM f)
+        |SELECT doc_id, CAST(u.i - 1 AS BIGINT) AS url_idx, u.x AS host
+        |FROM (SELECT doc_id,
+        |        unnest(list_transform(hosts, (x, i) -> {'x': x, 'i': i})) AS u
+        |      FROM h)""".stripMargin,
+
+    "text_chunks" ->
+      """WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+        |  FROM documents WHERE text IS NOT NULL AND trim(text) <> ''),
+        |s AS (SELECT doc_id, toks,
+        |    unnest(generate_series(0, len(toks) - 1, 16)) AS start
+        |  FROM t)
+        |SELECT doc_id,
+        |  CAST(start // 16 AS BIGINT) AS chunk_idx,
+        |  CAST(len(toks[start + 1 : start + 32]) AS BIGINT) AS n_toks,
+        |  md5(array_to_string(toks[start + 1 : start + 32], ' ')) AS chunk_digest
+        |FROM s""".stripMargin,
+
+    "text_remove_boilerplate" ->
+      """WITH f AS (SELECT doc_id,
+        |    concat_ws(chr(10), 'nav: ' || source, text,
+        |              '(c) footer ' || lang, 'unsubscribe here') AS text
+        |  FROM documents),
+        |l AS (SELECT doc_id, u.x AS line, u.i AS pos
+        |  FROM (SELECT doc_id,
+        |          unnest(list_transform(string_split(text, chr(10)),
+        |            (x, i) -> {'x': x, 'i': i})) AS u
+        |        FROM f)),
+        |b AS (SELECT k FROM (
+        |    SELECT DISTINCT doc_id, trim(line) AS k FROM l WHERE trim(line) <> '')
+        |  GROUP BY k HAVING count(*) >= 10),
+        |kept AS (SELECT l.doc_id,
+        |    string_agg(l.line, chr(10) ORDER BY l.pos) AS clean_text,
+        |    count(*) AS n_kept_lines
+        |  FROM l LEFT JOIN b ON trim(l.line) = b.k
+        |  WHERE b.k IS NULL GROUP BY l.doc_id)
+        |SELECT f.doc_id,
+        |  COALESCE(kept.clean_text, '') AS clean_text,
+        |  CAST(COALESCE(kept.n_kept_lines, 0) AS BIGINT) AS n_kept_lines,
+        |  CAST(len(string_split(f.text, chr(10)))
+        |       - COALESCE(kept.n_kept_lines, 0) AS BIGINT) AS n_removed_lines
+        |FROM f LEFT JOIN kept ON f.doc_id = kept.doc_id""".stripMargin,
+
+    "contamination_report" ->
+      """WITH fp AS (SELECT doc_id,
+        |    md5(array_to_string(regexp_split_to_array(trim(text), '\s+'), ' ')) AS fp
+        |  FROM documents),
+        |cg AS (SELECT fp, count(*) AS n_matches, min(doc_id) AS first_match
+        |  FROM fp GROUP BY 1)
+        |SELECT b.doc_id AS bench_id, COALESCE(cg.n_matches, 0) AS n_matches, cg.first_match
+        |FROM fp b LEFT JOIN cg ON b.fp = cg.fp
+        |WHERE b.doc_id % 10 = 0""".stripMargin,
+
+    "text_repetition" ->
+      """WITH t AS (SELECT doc_id,
+        |    CASE WHEN trim(text) = '' THEN []
+        |         ELSE regexp_split_to_array(trim(text), '\s+') END AS toks
+        |  FROM documents),
+        |s AS (SELECT doc_id, toks, len(toks) AS nt,
+        |    CASE WHEN len(toks) >= 2
+        |      THEN list_transform(generate_series(1, len(toks) - 1),
+        |             i -> toks[i] || ' ' || toks[i + 1])
+        |      ELSE [] END AS bi
+        |  FROM t)
+        |SELECT doc_id,
+        |  CASE WHEN nt > 0
+        |    THEN round(1 - CAST(len(list_distinct(toks)) AS DOUBLE) / nt, 6)
+        |    ELSE 0.0 END AS repetition_ratio,
+        |  CASE WHEN len(bi) > 0
+        |    THEN round(CAST(list_max(list_transform(list_distinct(bi),
+        |           g -> len(list_filter(bi, x -> x = g)))) AS DOUBLE) / len(bi), 6)
+        |    ELSE 0.0 END AS top_bigram_frac
+        |FROM s""".stripMargin,
+
+    // floor(x*scale + 0.5) quantization codes are exact double arithmetic
+    // in both engines (float -> double widening is lossless).
+    "corpus_filter_report" -> {
+      val toks = "regexp_split_to_array(trim(text), '\\s+')"
+      val hits = TextAnalysis.StopwordLists.map { case (lang, words) =>
+        s"${hitsSql(toks, words)} AS h_$lang"
+      }.mkString(",\n    ")
+      val best = s"greatest(${TextAnalysis.StopwordLists.map(l => s"h_${l._1}").mkString(", ")})"
+      s"""WITH b AS (
+         |  SELECT doc_id, text,
+         |    CAST(length(text) AS DOUBLE) AS n_char,
+         |    CAST(len($toks) AS DOUBLE) AS n_tok,
+         |    CAST(len(list_distinct($toks)) AS DOUBLE) AS n_tok_distinct,
+         |    CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE) AS n_alpha,
+         |    $hits
+         |  FROM documents),
+         |m AS (SELECT *, $best AS best,
+         |    round(
+         |      (CASE WHEN n_char > 0 THEN n_alpha / n_char ELSE 0.0 END) * 0.4
+         |    + (CASE WHEN n_tok > 0 THEN h_en / n_tok ELSE 0.0 END) * 0.3
+         |    + least(n_tok / 100.0, 1.0) * 0.3, 6) AS quality,
+         |    CASE WHEN n_tok > 0 THEN 1 - n_tok_distinct / n_tok ELSE 0.0 END AS rep
+         |  FROM b)
+         |SELECT doc_id,
+         |  (h_en = best AND best > 0) AS pass_lang,
+         |  quality >= 0.45 AS pass_quality,
+         |  rep < 0.6 AS pass_repetition,
+         |  len(regexp_extract_all(text, '[0-9]{6,}')) = 0 AS pass_no_digit_runs,
+         |  (h_en = best AND best > 0) AND quality >= 0.45 AND rep < 0.6
+         |    AND len(regexp_extract_all(text, '[0-9]{6,}')) = 0 AS keep
+         |FROM m""".stripMargin
+    },
+
+    // Shard-local running sums replicated with the md5-derived shard hash.
+    "pack_chunks" ->
+      s"""WITH d AS (SELECT doc_id,
+         |    CAST(CASE WHEN text IS NULL OR trim(text) = '' THEN 0
+         |         ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS BIGINT) AS n_tokens,
+         |    ${md5Hash60Sql("CAST(doc_id AS VARCHAR)")} % 8 AS shard
+         |  FROM documents),
+         |c AS (SELECT *, SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+         |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum FROM d)
+         |SELECT doc_id, shard, n_tokens,
+         |  CAST(cum - n_tokens AS BIGINT) AS start_offset,
+         |  CAST(floor(CAST(cum - n_tokens AS DOUBLE) / 512) AS BIGINT) AS start_chunk,
+         |  CAST(CASE WHEN n_tokens = 0 THEN floor(CAST(cum - n_tokens AS DOUBLE) / 512)
+         |       ELSE floor(CAST(cum - 1 AS DOUBLE) / 512) END AS BIGINT) AS end_chunk
+         |FROM c""".stripMargin,
+
+  )
+}
