@@ -154,6 +154,12 @@ object Bench {
     // race) keeps the median of its successful reps and is surfaced in
     // the artifact's "flaky" map rather than discarded.
     val flaky = scala.collection.mutable.LinkedHashMap[String, Int]()
+    // Per-query seeded-state provenance: which StateSeed fixtures each
+    // query touched. Recorded whenever seeding is ON, so a downstream
+    // round-over-round diff can auto-exclude mode-change drops (a query
+    // first measured seeded looks 10x faster for measurement reasons, not
+    // engine reasons).
+    val seededBy = scala.collection.mutable.LinkedHashMap[String, Seq[String]]()
     val inSuite: Seq[(String, Either[String, Double])] =
       selected.map { case (name, fn) =>
       if (warmTarget) {
@@ -161,6 +167,7 @@ object Bench {
         catch { case _: Throwable => () }
         cleanup()
       }
+      graft.util.StateSeed.drainTouched()  // discard warm-up/prior noise
       var err: Option[String] = None
       var failedReps = 0
       val times = (1 to reps).flatMap { _ =>
@@ -177,6 +184,8 @@ object Bench {
         cleanup()
         if (ok) Some(dt) else None
       }.sorted
+      val touchedTags = graft.util.StateSeed.drainTouched()
+      if (seedState && touchedTags.nonEmpty) seededBy(name) = touchedTags
       if (times.isEmpty) {
         val msg = err.getOrElse("no reps ran")
         System.err.println(s"[bench] $name FAILED (all $reps reps): $msg")
@@ -223,12 +232,15 @@ object Bench {
       .mkString("{", ",", "}")
     val flakyJson = flaky.map { case (k, n) => jsonStr(k) + ":" + n }
       .mkString("{", ",", "}")
+    val seededJson = seededBy.map { case (k, tags) =>
+      jsonStr(k) + ":" + tags.map(jsonStr).mkString("[", ",", "]")
+    }.mkString("{", ",", "}")
     val total = ok.map(_._2).sum
     val line =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
         s""""failed":$failedJson,"failed_count":${failed.size},""" +
         s""""flaky":$flakyJson,""" +
-        s""""seeded_state":$seedState,"sf":"$sfDir"}"""
+        s""""seeded_state":$seedState,"seeded_queries":$seededJson,"sf":"$sfDir"}"""
     if (failed.nonEmpty)
       System.err.println(s"[bench] *** ${failed.size}/${results.size} queries FAILED" +
         s" (excluded from total): ${failed.map(_._1).mkString(", ")} ***")

@@ -24,16 +24,34 @@ object StateSeed {
 
   private val cache = new java.util.concurrent.ConcurrentHashMap[String, String]()
 
+  /** Tags touched since the last [[drainTouched]] — Bench drains this
+    * after each query's reps to record, per query, WHICH state fixtures
+    * were seedable (the artifact's `seeded_queries` map), so
+    * round-over-round diffs can auto-exclude measurement-mode changes
+    * instead of reading a seeding change as a 10x optimization.
+    */
+  private val touched = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
   def enabled: Boolean = sys.props.contains("spark.graft.seedState")
+
+  /** Tags accessed since the previous drain (cleared by the call). */
+  def drainTouched(): Seq[String] = {
+    import scala.jdk.CollectionConverters._
+    val out = touched.asScala.toSeq.sorted
+    touched.clear()
+    out
+  }
 
   /** A state root for `tag` at `sfDir`: fresh-built per call normally,
     * built once and reused when seeding is enabled.
     */
-  def root(tag: String, sfDir: String)(build: String => Unit): String =
+  def root(tag: String, sfDir: String)(build: String => Unit): String = {
+    touched.add(tag)
     if (!enabled) { val r = Scratch.dir(tag); build(r); r }
     else cache.computeIfAbsent(s"$tag|$sfDir", _ => {
       val r = Scratch.dir(tag)
       build(r)
       r
     })
+  }
 }
