@@ -26,7 +26,7 @@ object PlanDump {
       "unpivot_wide_long" -> "Expand, zero shuffles",
       "sample_hash_split" -> "scan-side only: no exchange, no window",
       "text_top_tokens" -> "TakeOrderedAndProject (map-side partial top-k) + k^2 rank join",
-      "dedup_embedding_lsh" -> "codegen'd graft_dot in both bucket assignment and verify",
+      "dedup_embedding_lsh" -> "one-pass fused graft_lsh_buckets assignment; codegen'd graft_dot verify",
       "merge_upsert" -> "MERGE = one window shuffle on the natural key",
       "text_repetition" -> "repetition signals scan-side: single-pass kernels, zero shuffles",
       "vec_quantize_int8" -> "int8 quantization: one codegen'd pass over the scan",
