@@ -498,6 +498,16 @@ private[graft] object QueriesCore {
           col("o_totalprice").cast(Dec152).as("o_price"), col("o_orderstatus")),
         Seq("o_custkey", "o_price", "o_orderstatus"))),
 
+    // Exact heavy hitters at a rational frequency threshold via the
+    // Misra-Gries candidate sketch + exact recount of candidates only
+    // (ops/Profile.heavyHitters): the output equals the naive
+    // groupBy-count-filter, but the exchange never carries the key
+    // space — only <= k sketch counters per partition plus the
+    // candidates' partial counts.
+    "profile_heavy_hitters" -> ((s, dir) =>
+      graft.ops.Profile.heavyHitters(
+        Tables.events(s, dir), "user_id", num = 1L, den = 120L)),
+
     // Distribution-drift probe: exact per-group quantiles (both engines
     // use linear interpolation on the sorted values — bit-identical).
     "profile_quantiles" -> ((s, dir) =>
@@ -1130,6 +1140,11 @@ private[graft] object QueriesCore {
         |JOIN customer ON o_custkey = c_custkey
         |JOIN nation ON c_nationkey = n_nationkey
         |GROUP BY 1, 2""".stripMargin,
+
+    "profile_heavy_hitters" ->
+      """WITH c AS (SELECT user_id AS item, count(*) AS cnt FROM events GROUP BY 1)
+        |SELECT item, cnt FROM c
+        |WHERE cnt * 120 >= (SELECT sum(cnt) FROM c) * 1""".stripMargin,
 
     "profile_orders" ->
       """WITH b AS (SELECT o_custkey, CAST(o_totalprice AS DECIMAL(15,2)) AS o_price, o_orderstatus FROM orders)

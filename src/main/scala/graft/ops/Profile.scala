@@ -80,4 +80,52 @@ object Profile {
       .withColumn("prob", element_at(pArr, col("pos") + 1))
       .select(groupCols.map(col) ++ Seq(col("prob"), col("q_value")): _*)
   }
+
+  /** Exact heavy hitters — every item whose count is ≥ num/den of the
+    * table — without ever shuffling the full key space. The frequency
+    * threshold is a RATIONAL (`count·den ≥ total·num` in integer math)
+    * so the cut is bit-deterministic in any engine.
+    *
+    * Two passes, both sketch-sized on the wire:
+    *  1. one scan → a Misra–Gries candidate sketch (≤ k counters per
+    *     partition through the exchange — the key space's cardinality
+    *     never prices the shuffle) plus the exact row count, in a single
+    *     1-row aggregate. `k = slack·den/num` makes the sketch a proven
+    *     candidate SUPERSET of the true heavy hitters (MG bound: any
+    *     item with count ≥ total/(k+1) survives; the threshold is
+    *     total·num/den ≥ slack·total/k ≫ total/(k+1)).
+    *  2. one more scan, semi-joined against the ≤ k broadcast
+    *     candidates → exact counts of candidates only (map-side combine
+    *     bounds the exchange at k rows per partition), cross-joined with
+    *     the 1-row total (the bounded-broadcast pattern of
+    *     Recall/Profile) and cut at the exact rational threshold.
+    *
+    * The sketch's own counter VALUES vary with partitioning (only its
+    * superset guarantee is invariant), so they never reach the output:
+    * the result is exactly `groupBy(item).count.filter(cnt·den ≥
+    * total·num)` — deterministic, DuckDB-replicable — at sketch-shuffle
+    * cost. Output: (item, cnt), the exact count.
+    */
+  def heavyHitters(df: DataFrame, itemCol: String, num: Long, den: Long,
+                   slack: Int = 4): DataFrame = {
+    require(num > 0 && den >= num, "need a frequency fraction 0 < num/den <= 1")
+    require(slack >= 2, "slack < 2 voids the candidate-superset guarantee")
+    val k = math.min(10_000_000L, den / num * slack).toInt
+    import graft.functions.HeavyHittersAggregate.misraGries
+    // Persisted because BOTH pass-2 inputs (candidate list, exact total)
+    // read it — without the persist the pass-1 scan would run twice.
+    // Bounded: exactly ONE row carrying ≤ k counters.
+    val sketch = df.agg(
+      misraGries(col(itemCol).cast(LongType), k).as("cand"),
+      count(lit(1)).as("total")).persist()
+    val cands = sketch.select(explode(col("cand")).as("c"))
+      .select(col("c.item").as("_hh_cand"))
+    val candidateRows = df
+      .join(broadcast(cands), col(itemCol).cast(LongType) === col("_hh_cand"), "left_semi")
+    candidateRows.groupBy(col(itemCol).cast(LongType).as("item"))
+      .agg(count(lit(1)).as("cnt"))
+      .crossJoin(broadcast(sketch.select(col("total"))))
+      .where(col("cnt") * lit(den) >= col("total") * lit(num))
+      .select(col("item"), col("cnt"))
+  }
 }

@@ -1,0 +1,80 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+/** Heavy hitters: the Misra–Gries sketch is a candidate superset under
+  * any partitioning, and the two-pass operator's output equals the naive
+  * exact plan bit-for-bit — on a skewed corpus whose cardinality far
+  * exceeds the sketch size (so decrement and merge-trim paths really
+  * run).
+  */
+class HeavyHittersSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Zipf-ish stream: item i appears ~N/(i+1) times, plus a long unique
+    * tail — ~4k distinct items, heavily skewed head.
+    */
+  private lazy val skewed = {
+    val head = (0 until 50).flatMap(i => Seq.fill(2000 / (i + 1))(i.toLong))
+    val tail = (1000L until 5000L).map(identity)
+    (head ++ tail).toDF("item")
+  }
+
+  private def naive(num: Long, den: Long) =
+    skewed.groupBy(col("item")).agg(count(lit(1)).as("cnt"))
+      .crossJoin(broadcast(skewed.agg(count(lit(1)).as("total"))))
+      .where(col("cnt") * lit(den) >= col("total") * lit(num))
+      .select(col("item"), col("cnt"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+  test("two-pass heavy hitters == naive exact plan on a skewed corpus") {
+    val expected = naive(1L, 100L)
+    assert(expected.nonEmpty && expected.size < 60) // the cut discriminates
+    for (parts <- Seq(1, 3, 16)) {
+      val got = Profile.heavyHitters(skewed.repartition(parts), "item", 1L, 100L)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got == expected, s"parts=$parts")
+    }
+  }
+
+  test("sketch with k << cardinality still yields the exact answer") {
+    // slack=2 with den/num=20 -> k=40 counters vs ~4k distinct items:
+    // the decrement-on-overflow and merge-trim paths are exercised, and
+    // the superset guarantee must still hold so pass 2 stays exact.
+    val expected = naive(1L, 20L)
+    val got = Profile.heavyHitters(skewed.repartition(8), "item", 1L, 20L, slack = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == expected)
+  }
+
+  test("MG estimates are within n/(k+1) of true counts, never above") {
+    import graft.functions.HeavyHittersAggregate.misraGries
+    val n = skewed.count()
+    val k = 64
+    val est = skewed.repartition(7)
+      .agg(misraGries(col("item"), k).as("s"))
+      .select(explode(col("s")).as("e"))
+      .select(col("e.item"), col("e.est"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val truth = skewed.groupBy("item").count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    est.foreach { case (item, e) =>
+      val t = truth(item)
+      assert(e <= t, s"overestimate for $item: $e > $t")
+      assert(t - e <= n / (k + 1) * 2 + 1, // merge tree depth 2: map + final
+        s"error for $item: ${t - e} > bound")
+    }
+    // Superset at the guaranteed threshold: every item with true count
+    // >= n/(k+1) must appear among the sketch's counters.
+    truth.filter(_._2 >= n / (k + 1)).keys.foreach { item =>
+      assert(est.contains(item), s"guaranteed item $item missing")
+    }
+  }
+
+  test("rejects degenerate fractions") {
+    intercept[IllegalArgumentException](Profile.heavyHitters(skewed, "item", 0L, 10L))
+    intercept[IllegalArgumentException](Profile.heavyHitters(skewed, "item", 3L, 2L))
+    intercept[IllegalArgumentException](Profile.heavyHitters(skewed, "item", 1L, 10L, slack = 1))
+  }
+}
