@@ -53,6 +53,19 @@ private[graft] object QueriesText {
     // then derived window-free on the k survivors: rank = 1 + number of
     // rows sorting strictly before, via a broadcast self-join bounded at
     // k^2 = 400 comparisons regardless of corpus size.
+    // Heavy-hitter tokens at a rational frequency threshold: the string
+    // form of the Misra-Gries two-pass (sketch candidates -> exact
+    // recount). Differs from text_top_tokens (fixed top-k) the way a
+    // hot-token blocklist differs from a leaderboard: the cut is a share
+    // of the corpus, not a rank.
+    "text_heavy_tokens" -> ((s, dir) => {
+      val toks = t(s, dir, "documents")
+        .select(TextAnalysis.tokens(col("text")).as("toks"))
+        .select(explode(col("toks")).as("token"))
+      graft.ops.Profile.heavyHitters(toks, "token", num = 1L, den = 29L)
+        .select(col("item").as("token"), col("cnt"))
+    }),
+
     "text_top_tokens" -> ((s, dir) => {
       val counts = t(s, dir, "documents")
         .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("toks"))
@@ -557,6 +570,13 @@ private[graft] object QueriesText {
          |SELECT doc_id, lang_guess, quality FROM ae
          |WHERE doc_id NOT IN (SELECT doc_id FROM near_losers)""".stripMargin
     },
+
+    "text_heavy_tokens" ->
+      """WITH c AS (
+        |  SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS token FROM documents),
+        |g AS (SELECT token, count(*) AS cnt FROM c GROUP BY 1)
+        |SELECT token, cnt FROM g
+        |WHERE cnt * 29 >= (SELECT sum(cnt) FROM g) * 1""".stripMargin,
 
     "text_top_tokens" ->
       """WITH c AS (

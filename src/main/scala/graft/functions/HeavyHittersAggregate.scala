@@ -34,12 +34,13 @@ object HeavyHittersAggregate {
 
   /** Bounded counter map: at most k items. Decrement-all on overflow is
     * amortized O(1) per element (every decrement round is paid for by
-    * the insertions it cancels).
+    * the insertions it cancels). Keys are boxed Long or UTF8String —
+    * the caller owns copying any buffer-backed key BEFORE it goes in.
     */
   final class MgBuffer(val k: Int) {
-    val counts = new java.util.HashMap[Long, Long](k * 2)
+    val counts = new java.util.HashMap[AnyRef, Long](k * 2)
 
-    def add(item: Long, by: Long): Unit = {
+    def add(item: AnyRef, by: Long): Unit = {
       val cur = counts.get(item)
       if (cur != 0L || counts.containsKey(item)) counts.put(item, cur + by)
       else if (counts.size < k) counts.put(item, by)
@@ -93,9 +94,10 @@ object HeavyHittersAggregate {
     }
   }
 
-  /** misra_gries(item long, k) -> array<struct<item long, est long>>,
-    * ordered est desc then item asc (a deterministic ORDER for whatever
-    * counter set the partitioning produced; the set itself is
+  /** misra_gries(item, k) -> array<struct<item, est long>> (item keeps
+    * the child's key type: integrals widen to long, strings stay
+    * string), ordered est desc then item asc (a deterministic ORDER for
+    * whatever counter set the partitioning produced; the set itself is
     * partitioning-dependent — see the object doc for why that is fine).
     */
   case class MisraGries(itemExpr: Expression, k: Int,
@@ -105,26 +107,38 @@ object HeavyHittersAggregate {
 
     require(k > 0, "k must be positive")
 
+    private def stringKeyed: Boolean = itemExpr.dataType == StringType
+    private def keyType: DataType = if (stringKeyed) StringType else LongType
+
     override def children: Seq[Expression] = Seq(itemExpr)
     override def nullable: Boolean = false
     override def dataType: DataType = ArrayType(StructType(Seq(
-      StructField("item", LongType, nullable = false),
+      StructField("item", keyType, nullable = false),
       StructField("est", LongType, nullable = false))), containsNull = false)
 
     override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
       itemExpr.dataType match {
-        case LongType | IntegerType | ShortType | ByteType =>
+        case LongType | IntegerType | ShortType | ByteType | StringType =>
           org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
         case other =>
           org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
-            s"graft_misra_gries requires an integral item column, got $other")
+            s"graft_misra_gries requires an integral or string item column, got $other")
       }
 
     override def createAggregationBuffer(): MgBuffer = new MgBuffer(k)
 
     override def update(buffer: MgBuffer, input: InternalRow): MgBuffer = {
       val v = itemExpr.eval(input)
-      if (v != null) buffer.add(v.asInstanceOf[Number].longValue(), 1L)
+      if (v != null) {
+        val key: AnyRef = v match {
+          // UTF8String from an UnsafeRow points into a reused buffer —
+          // clone BEFORE storing or every stored key silently mutates.
+          case s: org.apache.spark.unsafe.types.UTF8String => s.clone()
+          case n: Number => Long.box(n.longValue())
+          case other => other.asInstanceOf[AnyRef]
+        }
+        buffer.add(key, 1L)
+      }
       buffer
     }
 
@@ -133,29 +147,58 @@ object HeavyHittersAggregate {
       buffer
     }
 
+    private def keyLess(a: AnyRef, b: AnyRef): Boolean = (a, b) match {
+      case (x: java.lang.Long, y: java.lang.Long) => x < y
+      case (x: org.apache.spark.unsafe.types.UTF8String,
+            y: org.apache.spark.unsafe.types.UTF8String) => x.compareTo(y) < 0
+      case _ => sys.error(s"unexpected key types: ${a.getClass}, ${b.getClass}")
+    }
+
     override def eval(buffer: MgBuffer): Any = {
-      val entries = new Array[(Long, Long)](buffer.counts.size)
+      val entries = new Array[(AnyRef, Long)](buffer.counts.size)
       var i = 0
       val it = buffer.counts.entrySet().iterator()
       while (it.hasNext) {
         val e = it.next()
         entries(i) = (e.getKey, e.getValue); i += 1
       }
-      val sorted = entries.sortBy { case (item, est) => (-est, item) }
+      val sorted = entries.sortWith { case ((ia, ea), (ib, eb)) =>
+        ea > eb || (ea == eb && keyLess(ia, ib))
+      }
       new GenericArrayData(sorted.map { case (item, est) =>
         InternalRow(item, est): Any
       })
     }
 
     override def serialize(buffer: MgBuffer): Array[Byte] = {
-      val bb = ByteBuffer.allocate(8 + buffer.counts.size * 16)
-      bb.putInt(buffer.k).putInt(buffer.counts.size)
-      val it = buffer.counts.entrySet().iterator()
-      while (it.hasNext) {
-        val e = it.next()
-        bb.putLong(e.getKey).putLong(e.getValue)
+      if (!stringKeyed) {
+        val bb = ByteBuffer.allocate(8 + buffer.counts.size * 16)
+        bb.putInt(buffer.k).putInt(buffer.counts.size)
+        val it = buffer.counts.entrySet().iterator()
+        while (it.hasNext) {
+          val e = it.next()
+          bb.putLong(e.getKey.asInstanceOf[java.lang.Long]).putLong(e.getValue)
+        }
+        bb.array()
+      } else {
+        val it0 = buffer.counts.entrySet().iterator()
+        var bytes = 0
+        while (it0.hasNext) {
+          bytes += 12 + it0.next().getKey
+            .asInstanceOf[org.apache.spark.unsafe.types.UTF8String].numBytes()
+        }
+        val bb = ByteBuffer.allocate(8 + bytes)
+        bb.putInt(buffer.k).putInt(buffer.counts.size)
+        val it = buffer.counts.entrySet().iterator()
+        while (it.hasNext) {
+          val e = it.next()
+          val sb = e.getKey.asInstanceOf[org.apache.spark.unsafe.types.UTF8String].getBytes
+          bb.putInt(sb.length)
+          bb.put(sb)
+          bb.putLong(e.getValue)
+        }
+        bb.array()
       }
-      bb.array()
     }
 
     override def deserialize(bytes: Array[Byte]): MgBuffer = {
@@ -163,7 +206,18 @@ object HeavyHittersAggregate {
       val buf = new MgBuffer(bb.getInt)
       val n = bb.getInt
       var i = 0
-      while (i < n) { buf.counts.put(bb.getLong, bb.getLong); i += 1 }
+      if (!stringKeyed) {
+        while (i < n) { buf.counts.put(Long.box(bb.getLong), bb.getLong); i += 1 }
+      } else {
+        while (i < n) {
+          val len = bb.getInt
+          val sb = new Array[Byte](len)
+          bb.get(sb)
+          buf.counts.put(
+            org.apache.spark.unsafe.types.UTF8String.fromBytes(sb), bb.getLong)
+          i += 1
+        }
+      }
       buf
     }
 

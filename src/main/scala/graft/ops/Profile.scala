@@ -112,17 +112,22 @@ object Profile {
     require(slack >= 2, "slack < 2 voids the candidate-superset guarantee")
     val k = math.min(10_000_000L, den / num * slack).toInt
     import graft.functions.HeavyHittersAggregate.misraGries
+    // Integral items widen to long (matching the sketch's key type);
+    // strings pass through.
+    val item =
+      if (df.schema(itemCol).dataType == StringType) col(itemCol)
+      else col(itemCol).cast(LongType)
     // Persisted because BOTH pass-2 inputs (candidate list, exact total)
     // read it — without the persist the pass-1 scan would run twice.
     // Bounded: exactly ONE row carrying ≤ k counters.
     val sketch = df.agg(
-      misraGries(col(itemCol).cast(LongType), k).as("cand"),
+      misraGries(item, k).as("cand"),
       count(lit(1)).as("total")).persist()
     val cands = sketch.select(explode(col("cand")).as("c"))
       .select(col("c.item").as("_hh_cand"))
     val candidateRows = df
-      .join(broadcast(cands), col(itemCol).cast(LongType) === col("_hh_cand"), "left_semi")
-    candidateRows.groupBy(col(itemCol).cast(LongType).as("item"))
+      .join(broadcast(cands), item === col("_hh_cand"), "left_semi")
+    candidateRows.groupBy(item.as("item"))
       .agg(count(lit(1)).as("cnt"))
       .crossJoin(broadcast(sketch.select(col("total"))))
       .where(col("cnt") * lit(den) >= col("total") * lit(num))

@@ -72,6 +72,22 @@ class HeavyHittersSpec extends SparkSpec {
     }
   }
 
+  test("string items: two-pass == naive, sketch keys survive buffer reuse") {
+    // Many distinct strings per partition with small k forces stored
+    // UTF8String keys to outlive the row buffer they were read from —
+    // a missing copy shows up as corrupted/duplicated keys here.
+    val words = skewed.select(concat(lit("w"), col("item")).as("w"))
+    val expected = words.groupBy(col("w")).agg(count(lit(1)).as("cnt"))
+      .crossJoin(broadcast(words.agg(count(lit(1)).as("total"))))
+      .where(col("cnt") * lit(20) >= col("total") * lit(1))
+      .select(col("w"), col("cnt"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(expected.nonEmpty)
+    val got = Profile.heavyHitters(words.repartition(8), "w", 1L, 20L, slack = 2)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(got == expected)
+  }
+
   test("rejects degenerate fractions") {
     intercept[IllegalArgumentException](Profile.heavyHitters(skewed, "item", 0L, 10L))
     intercept[IllegalArgumentException](Profile.heavyHitters(skewed, "item", 3L, 2L))
