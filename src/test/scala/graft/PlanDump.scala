@@ -46,7 +46,8 @@ object PlanDump {
       "sample_split_leakage_safe" -> "cluster-keyed split: md5 bucket is ONE scan-side projection over the persisted label table, zero exchanges",
       "dedup_canonical_quality" -> "canonical-by-quality: WindowGroupLimit on (quality DESC, doc_id) per cluster",
       "recall_embedding_lsh_sampled" -> "sampled audit: the hash-sample filter sits UNDER both tiers, pair cost falls quadratically",
-      "dedup_cluster_reps_incremental" -> "incremental CC fold: relabel = equi-joins through the contracted-graph labels, history table never re-clustered")
+      "dedup_cluster_reps_incremental" -> "incremental CC fold: relabel = equi-joins through the contracted-graph labels, history table never re-clustered",
+      "profile_heavy_hitters" -> "heavy hitters: MG sketch partial-aggregates map-side (<= k counters per partition on the wire); pass 2 recounts only the broadcast candidates")
     val keep = Seq("Exchange", "Scan", "Join", "Aggregate", "Window", "Expand",
       "TakeOrdered", "Broadcast", "Sort", "Filter", "Project", "WholeStageCodegen")
     val sb = new StringBuilder
