@@ -335,6 +335,22 @@ object VectorExpressions {
     override protected def withNewChildInternal(newChild: Expression): Expression =
       copy(child = newChild)
 
+    // The synthesized case-class equals compares the Array[Double] field
+    // by REFERENCE, so two semantically identical LshBuckets never
+    // compared equal — defeating canonicalization / common-subexpression
+    // elimination (never wrong results, just missed reuse). Compare plane
+    // CONTENTS instead; the array stays an array for the hot-loop kernel.
+    override def equals(other: Any): Boolean = other match {
+      case o: LshBuckets =>
+        tables == o.tables && nbits == o.nbits && dim == o.dim &&
+          child == o.child && java.util.Arrays.equals(planes, o.planes)
+      case _ => false
+    }
+
+    override def hashCode(): Int =
+      java.util.Objects.hash(child, Int.box(tables), Int.box(nbits),
+        Int.box(dim), Int.box(java.util.Arrays.hashCode(planes)))
+
     override def prettyName: String = "graft_lsh_buckets"
   }
 

@@ -96,41 +96,82 @@ object Profile {
     *     total·num/den ≥ slack·total/k ≫ total/(k+1)).
     *  2. one more scan, semi-joined against the ≤ k broadcast
     *     candidates → exact counts of candidates only (map-side combine
-    *     bounds the exchange at k rows per partition), cross-joined with
-    *     the 1-row total (the bounded-broadcast pattern of
-    *     Recall/Profile) and cut at the exact rational threshold.
+    *     bounds the exchange at k rows per partition), cut at the exact
+    *     rational threshold (pre-resolved to ⌈total·num/den⌉ from the
+    *     pass-1 total — one BigInt division, no per-row product).
     *
     * The sketch's own counter VALUES vary with partitioning (only its
     * superset guarantee is invariant), so they never reach the output:
     * the result is exactly `groupBy(item).count.filter(cnt·den ≥
-    * total·num)` — deterministic, DuckDB-replicable — at sketch-shuffle
-    * cost. Output: (item, cnt), the exact count.
+    * total·num)` — deterministic, DuckDB-replicable, NULL group included
+    * — at sketch-shuffle cost. Output: (item, cnt), the exact count.
+    *
+    * Thresholds finer than num/den = slack/[[MaxCounters]] are REFUSED
+    * (require) rather than silently clamped: a clamped k would void the
+    * Misra–Gries superset guarantee and true heavy hitters could go
+    * missing from output this doc promises is exact. At that point the
+    * candidate set is 10M+ counters per partition — no longer a sketch —
+    * and the honest plan is the full `groupBy(item).count` shuffle.
     */
   def heavyHitters(df: DataFrame, itemCol: String, num: Long, den: Long,
                    slack: Int = 4): DataFrame = {
     require(num > 0 && den >= num, "need a frequency fraction 0 < num/den <= 1")
     require(slack >= 2, "slack < 2 voids the candidate-superset guarantee")
-    val k = math.min(10_000_000L, den / num * slack).toInt
+    // den/num FIRST (Long division), bound-check BEFORE multiplying by
+    // slack — den/num*slack can overflow Long for extreme den.
+    val kL = den / num
+    require(kL <= MaxCounters / slack,
+      s"threshold $num/$den needs $kL x slack=$slack MG counters > $MaxCounters; " +
+      "a clamped sketch would silently void the candidate-superset " +
+      "guarantee — coarsen the threshold or use the exact groupBy-count plan")
+    val k = (kL * slack).toInt
     import graft.functions.HeavyHittersAggregate.misraGries
     // Integral items widen to long (matching the sketch's key type);
     // strings pass through.
-    val item =
-      if (df.schema(itemCol).dataType == StringType) col(itemCol)
-      else col(itemCol).cast(LongType)
-    // Persisted because BOTH pass-2 inputs (candidate list, exact total)
-    // read it — without the persist the pass-1 scan would run twice.
-    // Bounded: exactly ONE row carrying ≤ k counters.
-    val sketch = df.agg(
+    val stringKeyed = df.schema(itemCol).dataType == StringType
+    val item = if (stringKeyed) col(itemCol) else col(itemCol).cast(LongType)
+    // Pass 1 materializes EAGERLY: exactly one row carrying ≤ k counters
+    // plus the exact total and null count. Collecting it (instead of a
+    // persist both pass-2 branches re-read) keeps nothing cached in the
+    // session, and pass 2's candidate list had to reach the driver anyway
+    // to be broadcast.
+    val head = df.agg(
       misraGries(item, k).as("cand"),
-      count(lit(1)).as("total")).persist()
-    val cands = sketch.select(explode(col("cand")).as("c"))
-      .select(col("c.item").as("_hh_cand"))
-    val candidateRows = df
-      .join(broadcast(cands), item === col("_hh_cand"), "left_semi")
-    candidateRows.groupBy(item.as("item"))
+      count(lit(1)).as("total"),
+      sum(when(item.isNull, 1L).otherwise(0L)).as("nulls")).head()
+    val total = head.getLong(1)
+    val nullCnt = head.getLong(2)
+    // Smallest qualifying count: cnt·den ≥ total·num  ⇔  cnt ≥
+    // ⌈total·num/den⌉ — computed once in BigInt so no per-row product can
+    // overflow Long however large the table.
+    val cntMin = ((BigInt(total) * num + den - 1) / den).toLong
+    val spark = df.sparkSession
+    import spark.implicits._
+    val candItems = head.getSeq[org.apache.spark.sql.Row](0)
+    val candDf =
+      if (stringKeyed) candItems.map(_.getString(0)).toDF("_hh_cand")
+      else candItems.map(_.getLong(0)).toDF("_hh_cand")
+    val nonNull = df
+      .join(broadcast(candDf), item === col("_hh_cand"), "left_semi")
+      .groupBy(item.as("item"))
       .agg(count(lit(1)).as("cnt"))
-      .crossJoin(broadcast(sketch.select(col("total"))))
-      .where(col("cnt") * lit(den) >= col("total") * lit(num))
+      .where(col("cnt") >= cntMin)
       .select(col("item"), col("cnt"))
+    // The sketch skips nulls and the semi-join can never match one, but
+    // the naive groupBy(item).count plan HAS a NULL group (and so does
+    // the DuckDB oracle). Pass 1 counted nulls exactly; append the group
+    // when it qualifies so the equivalence holds with no carve-out.
+    if (nullCnt > 0 && BigInt(nullCnt) * den >= BigInt(total) * num) {
+      val nullRow =
+        if (stringKeyed) Seq((Option.empty[String], nullCnt)).toDF("item", "cnt")
+        else Seq((Option.empty[Long], nullCnt)).toDF("item", "cnt")
+      nonNull.unionByName(nullRow)
+    } else nonNull
   }
+
+  /** Hard ceiling on Misra–Gries candidate counters per partition — past
+    * this a "sketch" is corpus-sized state and [[heavyHitters]] refuses
+    * the threshold instead of voiding its exactness guarantee.
+    */
+  val MaxCounters: Long = 10_000_000L
 }

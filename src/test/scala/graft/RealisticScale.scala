@@ -170,7 +170,10 @@ object RealisticProbe {
         s""""n_buckets":${r.getAs[Long]("n_buckets")},"max_occ":${r.getAs[Long]("max_occ")},""" +
         s""""candidate_pairs":${r.getAs[Long]("candidate_pairs")}}""")
     }
-    println(f"""{"probe":"lsh_candidates","nbits":$nbits,"total_candidates":$totalCand,"true_pairs":$truePairs,"overshoot":${totalCand.toDouble / truePairs}%.1f}""")
+    // truePairs can be 0 below ~51 vectors; Infinity/NaN is invalid JSON.
+    val overshoot =
+      if (truePairs > 0) f"${totalCand.toDouble / truePairs}%.1f" else "null"
+    println(s"""{"probe":"lsh_candidates","nbits":$nbits,"total_candidates":$totalCand,"true_pairs":$truePairs,"overshoot":$overshoot}""")
     spark.stop()
   }
 }

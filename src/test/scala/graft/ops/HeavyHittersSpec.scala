@@ -93,4 +93,37 @@ class HeavyHittersSpec extends SparkSpec {
     intercept[IllegalArgumentException](Profile.heavyHitters(skewed, "item", 3L, 2L))
     intercept[IllegalArgumentException](Profile.heavyHitters(skewed, "item", 1L, 10L, slack = 1))
   }
+
+  test("refuses thresholds that would clamp k and void the superset guarantee") {
+    // den/num * slack > MaxCounters: must require-fail, never silently
+    // clamp (a clamped sketch can drop true heavy hitters).
+    val e = intercept[IllegalArgumentException](
+      Profile.heavyHitters(skewed, "item", 1L, Profile.MaxCounters, slack = 4))
+    assert(e.getMessage.contains("superset"))
+    // ...including when den/num * slack would overflow Long.
+    intercept[IllegalArgumentException](
+      Profile.heavyHitters(skewed, "item", 1L, Long.MaxValue / 2, slack = 4))
+  }
+
+  test("a frequent NULL group is reported, matching the naive plan") {
+    // The sketch skips nulls and the semi-join can't match them; the
+    // operator must still surface the NULL group exactly as
+    // groupBy(item).count.filter(...) would.
+    val withNulls = skewed
+      .union(Seq.fill(400)(Option.empty[Long]).toDF("item"))
+    val expected = withNulls.groupBy(col("item")).agg(count(lit(1)).as("cnt"))
+      .crossJoin(broadcast(withNulls.agg(count(lit(1)).as("total"))))
+      .where(col("cnt") * lit(50) >= col("total") * lit(1))
+      .select(col("item"), col("cnt"))
+      .collect().map(r => (if (r.isNullAt(0)) None else Some(r.getLong(0)), r.getLong(1))).toSet
+    assert(expected.exists(_._1.isEmpty), "fixture must make NULL a heavy hitter")
+    val got = Profile.heavyHitters(withNulls.repartition(8), "item", 1L, 50L)
+      .collect().map(r => (if (r.isNullAt(0)) None else Some(r.getLong(0)), r.getLong(1))).toSet
+    assert(got == expected)
+    // An infrequent NULL group stays out, like any other item under the cut.
+    val fewNulls = skewed.union(Seq.fill(3)(Option.empty[Long]).toDF("item"))
+    val gotFew = Profile.heavyHitters(fewNulls.repartition(8), "item", 1L, 50L)
+      .collect()
+    assert(!gotFew.exists(_.isNullAt(0)))
+  }
 }
