@@ -736,6 +736,29 @@ private[graft] object QueriesShared {
        |SELECT CAST(hour_start AS TIMESTAMP) AS hour_start, event_type, cnt, sum_value
        |FROM agg, fw WHERE epoch_us(hour_start + INTERVAL 1 HOUR) <= fw.f""".stripMargin
 
+  /** Late-delivery sliding oracle. Same drop/emit rules as the tumbling
+    * one, applied PER (row, window) ASSIGNMENT: the row first expands
+    * into its two overlapping 2-hour windows (exactly as Spark's Expand
+    * runs before the stateful aggregate and its late filter), then each
+    * assignment is dropped iff that window's end is at or below the
+    * watermark in force at the delivered wave — so one late row can fold
+    * into its younger window while its older window drops it. Emission:
+    * window end at or below the final watermark.
+    */
+  val slidingLateOracleSql: String =
+    s"""WITH $lateWaveCtes,
+       |x AS (SELECT unnest([date_trunc('hour', tsv) - INTERVAL 1 HOUR,
+       |                     date_trunc('hour', tsv)]) AS ws,
+       |             event_type, value, wm_us
+       |      FROM s),
+       |surv AS (SELECT * FROM x WHERE wm_us IS NULL
+       |           OR epoch_us(ws + INTERVAL 2 HOUR) > wm_us),
+       |agg AS (SELECT ws, event_type, count(*) AS cnt,
+       |          CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+       |        FROM surv GROUP BY 1, 2)
+       |SELECT CAST(ws AS TIMESTAMP) AS win_start, event_type, cnt, sum_value
+       |FROM agg, fw WHERE epoch_us(ws + INTERVAL 2 HOUR) <= fw.f""".stripMargin
+
   /** Late-delivery sessionize oracle. The fMGWS late filter drops rows
     * with raw ts behind the watermark BEFORE the state function; the
     * survivors fold in PROCESSING order (wave, ts, event_id) — an

@@ -50,6 +50,52 @@ private[graft] object QueriesStreaming {
           col("sum_value").cast(DoubleType).as("sum_value"))
     }),
 
+    // LIVE twin of events_sliding: watermarked sliding aggregate over the
+    // file stream, AvailableNow, Append mode — emits exactly the windows
+    // the final watermark (= max event time at 0s delay) has closed. Each
+    // event expands into two overlapping windows BEFORE the stateful agg,
+    // so emission is per-window: the younger of an event's two windows
+    // can stay open (unemitted) while the older one closes.
+    "streaming_sliding_live" -> ((s, dir) => {
+      val ckpt = graft.util.Scratch.dir("graft_sslide_ck")
+      val out = graft.util.Scratch.dir("graft_sslide_out") + "/agg"
+      withShufflePartitions(s, 8) {
+        val q = graft.streaming.EventStreams
+          .slidingAgg(Tables.eventsStream(s, dir), watermark = "0 seconds")
+          .writeStream.outputMode("append")
+          .option("checkpointLocation", ckpt)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .format("parquet").option("path", out).start()
+        q.awaitTermination()
+      }
+      s.read.parquet(out)
+        .select(col("win_start"), col("event_type"), col("cnt"),
+          col("sum_value").cast(DoubleType).as("sum_value"))
+    }),
+
+    // Late/out-of-order twin of the sliding aggregate: displaced rows are
+    // late-filtered PER (row, window) assignment — an in-watermark late
+    // row folds into its still-open window(s) while its already-closed
+    // older window drops it, the overlap behavior the tumbling late gate
+    // can never exercise (EventStreamsSpec pins the two-window boundary).
+    "streaming_sliding_late" -> ((s, dir) => {
+      val ckpt = graft.util.Scratch.dir("graft_sslate2_ck")
+      val out = graft.util.Scratch.dir("graft_sslate2_out") + "/agg"
+      withShufflePartitions(s, 8) {
+        val q = graft.streaming.EventStreams
+          .slidingAgg(Tables.lateWavedEventsStream(s, dir, nWaves = 4),
+            watermark = "96 hours")
+          .writeStream.outputMode("append")
+          .option("checkpointLocation", ckpt)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .format("parquet").option("path", out).start()
+        q.awaitTermination()
+      }
+      s.read.parquet(out)
+        .select(col("win_start"), col("event_type"), col("cnt"),
+          col("sum_value").cast(DoubleType).as("sum_value"))
+    }),
+
     // Sliding 2-hour windows on a 1-hour slide: each event lands in two
     // overlapping windows (streaming-compatible semantics in batch).
     "events_sliding" -> ((s, dir) =>
@@ -399,6 +445,23 @@ private[graft] object QueriesStreaming {
         |FROM events GROUP BY 1, 2
         |HAVING CAST(date_trunc('hour', ts) AS TIMESTAMP) + INTERVAL 1 HOUR
         |  <= (SELECT max(CAST(ts AS TIMESTAMP)) FROM events)""".stripMargin,
+
+    // Append emission: a sliding window is emitted iff its END (start +
+    // 2h) is at or below the final watermark = max event time (0s delay;
+    // window ends are hour-aligned so ms flooring can't flip the cut).
+    "streaming_sliding_live" ->
+      """SELECT CAST(ws AS TIMESTAMP) AS win_start, event_type, count(*) AS cnt,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+        |FROM (
+        |  SELECT unnest([date_trunc('hour', ts) - INTERVAL 1 HOUR,
+        |                 date_trunc('hour', ts)]) AS ws,
+        |         event_type, value
+        |  FROM events)
+        |GROUP BY ws, event_type
+        |HAVING ws + INTERVAL 2 HOUR
+        |  <= (SELECT max(CAST(ts AS TIMESTAMP)) FROM events)""".stripMargin,
+
+    "streaming_sliding_late" -> slidingLateOracleSql,
 
     "events_sliding" ->
       """SELECT CAST(ws AS TIMESTAMP) AS win_start, event_type, count(*) AS cnt,

@@ -211,6 +211,26 @@ object EventStreams {
       .select(col("window.start").as("hour_start"), col("event_type"),
         col("cnt"), col("sum_value"))
 
+  /** Sliding-window aggregate with a watermark (the streaming twin of the
+    * `events_sliding` batch query): each event lands in windowLen/slide
+    * overlapping windows — Spark EXPANDS the row into one (window, row)
+    * pair per assignment before the stateful aggregate, so the late-data
+    * filter applies PER WINDOW: a late row folds into every still-open
+    * window it belongs to and is dropped from every closed one
+    * independently (the boundary rule EventStreamsSpec pins). State is
+    * bounded the same way as tumbling: a window's state is evicted once
+    * its end passes the watermark.
+    */
+  def slidingAgg(events: DataFrame, watermark: String = "2 hours",
+                 windowLen: String = "2 hours", slide: String = "1 hour"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), windowLen, slide), col("event_type"))
+      .agg(count(lit(1)).as("cnt"),
+        sum(col("value").cast(DecimalType(18, 6))).cast(DecimalType(20, 6)).as("sum_value"))
+      .select(col("window.start").as("win_start"), col("event_type"),
+        col("cnt"), col("sum_value"))
+
   /** Custom-state sessionization via flatMapGroupsWithState: a session is
     * a run of events per user with gaps < `gapMs`. A session closes either
     * when a later event of the same user arrives past the gap, or when the

@@ -212,6 +212,42 @@ class EventStreamsSpec extends SparkSpec {
     assert(!got.contains(ts("2024-01-01 14:00:00")), s"open window must not emit: $got")
   }
 
+  test("sliding late semantics: one late row folds into its open window and drops from its closed one") {
+    // Pins the per-(row, window) rule the streaming_sliding_late oracle
+    // encodes: an event expands into BOTH its overlapping windows before
+    // the late filter, so each assignment is judged against its own
+    // window end — a single late row can land in exactly one of its two
+    // windows.
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val agg = EventStreams.slidingAgg(input.toDF(), watermark = "0 seconds")
+    val q = agg.writeStream.format("memory").queryName("sliding_late_probe")
+      .outputMode(OutputMode.Append()).start()
+    def batch(evs: Event*): Unit = { input.addData(evs: _*); q.processAllAvailable() }
+
+    batch(event(1, "2024-01-01 10:05:00", 1, "click", 1.0),
+          event(2, "2024-01-01 12:30:00", 1, "click", 1.0)) // watermark -> 12:30
+    // Late row at 10:30 belongs to windows [09,11) and [10,12).
+    // [09,11) end 11:00 <= wm 12:30: that assignment DROPS.
+    // [10,12) end 12:00 <= wm 12:30: DROPS too.
+    // Late row at 11:10 belongs to [10,12) (end 12:00 <= wm: drops) and
+    // [11,13) (end 13:00 > wm: FOLDS) — one row, one window kept, one lost.
+    batch(event(3, "2024-01-01 10:30:00", 1, "click", 1.0),
+          event(4, "2024-01-01 11:10:00", 1, "click", 1.0))
+    batch(event(5, "2024-01-01 15:00:00", 1, "click", 1.0)) // close everything through [13,15)
+    q.processAllAvailable()
+    q.stop()
+
+    val got = spark.table("sliding_late_probe")
+      .collect().map(r => (r.getTimestamp(0), r.getLong(2))).toMap
+    assert(got(ts("2024-01-01 09:00:00")) == 1L, s"closed [09,11) must not see the late row: $got")
+    assert(got(ts("2024-01-01 10:00:00")) == 1L, s"closed [10,12) must not see either late row: $got")
+    assert(got(ts("2024-01-01 11:00:00")) == 2L,
+      s"late 11:10 must fold into still-open [11,13) next to event 2: $got")
+    assert(got(ts("2024-01-01 12:00:00")) == 1L, s"[12,14) holds only event 2: $got")
+    assert(!got.contains(ts("2024-01-01 14:00:00")), s"open [14,16) must not emit: $got")
+  }
+
   test("sessionize late semantics: sub-watermark rows drop, in-watermark late rows fold backward") {
     // Pins the fMGWS late rules the streaming_sessionize_late oracle
     // encodes: rows behind the watermark are filtered before the state
