@@ -846,6 +846,26 @@ private[graft] object QueriesCore {
             .as("p90_within_tol"))
     }),
 
+    // ---- incrementally-maintained heavy-hitter sketch ---------------------
+    // The Misra-Gries state folded over three event waves (O(batch) per
+    // fold — each fold sketches ONLY its wave, then merges two 1-row
+    // states at O(k)); the read-time resolve recounts the <= k surviving
+    // candidates exactly. Must equal the single-shot exact
+    // groupBy-count-filter over the full corpus — the same oracle as
+    // profile_heavy_hitters, so the fold provably loses no heavy hitter.
+    // k = 16x den/num covers the 3-fold error budget (m·n/(k+1) per the
+    // Profile scaladoc) with room.
+    "incremental_heavy_hitters" -> ((s, dir) => {
+      val events = Tables.events(s, dir).select(col("event_id"), col("user_id"))
+      val batches = (0 until 3).map(i =>
+        events.where(pmod(col("event_id"), lit(3)) === i))
+      val k = 120 * 16
+      val state = batches.tail.foldLeft(
+          graft.ops.Profile.hhSummarize(batches.head, "user_id", k))((st, b) =>
+        graft.ops.Profile.hhMerge(st, graft.ops.Profile.hhSummarize(b, "user_id", k), k))
+      graft.ops.Profile.hhResolve(events, state, "user_id", num = 1L, den = 120L)
+    }),
+
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -1142,6 +1162,12 @@ private[graft] object QueriesCore {
         |GROUP BY 1, 2""".stripMargin,
 
     "profile_heavy_hitters" ->
+      """WITH c AS (SELECT user_id AS item, count(*) AS cnt FROM events GROUP BY 1)
+        |SELECT item, cnt FROM c
+        |WHERE cnt * 120 >= (SELECT sum(cnt) FROM c) * 1""".stripMargin,
+
+    // The incremental fold must converge to the single-shot exact answer.
+    "incremental_heavy_hitters" ->
       """WITH c AS (SELECT user_id AS item, count(*) AS cnt FROM events GROUP BY 1)
         |SELECT item, cnt FROM c
         |WHERE cnt * 120 >= (SELECT sum(cnt) FROM c) * 1""".stripMargin,

@@ -108,6 +108,26 @@ object GraftFunctions {
     VectorExpressions.Int8Quantize(children.head)
   }
 
+  private val misraGriesInfo = new ExpressionInfo(
+    HeavyHittersAggregate.getClass.getCanonicalName, null, "graft_misra_gries",
+    "graft_misra_gries(item[, weight], k) - Misra-Gries heavy-hitter sketch: " +
+      "<= k (item, est) counters, est desc then item asc.",
+    "")
+
+  private def misraGriesBuilder(children: Seq[Expression]): Expression = {
+    require(children.length == 2 || children.length == 3,
+      s"graft_misra_gries expects (item[, weight], k), got ${children.length} arguments")
+    val k = children.last match {
+      case org.apache.spark.sql.catalyst.expressions.Literal(v: Number, _) => v.intValue()
+      case other => throw new IllegalArgumentException(
+        s"graft_misra_gries k must be an integer literal, got $other")
+    }
+    val weight =
+      if (children.length == 3) children(1)
+      else org.apache.spark.sql.catalyst.expressions.Literal(1L)
+    HeavyHittersAggregate.MisraGries(children.head, weight, k)
+  }
+
   private val all: Seq[(String, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
     ("graft_dot", dotInfo, dotBuilder),
     ("graft_topk", topkInfo, topkBuilder),
@@ -115,7 +135,8 @@ object GraftFunctions {
     ("graft_word_shingles", shinglesInfo, shinglesBuilder),
     ("graft_text_stats", textStatsInfo, textStatsBuilder),
     ("graft_ngram_stats", ngramStatsInfo, ngramStatsBuilder),
-    ("graft_int8_quantize", quantizeInfo, quantizeBuilder))
+    ("graft_int8_quantize", quantizeInfo, quantizeBuilder),
+    ("graft_misra_gries", misraGriesInfo, misraGriesBuilder))
 
   /** Inject into an extensions hook (builder-time path). */
   def inject(extensions: SparkSessionExtensions): Unit = {

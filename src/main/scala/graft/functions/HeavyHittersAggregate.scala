@@ -99,8 +99,16 @@ object HeavyHittersAggregate {
     * string), ordered est desc then item asc (a deterministic ORDER for
     * whatever counter set the partitioning produced; the set itself is
     * partitioning-dependent — see the object doc for why that is fine).
+    *
+    * `weightExpr` generalizes to WEIGHTED adds (classic MG handles them
+    * with the same bound over total weight instead of row count): the
+    * sketch-state fold of [[graft.ops.Profile]] replays already-sketched
+    * (item, est) counters as weighted inserts — the mergeable-summaries
+    * merge, expressed as this same aggregate. Default weight 1 is the
+    * plain row-count form. Null or non-positive weights contribute
+    * nothing, like a null item.
     */
-  case class MisraGries(itemExpr: Expression, k: Int,
+  case class MisraGries(itemExpr: Expression, weightExpr: Expression, k: Int,
                         mutableAggBufferOffset: Int = 0,
                         inputAggBufferOffset: Int = 0)
       extends TypedImperativeAggregate[MgBuffer] {
@@ -110,19 +118,23 @@ object HeavyHittersAggregate {
     private def stringKeyed: Boolean = itemExpr.dataType == StringType
     private def keyType: DataType = if (stringKeyed) StringType else LongType
 
-    override def children: Seq[Expression] = Seq(itemExpr)
+    override def children: Seq[Expression] = Seq(itemExpr, weightExpr)
     override def nullable: Boolean = false
     override def dataType: DataType = ArrayType(StructType(Seq(
       StructField("item", keyType, nullable = false),
       StructField("est", LongType, nullable = false))), containsNull = false)
 
     override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
-      itemExpr.dataType match {
-        case LongType | IntegerType | ShortType | ByteType | StringType =>
+      (itemExpr.dataType, weightExpr.dataType) match {
+        case (LongType | IntegerType | ShortType | ByteType | StringType,
+              LongType | IntegerType | ShortType | ByteType) =>
           org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
-        case other =>
+        case (other, LongType | IntegerType | ShortType | ByteType) =>
           org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
             s"graft_misra_gries requires an integral or string item column, got $other")
+        case (_, otherW) =>
+          org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+            s"graft_misra_gries requires an integral weight column, got $otherW")
       }
 
     override def createAggregationBuffer(): MgBuffer = new MgBuffer(k)
@@ -130,14 +142,20 @@ object HeavyHittersAggregate {
     override def update(buffer: MgBuffer, input: InternalRow): MgBuffer = {
       val v = itemExpr.eval(input)
       if (v != null) {
-        val key: AnyRef = v match {
-          // UTF8String from an UnsafeRow points into a reused buffer —
-          // clone BEFORE storing or every stored key silently mutates.
-          case s: org.apache.spark.unsafe.types.UTF8String => s.clone()
-          case n: Number => Long.box(n.longValue())
-          case other => other.asInstanceOf[AnyRef]
+        val w = weightExpr.eval(input) match {
+          case null => 0L
+          case n: Number => n.longValue()
         }
-        buffer.add(key, 1L)
+        if (w > 0L) {
+          val key: AnyRef = v match {
+            // UTF8String from an UnsafeRow points into a reused buffer —
+            // clone BEFORE storing or every stored key silently mutates.
+            case s: org.apache.spark.unsafe.types.UTF8String => s.clone()
+            case n: Number => Long.box(n.longValue())
+            case other => other.asInstanceOf[AnyRef]
+          }
+          buffer.add(key, w)
+        }
       }
       buffer
     }
@@ -226,12 +244,20 @@ object HeavyHittersAggregate {
     override def withNewInputAggBufferOffset(newOffset: Int): MisraGries =
       copy(inputAggBufferOffset = newOffset)
     override protected def withNewChildrenInternal(newChildren: IndexedSeq[Expression]): MisraGries =
-      copy(itemExpr = newChildren(0))
+      copy(itemExpr = newChildren(0), weightExpr = newChildren(1))
     override def prettyName: String = "graft_misra_gries"
   }
 
   /** Column form: the ≤ k surviving (item, est) counters. */
   def misraGries(item: Column, k: Int): Column =
     GraftShims.column(
-      MisraGries(GraftShims.expression(item), k).toAggregateExpression())
+      MisraGries(GraftShims.expression(item),
+        org.apache.spark.sql.catalyst.expressions.Literal(1L), k)
+        .toAggregateExpression())
+
+  /** Weighted column form — the sketch-fold path (see the class doc). */
+  def misraGriesWeighted(item: Column, weight: Column, k: Int): Column =
+    GraftShims.column(
+      MisraGries(GraftShims.expression(item), GraftShims.expression(weight), k)
+        .toAggregateExpression())
 }

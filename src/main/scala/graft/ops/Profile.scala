@@ -174,4 +174,78 @@ object Profile {
     * the threshold instead of voiding its exactness guarantee.
     */
   val MaxCounters: Long = 10_000_000L
+
+  // ---- incrementally-maintained heavy-hitter sketch state -----------------
+  // The IncrementalAgg pattern applied to the Misra–Gries sketch: hot-item
+  // profiling over a GROWING corpus at O(batch) per fold, never
+  // O(history). State is ONE row (cand: ≤ k counters, total, nulls);
+  // totals/nulls are exact (plain sums), only the counter estimates carry
+  // sketch error. Error budget across folds: each re-sketch of replayed
+  // counters decrements at most (fed weight)/(k+1), so after m folds the
+  // cumulative undercount is ≤ m·n/(k+1) — size k ≥ m·slack·den/num to
+  // keep the candidate-superset guarantee at threshold num/den (the
+  // resolve step recounts exactly, so the guarantee is all that matters).
+
+  /** One-row mergeable heavy-hitters state of a batch. */
+  def hhSummarize(batch: DataFrame, itemCol: String, k: Int): DataFrame = {
+    import graft.functions.HeavyHittersAggregate.misraGries
+    val item =
+      if (batch.schema(itemCol).dataType == StringType) col(itemCol)
+      else col(itemCol).cast(LongType)
+    batch.agg(misraGries(item, k).as("cand"), count(lit(1)).as("total"),
+      sum(when(item.isNull, 1L).otherwise(0L)).as("nulls"))
+  }
+
+  /** Fold a batch state into the running state — the mergeable-summaries
+    * merge expressed as the aggregate itself: both sides' counters
+    * (≤ 2k tiny rows) replay as WEIGHTED adds into a fresh k-bounded
+    * sketch; exact totals add. Runs on the 1-row states only — cost is
+    * O(k), independent of both batch and history size.
+    */
+  def hhMerge(state: DataFrame, batchSummary: DataFrame, k: Int): DataFrame = {
+    import graft.functions.HeavyHittersAggregate.misraGriesWeighted
+    val both = state.unionByName(batchSummary)
+    val counters = both.select(explode(col("cand")).as("c"))
+      .select(col("c.item").as("item"), col("c.est").as("est"))
+    counters.agg(misraGriesWeighted(col("item"), col("est"), k).as("cand"))
+      .crossJoin(broadcast(
+        both.agg(sum("total").as("total"), sum("nulls").as("nulls"))))
+      .select(col("cand"), col("total"), col("nulls"))
+  }
+
+  /** Exact heavy hitters read off a folded state: one recount scan of the
+    * full corpus against the state's ≤ k broadcast candidates (counts
+    * for items that became candidates late are unknowable from the
+    * sketch alone — the recount is what keeps the output exact), cut at
+    * ⌈total·num/den⌉ with the state's exact total. NULL group appended
+    * from the state's exact null count, as in [[heavyHitters]].
+    */
+  def hhResolve(corpus: DataFrame, state: DataFrame, itemCol: String,
+                num: Long, den: Long): DataFrame = {
+    require(num > 0 && den >= num, "need a frequency fraction 0 < num/den <= 1")
+    val stringKeyed = corpus.schema(itemCol).dataType == StringType
+    val item = if (stringKeyed) col(itemCol) else col(itemCol).cast(LongType)
+    val head = state.select(col("cand"), col("total"), col("nulls")).head()
+    val total = head.getLong(1)
+    val nullCnt = head.getLong(2)
+    val cntMin = ((BigInt(total) * num + den - 1) / den).toLong
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val candItems = head.getSeq[org.apache.spark.sql.Row](0)
+    val candDf =
+      if (stringKeyed) candItems.map(_.getString(0)).toDF("_hh_cand")
+      else candItems.map(_.getLong(0)).toDF("_hh_cand")
+    val nonNull = corpus
+      .join(broadcast(candDf), item === col("_hh_cand"), "left_semi")
+      .groupBy(item.as("item"))
+      .agg(count(lit(1)).as("cnt"))
+      .where(col("cnt") >= cntMin)
+      .select(col("item"), col("cnt"))
+    if (nullCnt > 0 && BigInt(nullCnt) * den >= BigInt(total) * num) {
+      val nullRow =
+        if (stringKeyed) Seq((Option.empty[String], nullCnt)).toDF("item", "cnt")
+        else Seq((Option.empty[Long], nullCnt)).toDF("item", "cnt")
+      nonNull.unionByName(nullRow)
+    } else nonNull
+  }
 }

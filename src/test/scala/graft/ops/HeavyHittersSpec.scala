@@ -105,6 +105,67 @@ class HeavyHittersSpec extends SparkSpec {
       Profile.heavyHitters(skewed, "item", 1L, Long.MaxValue / 2, slack = 4))
   }
 
+  test("incremental sketch fold resolves to the single-shot exact answer") {
+    // Three disjoint waves folded through hhSummarize/hhMerge, resolved
+    // against the full corpus — must equal the naive exact plan. k is
+    // sized for the 3-fold error budget but still << cardinality, so the
+    // weighted re-sketch's decrement path really runs.
+    val expected = naive(1L, 20L)
+    assert(expected.nonEmpty)
+    val k = 20 * 16
+    val waves = (0 until 3).map(i =>
+      skewed.where(pmod(col("item"), lit(3)) === i).repartition(4))
+    val state = waves.tail.foldLeft(Profile.hhSummarize(waves.head, "item", k))(
+      (st, b) => Profile.hhMerge(st, Profile.hhSummarize(b, "item", k), k))
+    // Exact totals survive the fold even though counter estimates don't.
+    val srow = state.select(col("total"), col("nulls")).head()
+    assert(srow.getLong(0) == skewed.count() && srow.getLong(1) == 0L)
+    val got = Profile.hhResolve(skewed, state, "item", 1L, 20L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == expected)
+  }
+
+  test("weighted Misra-Gries: replaying (item, est) counters preserves the superset bound") {
+    import graft.functions.HeavyHittersAggregate.{misraGries, misraGriesWeighted}
+    val n = skewed.count()
+    val k = 64
+    // Re-sketching a k-counter sketch through weighted adds must keep
+    // every item whose true count >= 2n/(k+1) (one extra n/(k+1) of
+    // error for the second level).
+    val sketch1 = skewed.repartition(5).agg(misraGries(col("item"), k).as("s"))
+    val resketched = sketch1.select(explode(col("s")).as("e"))
+      .select(col("e.item"), col("e.est"))
+      .agg(misraGriesWeighted(col("item"), col("est"), k).as("s"))
+      .select(explode(col("s")).as("e"))
+      .select(col("e.item"), col("e.est"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val truth = skewed.groupBy("item").count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    resketched.foreach { case (item, e) =>
+      assert(e <= truth(item), s"overestimate for $item")
+    }
+    truth.filter(_._2 >= 3 * n / (k + 1)).keys.foreach { item =>
+      assert(resketched.contains(item), s"guaranteed item $item lost in re-sketch")
+    }
+  }
+
+  test("graft_misra_gries is callable from SQL, weighted and unweighted") {
+    graft.functions.GraftFunctions.register(spark)
+    skewed.createOrReplaceTempView("hh_sql_probe")
+    val unweighted = spark.sql(
+      "SELECT graft_misra_gries(item, 5000) AS s FROM hh_sql_probe")
+      .select(explode(col("s")).as("e")).select(col("e.item"), col("e.est"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val truth = skewed.groupBy("item").count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(unweighted == truth) // k >= cardinality (~4050): the sketch IS exact
+    val weighted = spark.sql(
+      "SELECT graft_misra_gries(item, 2 * item, 5000) AS s FROM hh_sql_probe")
+      .select(explode(col("s")).as("e")).select(col("e.item"), col("e.est"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(weighted == truth.collect { case (i, c) if i > 0 => i -> 2 * i * c })
+  }
+
   test("a frequent NULL group is reported, matching the naive plan") {
     // The sketch skips nulls and the semi-join can't match them; the
     // operator must still surface the NULL group exactly as
