@@ -145,6 +145,43 @@ class PlanContractSpec extends SparkSpec {
     assert(!p.contains("SinglePartition"), "pair dedup must stay distributed")
   }
 
+  test("heavy hitters: map-side sketching on the wire, broadcast semi-join recount") {
+    import org.apache.spark.sql.functions.col
+    // Pass 1: the Misra-Gries aggregate must run partial (map-side), so
+    // the exchange carries <= k counters per partition, never the key
+    // space — the property that prices the shuffle at sketch size.
+    val p1 = io.Tables.events(spark, dir)
+      .agg(graft.functions.HeavyHittersAggregate.misraGries(col("user_id"), 480))
+      .queryExecution.executedPlan.toString
+    assert(p1.contains("partial_graft_misra_gries") ||
+      (p1.contains("graft_misra_gries") && p1.contains("ObjectHashAggregate")),
+      p1.take(600))
+    // Pass 2 (the gate's returned plan): exact recount reaches the scan
+    // through a BROADCAST left-semi join on the candidates — the corpus
+    // is filtered to candidate rows before the counting exchange, so the
+    // count aggregate's exchange is bounded at k rows per partition.
+    val p2 = plan("profile_heavy_hitters")
+    assert(p2.contains("BroadcastHashJoin") && p2.contains("LeftSemi"), p2.take(600))
+    assert(!p2.contains("SortMergeJoin"), "candidate probe must never shuffle the corpus")
+    // The incremental resolve shares the same read-time shape.
+    val p3 = plan("incremental_heavy_hitters")
+    assert(p3.contains("BroadcastHashJoin") && p3.contains("LeftSemi"), p3.take(600))
+  }
+
+  test("LSH bucketing runs the fused one-pass kernel, once per table-set") {
+    // The fused LshBuckets expression replaces tables x nbits unrolled
+    // per-plane dot products: the plan must carry graft_lsh_buckets and
+    // must NOT fall back to per-plane sign tests (which would show up as
+    // dozens of graft_dot calls against literal plane arrays).
+    val p = plan("dedup_embedding_lsh")
+    assert(p.contains("graft_lsh_buckets"), p.take(600))
+    // The verify stage's vector-vs-vector cosines legitimately use
+    // graft_dot (a handful of references across projections); the
+    // unfused bucketing form would add tables x nbits (~40+) more.
+    val dots = "graft_dot".r.findAllIn(p).size
+    assert(dots <= 12, s"unfused per-plane dot products leaked into the plan ($dots graft_dot)")
+  }
+
   // ---- streaming plan contracts (round 8): the 15+1 streaming gates'
   // load-bearing plan properties. Logical pins read the unstarted
   // stream's analyzed plan; runtime pins drive one micro-batch through
