@@ -122,54 +122,85 @@ object EventStreams {
       .outputMode(OutputMode.Update())
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val spark = batch.sparkSession
-        val repIdxPath = stateIndexPath + "/rep_index"
-        val membershipPath = stateIndexPath + "/membership"
-        val scope = new graft.util.CacheScope
-        try {
-          val bi = graft.text.Dedup.collapsedIndex(
-            batch, idCol, textCol, n = 3, maxDocFreq, hashFn, cache = scope.persist)
-          val wave = batchId.toInt
-          def readState(path: String, schema: StructType): DataFrame =
-            Merge.readStateOrEmpty(spark, path, schema.add("wave", IntegerType))
-              .where(col("wave") < wave).drop("wave")
-          def writeWave(df: DataFrame, path: String): Unit =
-            df.withColumn("wave", lit(wave))
-              .write.mode("overwrite")
-              .option("partitionOverwriteMode", "dynamic")
-              .partitionBy("wave").parquet(path)
-          val state = graft.text.Dedup.CollapsedIndex(
-            readState(repIdxPath, bi.repIdx.schema),
-            readState(membershipPath, bi.membership.schema))
-          val pairs = graft.text.Dedup.incrementalNearDupPairsCollapsed(bi, state, threshold)
-          val labelSchema = new StructType()
-            .add("doc_id", LongType).add("rep", LongType)
-          val deltas = Merge.readStateOrEmpty(spark, labelsPath,
-              labelSchema.add("wave", IntegerType))
-            .where(col("wave") < wave)
-          val prior = scope.persist(graft.ops.Windows.topKPerGroup(
-            deltas, Seq("doc_id"), Seq(col("wave").desc), k = 1).drop("wave"))
-          // Batch side pre-contracted through its exact-dup membership:
-          // the fold iterates over unique batch texts, not batch docs.
-          val updated = scope.persist(
-            graft.text.Dedup.clusterRepresentativesIncrementalCollapsed(
-              prior, bi.membership.select(col("doc_id"), col("rep_id")), pairs,
-              cache = scope.persist))
-          val changed = updated
-            .join(prior.select(col("doc_id"), col("rep").as("_old")), Seq("doc_id"))
-            .where(col("rep") =!= col("_old"))
-            .select(col("doc_id"), col("rep"))
-          val delta = updated
-            .join(batch.select(col(idCol).as("doc_id")), Seq("doc_id"))
-            .select(col("doc_id"), col("rep"))
-            .unionByName(changed)
-          writeWave(delta, labelsPath)
-          writeWave(bi.membership, membershipPath)
-          writeWave(bi.repIdx, repIdxPath)
-        } finally scope.close()
+        labelWave(batch, idCol, textCol, batchId.toInt, stateIndexPath,
+          labelsPath, threshold, maxDocFreq, hashFn)
       }
       .trigger(Trigger.AvailableNow())
       .start()
+
+  /** One wave of the label-maintenance fold — the foreachBatch body of
+    * [[corpusLabelSink]], callable directly so probes (and batch-mode
+    * backfills) can drive waves without the Structured Streaming
+    * machinery and attribute the gate's wall between the fold itself and
+    * micro-batch overhead. `probeStages`, when set, FORCES each stage
+    * (all persisted, so no recompute) and reports (stage, ms) — probe
+    * mode only; the production path stays fully lazy.
+    */
+  def labelWave(batch: DataFrame, idCol: String, textCol: String, wave: Int,
+                stateIndexPath: String, labelsPath: String,
+                threshold: Double = 0.5, maxDocFreq: Long = 100L,
+                hashFn: Column => Column = graft.text.Dedup.Md5Hash60,
+                probeStages: Option[(String, Long) => Unit] = None): Unit = {
+    val spark = batch.sparkSession
+    val repIdxPath = stateIndexPath + "/rep_index"
+    val membershipPath = stateIndexPath + "/membership"
+    val scope = new graft.util.CacheScope
+    def stage[T](name: String)(f: => T)(force: T => Unit): T =
+      probeStages match {
+        case None => f
+        case Some(report) =>
+          val t0 = System.nanoTime()
+          val r = f
+          force(r)
+          report(s"w$wave.$name", (System.nanoTime() - t0) / 1000000L)
+          r
+      }
+    try {
+      val bi = stage("index")(graft.text.Dedup.collapsedIndex(
+        batch, idCol, textCol, n = 3, maxDocFreq, hashFn,
+        cache = scope.persist))(b => { b.repIdx.count(); b.membership.count() })
+      def readState(path: String, schema: StructType): DataFrame =
+        Merge.readStateOrEmpty(spark, path, schema.add("wave", IntegerType))
+          .where(col("wave") < wave).drop("wave")
+      def writeWave(df: DataFrame, path: String): Unit =
+        df.withColumn("wave", lit(wave))
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("wave").parquet(path)
+      val state = graft.text.Dedup.CollapsedIndex(
+        readState(repIdxPath, bi.repIdx.schema),
+        readState(membershipPath, bi.membership.schema))
+      val pairs = stage("pairs")(scope.persist(
+        graft.text.Dedup.incrementalNearDupPairsCollapsed(bi, state, threshold)))(
+        _.count())
+      val labelSchema = new StructType()
+        .add("doc_id", LongType).add("rep", LongType)
+      val deltas = Merge.readStateOrEmpty(spark, labelsPath,
+          labelSchema.add("wave", IntegerType))
+        .where(col("wave") < wave)
+      val prior = stage("prior")(scope.persist(graft.ops.Windows.topKPerGroup(
+        deltas, Seq("doc_id"), Seq(col("wave").desc), k = 1).drop("wave")))(_.count())
+      // Batch side pre-contracted through its exact-dup membership:
+      // the fold iterates over unique batch texts, not batch docs.
+      val updated = stage("fold")(scope.persist(
+        graft.text.Dedup.clusterRepresentativesIncrementalCollapsed(
+          prior, bi.membership.select(col("doc_id"), col("rep_id")), pairs,
+          cache = scope.persist)))(_.count())
+      val changed = updated
+        .join(prior.select(col("doc_id"), col("rep").as("_old")), Seq("doc_id"))
+        .where(col("rep") =!= col("_old"))
+        .select(col("doc_id"), col("rep"))
+      val delta = updated
+        .join(batch.select(col(idCol).as("doc_id")), Seq("doc_id"))
+        .select(col("doc_id"), col("rep"))
+        .unionByName(changed)
+      stage("write")({
+        writeWave(delta, labelsPath)
+        writeWave(bi.membership, membershipPath)
+        writeWave(bi.repIdx, repIdxPath)
+      })(_ => ())
+    } finally scope.close()
+  }
 
   /** Typed event row for streaming tests and stateful ops. */
   final case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,

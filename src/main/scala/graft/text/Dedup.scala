@@ -533,12 +533,78 @@ object Dedup {
     * from history ids (the [[incrementalNearDupPairsCollapsed]] id
     * contract).
     */
+  /** Exact min-id connected components computed ON THE DRIVER — the
+    * small-graph fast path of the incremental label folds. The
+    * contracted graph is O(batch edges + touched components) by
+    * construction, usually a few thousand edges per wave, and the
+    * distributed pointer-jumping loop pays several driver-synchronized
+    * Spark jobs PER ROUND for it — measured as the dominant stage of the
+    * streaming label gate (LabelSinkProbe). Below [[SmallGraphEdges]]
+    * edges a single collect + union-find (union-by-min-root, so every
+    * tree's root IS its component's min id; path-halving finds) produces
+    * the identical labeling in microseconds. The distributed loop
+    * remains the path for large touched subgraphs — the threshold is an
+    * edge COUNT known before collecting, so the driver can never be
+    * handed an unbounded graph.
+    */
+  private def driverMinIdComponents(spark: org.apache.spark.sql.SparkSession,
+                                    edges: Array[(Long, Long)],
+                                    idColName: String): DataFrame = {
+    val parent = scala.collection.mutable.LongMap.empty[Long]
+    def find(x0: Long): Long = {
+      var x = x0
+      var p = parent.getOrElse(x, x)
+      while (p != x) {
+        val gp = parent.getOrElse(p, p)
+        parent(x) = gp
+        x = gp
+        p = parent.getOrElse(x, x)
+      }
+      x
+    }
+    val nodes = scala.collection.mutable.LongMap.empty[Unit]
+    edges.foreach { case (a, b) =>
+      nodes(a) = (); nodes(b) = ()
+      val ra = find(a); val rb = find(b)
+      if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
+    }
+    import spark.implicits._
+    nodes.keysIterator.map(n => (n, find(n))).toSeq.toDF(idColName, "rep")
+  }
+
+  /** Contracted-graph edge ceiling for the driver union-find fast path. */
+  val SmallGraphEdges: Long = 1_000_000L
+
+  /** Dispatch: driver union-find for small long-keyed contracted graphs,
+    * the distributed pointer-jumping CC otherwise. `contractedEdges`
+    * must be cached by the caller (this counts it, then either collects
+    * it or hands it to the iterative loop).
+    */
+  private def contractedComponents(contractedEdges: DataFrame, idColName: String,
+                                   maxIters: Int,
+                                   cache: DataFrame => DataFrame,
+                                   smallGraphEdges: Long): DataFrame = {
+    val longKeyed = contractedEdges.schema.fields.forall(_.dataType ==
+      org.apache.spark.sql.types.LongType)
+    if (longKeyed && contractedEdges.count() <= smallGraphEdges) {
+      driverMinIdComponents(contractedEdges.sparkSession,
+        contractedEdges.collect().map(r => (r.getLong(0), r.getLong(1))), idColName)
+    } else {
+      val contractedNodes = contractedEdges.select(col("doc_a").as(idColName))
+        .unionByName(contractedEdges.select(col("doc_b").as(idColName)))
+        .distinct()
+      clusterRepresentatives(contractedNodes, idColName, contractedEdges,
+        maxIters = maxIters, cache = cache)
+    }
+  }
+
   def clusterRepresentativesIncremental(priorLabels: DataFrame,
                                         batchNodes: DataFrame, idCol: String,
                                         pairs: DataFrame,
                                         aCol: String = "doc_a", bCol: String = "doc_b",
                                         maxIters: Int = 25,
-                                        cache: DataFrame => DataFrame = graft.util.CacheScope.untracked): DataFrame = {
+                                        cache: DataFrame => DataFrame = graft.util.CacheScope.untracked,
+                                        smallGraphEdges: Long = SmallGraphEdges): DataFrame = {
     val lblA = priorLabels.select(col("doc_id").as("_ia"), col("rep").as("_la"))
     val lblB = priorLabels.select(col("doc_id").as("_ib"), col("rep").as("_lb"))
     // Through `cache`: the contracted edge set sits on top of the whole
@@ -558,11 +624,8 @@ object Dedup {
     // through the relabel joins' coalesce to their own id/label. At
     // corpus scale this is the difference between iterating over the
     // touched frontier and iterating over the whole batch.
-    val contractedNodes = contractedEdges.select(col("doc_a").as(idCol))
-      .unionByName(contractedEdges.select(col("doc_b").as(idCol)))
-      .distinct()
-    val contracted = clusterRepresentatives(contractedNodes, idCol, contractedEdges,
-      maxIters = maxIters, cache = cache)
+    val contracted = contractedComponents(contractedEdges, idCol,
+      maxIters, cache, smallGraphEdges)
     val lut = contracted.select(col(idCol).as("_cn"), col("rep").as("_cl"))
     val history = priorLabels
       .join(lut, col("rep") === col("_cn"), "left")
@@ -591,7 +654,8 @@ object Dedup {
                                                  pairs: DataFrame,
                                                  aCol: String = "doc_a", bCol: String = "doc_b",
                                                  maxIters: Int = 25,
-                                                 cache: DataFrame => DataFrame = graft.util.CacheScope.untracked): DataFrame = {
+                                                 cache: DataFrame => DataFrame = graft.util.CacheScope.untracked,
+                                                 smallGraphEdges: Long = SmallGraphEdges): DataFrame = {
     val combined = priorLabels.select(col("doc_id"), col("rep"))
       .unionByName(batchMembership.select(col("doc_id"), col("rep_id").as("rep")))
     val lblA = combined.select(col("doc_id").as("_ia"), col("rep").as("_la"))
@@ -608,11 +672,8 @@ object Dedup {
     // Edge endpoints only (see clusterRepresentativesIncremental):
     // edge-less batch reps keep their exact-group label through the
     // relabel coalesce without entering the iteration.
-    val contractedNodes = contractedEdges.select(col("doc_a").as("id"))
-      .unionByName(contractedEdges.select(col("doc_b").as("id")))
-      .distinct()
-    val contracted = clusterRepresentatives(contractedNodes, "id", contractedEdges,
-      maxIters = maxIters, cache = cache)
+    val contracted = contractedComponents(contractedEdges, "id",
+      maxIters, cache, smallGraphEdges)
     val lut = contracted.select(col("id").as("_cn"), col("rep").as("_cl"))
     combined.join(lut, col("rep") === col("_cn"), "left")
       .select(col("doc_id"), coalesce(col("_cl"), col("rep")).as("rep"))

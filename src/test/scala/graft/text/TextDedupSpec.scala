@@ -272,5 +272,16 @@ class TextDedupSpec extends SparkSpec {
     assert(full.values.toSet.contains(1L)) // the chain collapsed to the batch min
     assert(full(25L) == 1L && full(10L) == 1L)
     assert(full(200L) == 200L && full(201L) == 201L)
+
+    // Path equivalence: the driver union-find fast path (default — this
+    // graph is far under SmallGraphEdges) and the distributed
+    // pointer-jumping loop (forced via smallGraphEdges = 0) must produce
+    // the identical labeling.
+    val incDistributed = Dedup.clusterRepresentativesIncrementalCollapsed(prior,
+        Dedup.exactCollapse(batch, "doc_id", "text").membership
+          .select(col("doc_id"), col("rep_id")),
+        pairs, smallGraphEdges = 0L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(incDistributed == incCollapsed)
   }
 }
