@@ -47,7 +47,8 @@ object PlanDump {
       "dedup_canonical_quality" -> "canonical-by-quality: WindowGroupLimit on (quality DESC, doc_id) per cluster",
       "recall_embedding_lsh_sampled" -> "sampled audit: the hash-sample filter sits UNDER both tiers, pair cost falls quadratically",
       "dedup_cluster_reps_incremental" -> "incremental CC fold: relabel = equi-joins through the contracted-graph labels, history table never re-clustered",
-      "profile_heavy_hitters" -> "heavy hitters: MG sketch partial-aggregates map-side (<= k counters per partition on the wire); pass 2 recounts only the broadcast candidates")
+      "profile_heavy_hitters" -> "heavy hitters: MG sketch partial-aggregates map-side (<= k counters per partition on the wire); pass 2 recounts only the broadcast candidates",
+      "incremental_heavy_hitters" -> "incremental HH resolve: broadcast semi-join of the folded state's candidates, pre-resolved count threshold (no total re-attach)")
     val keep = Seq("Exchange", "Scan", "Join", "Aggregate", "Window", "Expand",
       "TakeOrdered", "Broadcast", "Sort", "Filter", "Project", "WholeStageCodegen")
     val sb = new StringBuilder
