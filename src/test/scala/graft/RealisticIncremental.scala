@@ -24,8 +24,13 @@ import org.apache.spark.sql.functions._
 object RealisticIncremental {
   def main(args: Array[String]): Unit = {
     val dir = args.headOption.getOrElse("/tmp/graft_realistic")
+    // Partition count is the one knob a cluster scales with the data —
+    // SPARK_GRAFT_PARTS lets the decade runs size partitions to the
+    // corpus (32 spills badly at 5 M docs; a real deployment would never
+    // run a 10× corpus on the same partition count).
+    val parts = sys.env.getOrElse("SPARK_GRAFT_PARTS", "32")
     val spark = SparkSession.builder().master("local[32]")
-      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.shuffle.partitions", parts)
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     import graft.text.Dedup
