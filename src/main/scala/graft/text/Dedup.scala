@@ -443,8 +443,29 @@ object Dedup {
   def clusterRepresentatives(nodes: DataFrame, idCol: String, pairs: DataFrame,
                              aCol: String = "doc_a", bCol: String = "doc_b",
                              maxIters: Int = 25,
-                             cache: DataFrame => DataFrame = graft.util.CacheScope.untracked): DataFrame =
-    clusterRepresentativesWithRounds(nodes, idCol, pairs, aCol, bCol, maxIters, cache)._1
+                             cache: DataFrame => DataFrame = graft.util.CacheScope.untracked,
+                             smallGraphEdges: Long = SmallGraphEdges): DataFrame = {
+    // Small long-keyed pair graphs take the driver union-find fast path
+    // (see contractedComponents): near-dup pair graphs are pair-BOUND —
+    // ~1 % of docs at realistic density — so even multi-million-doc
+    // corpora usually sit under the edge ceiling, and the distributed
+    // loop's several driver-synchronized jobs per round dominate wall at
+    // that size. The ceiling is checked on the cached edge count before
+    // anything is collected; above it (or for non-long ids) the
+    // pointer-jumping loop below runs unchanged.
+    val edges0 = cache(pairs.select(col(aCol).as("doc_a"), col(bCol).as("doc_b")))
+    val longKeyed = edges0.schema.fields.forall(_.dataType ==
+      org.apache.spark.sql.types.LongType)
+    if (longKeyed && edges0.count() <= smallGraphEdges) {
+      val lut = driverMinIdComponents(nodes.sparkSession,
+        edges0.collect().map(r => (r.getLong(0), r.getLong(1))), idCol)
+        .withColumnRenamed(idCol, "_ln").withColumnRenamed("rep", "_ll")
+      nodes.select(col(idCol))
+        .join(lut, col(idCol) === col("_ln"), "left")
+        .select(col(idCol), coalesce(col("_ll"), col(idCol)).as("rep"))
+    } else
+      clusterRepresentativesWithRounds(nodes, idCol, pairs, aCol, bCol, maxIters, cache)._1
+  }
 
   /** [[clusterRepresentatives]] plus the number of rounds it took to
     * converge (including the final no-change detection round) — exposed

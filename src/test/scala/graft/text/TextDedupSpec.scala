@@ -175,11 +175,18 @@ class TextDedupSpec extends SparkSpec {
       pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(flipped == got)
-    // Exceeding the round guard must FAIL, never return partial labels.
+    // Exceeding the round guard must FAIL, never return partial labels
+    // (distributed path forced — the driver fast path has no rounds).
     val e = intercept[IllegalStateException] {
-      Dedup.clusterRepresentatives(nodes, "id", pairs, maxIters = 1)
+      Dedup.clusterRepresentatives(nodes, "id", pairs, maxIters = 1,
+        smallGraphEdges = 0L)
     }
     assert(e.getMessage.contains("maxIters"))
+    // And the forced distributed path agrees with the fast path above.
+    val dist = Dedup.clusterRepresentatives(nodes, "id", pairs,
+        smallGraphEdges = 0L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(dist == got)
   }
 
   test("clusterRepresentatives: pathological chain converges in O(log diameter) rounds") {
@@ -272,6 +279,16 @@ class TextDedupSpec extends SparkSpec {
     assert(full.values.toSet.contains(1L)) // the chain collapsed to the batch min
     assert(full(25L) == 1L && full(10L) == 1L)
     assert(full(200L) == 200L && full(201L) == 201L)
+
+    // Batch-form path equivalence: clusterRepresentatives' driver
+    // union-find fast path (default) must equal the distributed
+    // WithRounds loop on the same graph.
+    val batchPairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text", n = 3,
+      threshold = 0.5, maxDocFreq = 100L)
+    val viaFast = Dedup.clusterRepresentatives(docs.select(col("doc_id")),
+        "doc_id", batchPairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(viaFast == full)
 
     // Path equivalence: the driver union-find fast path (default — this
     // graph is far under SmallGraphEdges) and the distributed
