@@ -387,6 +387,29 @@ private[graft] object QueriesStreaming {
       s.read.parquet(statePath)
     }),
 
+    // ---- live heavy-hitter sketch maintenance -----------------------------
+    // Three waved micro-batches each write their one-row Misra-Gries
+    // summary (wave-keyed, replay-safe); the read-time resolve folds the
+    // wave summaries in ONE merge level and exactly recounts the
+    // candidates. Must equal the single-shot exact groupBy-count-filter
+    // over the full stream — micro-batching cannot lose a heavy hitter.
+    "streaming_heavy_hitters_live" -> ((s, dir) => {
+      val ckpt = graft.util.Scratch.dir("graft_shh_ck")
+      val statePath = graft.util.Scratch.dir("graft_shh_state") + "/state"
+      withShufflePartitions(s, 8) {
+        graft.streaming.EventStreams.heavyHittersSink(
+          Tables.wavedEventsStream(s, dir, nWaves = 3)
+            .select(col("user_id")),
+          "user_id", k = 120 * 16, statePath, ckpt).awaitTermination()
+      }
+      graft.ops.Profile.hhResolve(
+        Tables.events(s, dir).select(col("user_id")),
+        graft.ops.Profile.hhMergeAll(
+          s.read.parquet(statePath).select(col("cand"), col("total"), col("nulls")),
+          k = 120 * 16),
+        "user_id", num = 1L, den = 120L)
+    }),
+
     // ---- live stream-stream interval join ---------------------------------
     // Clicks joined to same-user purchases within the prior hour, both
     // sides watermarked (bounded join state) — the streaming as-of window,
@@ -564,6 +587,13 @@ private[graft] object QueriesStreaming {
     // CONVERGE — precedence is a total order, so displaced rows cannot
     // change the winner per key.
     "streaming_merge_late" -> mergeLwwOracleSql,
+
+    // The wave-keyed sketch fold converges to the single-shot exact
+    // answer — same oracle as profile_heavy_hitters.
+    "streaming_heavy_hitters_live" ->
+      """WITH c AS (SELECT user_id AS item, count(*) AS cnt FROM events GROUP BY 1)
+        |SELECT item, cnt FROM c
+        |WHERE cnt * 120 >= (SELECT sum(cnt) FROM c) * 1""".stripMargin,
 
     // AvailableNow drains the source before the watermark can evict
     // unmatched state, so the live join emits exactly the batch theta-join.

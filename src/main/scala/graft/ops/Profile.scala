@@ -202,14 +202,24 @@ object Profile {
     * sketch; exact totals add. Runs on the 1-row states only — cost is
     * O(k), independent of both batch and history size.
     */
-  def hhMerge(state: DataFrame, batchSummary: DataFrame, k: Int): DataFrame = {
+  def hhMerge(state: DataFrame, batchSummary: DataFrame, k: Int): DataFrame =
+    hhMergeAll(state.unionByName(batchSummary), k)
+
+  /** Fold ANY number of one-row states in a single merge level: all
+    * counters replay as weighted adds into one fresh k-bounded sketch,
+    * so the cumulative undercount is ≤ 2n/(k+1) REGARDLESS of how many
+    * states are folded (one per-wave term + one re-sketch term) — the
+    * read-time fold of [[graft.streaming.EventStreams.heavyHittersSink]]
+    * uses this, where the pairwise fold's m·n/(k+1) budget would force
+    * k to grow with stream age.
+    */
+  def hhMergeAll(states: DataFrame, k: Int): DataFrame = {
     import graft.functions.HeavyHittersAggregate.misraGriesWeighted
-    val both = state.unionByName(batchSummary)
-    val counters = both.select(explode(col("cand")).as("c"))
+    val counters = states.select(explode(col("cand")).as("c"))
       .select(col("c.item").as("item"), col("c.est").as("est"))
     counters.agg(misraGriesWeighted(col("item"), col("est"), k).as("cand"))
       .crossJoin(broadcast(
-        both.agg(sum("total").as("total"), sum("nulls").as("nulls"))))
+        states.agg(sum("total").as("total"), sum("nulls").as("nulls"))))
       .select(col("cand"), col("total"), col("nulls"))
   }
 

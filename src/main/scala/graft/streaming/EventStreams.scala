@@ -202,6 +202,33 @@ object EventStreams {
     } finally scope.close()
   }
 
+  /** Streaming hot-item profiling — the heavy-hitters member of the
+    * incremental-state sinks: each micro-batch writes its ONE-ROW
+    * Misra–Gries summary ([[graft.ops.Profile.hhSummarize]]) keyed by
+    * wave. Replay safety is the wave-keyed dynamic-overwrite contract of
+    * the other sinks: an at-least-once retry REPLACES its own wave's
+    * summary instead of double-counting it. The current heavy hitters
+    * resolve at READ time — [[graft.ops.Profile.hhMergeAll]] folds the
+    * wave summaries in one merge level (error ≤ 2n/(k+1) regardless of
+    * stream age), then [[graft.ops.Profile.hhResolve]] recounts the ≤ k
+    * candidates exactly. State on disk is O(waves · k), never the key
+    * space.
+    */
+  def heavyHittersSink(items: DataFrame, itemCol: String, k: Int,
+                       statePath: String, checkpoint: String): StreamingQuery =
+    items.writeStream
+      .outputMode(OutputMode.Update())
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.ops.Profile.hhSummarize(batch, itemCol, k)
+          .withColumn("wave", lit(batchId.toInt))
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("wave").parquet(statePath)
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+
   /** Typed event row for streaming tests and stateful ops. */
   final case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
                          event_type: String, value: Double)

@@ -166,6 +166,30 @@ class HeavyHittersSpec extends SparkSpec {
     assert(weighted == truth.collect { case (i, c) if i > 0 => i -> 2 * i * c })
   }
 
+  test("hhMergeAll folds N wave states in one level; wave replay cannot double-count") {
+    import java.nio.file.Files
+    val k = 20 * 16
+    val statePath = Files.createTempDirectory("graft_hh_state").toString + "/state"
+    def writeWave(w: Int, slice: org.apache.spark.sql.DataFrame): Unit =
+      Profile.hhSummarize(slice, "item", k)
+        .withColumn("wave", lit(w))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("wave").parquet(statePath)
+    val waves = (0 until 3).map(i => skewed.where(pmod(col("item"), lit(3)) === i))
+    waves.zipWithIndex.foreach { case (s, w) => writeWave(w, s) }
+    // At-least-once replay: wave 1 written AGAIN — dynamic overwrite must
+    // replace, not append, so totals and counters stay single-counted.
+    writeWave(1, waves(1))
+    val state = spark.read.parquet(statePath).select(col("cand"), col("total"), col("nulls"))
+    assert(state.count() == 3L)
+    val folded = Profile.hhMergeAll(state, k)
+    assert(folded.select(col("total")).head().getLong(0) == skewed.count())
+    val got = Profile.hhResolve(skewed, folded, "item", 1L, 20L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == naive(1L, 20L))
+  }
+
   test("a frequent NULL group is reported, matching the naive plan") {
     // The sketch skips nulls and the semi-join can't match them; the
     // operator must still surface the NULL group exactly as
