@@ -125,48 +125,12 @@ object Profile {
       "a clamped sketch would silently void the candidate-superset " +
       "guarantee — coarsen the threshold or use the exact groupBy-count plan")
     val k = (kL * slack).toInt
-    import graft.functions.HeavyHittersAggregate.misraGries
-    // Integral items widen to long (matching the sketch's key type);
-    // strings pass through.
-    val stringKeyed = df.schema(itemCol).dataType == StringType
-    val item = if (stringKeyed) col(itemCol) else col(itemCol).cast(LongType)
-    // Pass 1 materializes EAGERLY: exactly one row carrying ≤ k counters
-    // plus the exact total and null count. Collecting it (instead of a
-    // persist both pass-2 branches re-read) keeps nothing cached in the
-    // session, and pass 2's candidate list had to reach the driver anyway
-    // to be broadcast.
-    val head = df.agg(
-      misraGries(item, k).as("cand"),
-      count(lit(1)).as("total"),
-      sum(when(item.isNull, 1L).otherwise(0L)).as("nulls")).head()
-    val total = head.getLong(1)
-    val nullCnt = head.getLong(2)
-    // Smallest qualifying count: cnt·den ≥ total·num  ⇔  cnt ≥
-    // ⌈total·num/den⌉ — computed once in BigInt so no per-row product can
-    // overflow Long however large the table.
-    val cntMin = ((BigInt(total) * num + den - 1) / den).toLong
-    val spark = df.sparkSession
-    import spark.implicits._
-    val candItems = head.getSeq[org.apache.spark.sql.Row](0)
-    val candDf =
-      if (stringKeyed) candItems.map(_.getString(0)).toDF("_hh_cand")
-      else candItems.map(_.getLong(0)).toDF("_hh_cand")
-    val nonNull = df
-      .join(broadcast(candDf), item === col("_hh_cand"), "left_semi")
-      .groupBy(item.as("item"))
-      .agg(count(lit(1)).as("cnt"))
-      .where(col("cnt") >= cntMin)
-      .select(col("item"), col("cnt"))
-    // The sketch skips nulls and the semi-join can never match one, but
-    // the naive groupBy(item).count plan HAS a NULL group (and so does
-    // the DuckDB oracle). Pass 1 counted nulls exactly; append the group
-    // when it qualifies so the equivalence holds with no carve-out.
-    if (nullCnt > 0 && BigInt(nullCnt) * den >= BigInt(total) * num) {
-      val nullRow =
-        if (stringKeyed) Seq((Option.empty[String], nullCnt)).toDF("item", "cnt")
-        else Seq((Option.empty[Long], nullCnt)).toDF("item", "cnt")
-      nonNull.unionByName(nullRow)
-    } else nonNull
+    // Pass 1 is the one-row sketch state; pass 2 is the shared resolve
+    // (which materializes the state EAGERLY — collecting the one row,
+    // instead of a persist both pass-2 branches re-read, keeps nothing
+    // cached in the session, and the candidate list had to reach the
+    // driver anyway to be broadcast).
+    hhResolve(df, hhSummarize(df, itemCol, k), itemCol, num, den)
   }
 
   /** Hard ceiling on Misra–Gries candidate counters per partition — past
