@@ -66,19 +66,23 @@ private[graft] object QueriesText {
         .select(col("item").as("token"), col("cnt"))
     }),
 
+    // Leaderboard: TakeOrderedAndProject (map-side partial top-k) over
+    // the token counts — ONE corpus scan — then the ≤ 20 surviving rows
+    // rank on the driver ((cnt desc, token asc) is a total order, so
+    // rank = position). The first form ranked via a k² self-join whose
+    // two sides each re-executed the full tokenize+count pipeline — two
+    // corpus scans to rank twenty rows.
     "text_top_tokens" -> ((s, dir) => {
-      val counts = t(s, dir, "documents")
+      import s.implicits._
+      val top = t(s, dir, "documents")
         .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("toks"))
         .select(explode(col("toks")).as("token"))
         .groupBy(col("token")).agg(count(lit(1)).as("cnt"))
-      val top = counts.orderBy(col("cnt").desc, col("token").asc).limit(20)
-      val other = top.select(col("cnt").as("cnt2"), col("token").as("token2"))
-      top.join(broadcast(other),
-          col("cnt2") > col("cnt") ||
-            (col("cnt2") === col("cnt") && col("token2") < col("token")),
-          "left")
-        .groupBy(col("token"), col("cnt"))
-        .agg((count(col("token2")) + 1).cast(LongType).as("rank"))
+        .orderBy(col("cnt").desc, col("token").asc).limit(20)
+        .collect().map(r => (r.getString(0), r.getLong(1)))
+      top.zipWithIndex
+        .map { case ((tok, c), i) => (tok, c, (i + 1).toLong) }
+        .toSeq.toDF("token", "cnt", "rank")
     }),
 
     // Per-token document frequency + IDF (ln(N/df), rounded). Corpus

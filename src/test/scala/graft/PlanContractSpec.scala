@@ -57,10 +57,23 @@ class PlanContractSpec extends SparkSpec {
     assert(plan("dedup_canonical_quality").contains("WindowGroupLimit"))
   }
 
-  test("text_top_tokens is TakeOrderedAndProject, never a global window") {
-    val p = plan("text_top_tokens")
+  test("text_top_tokens: the corpus pass is TakeOrderedAndProject, never a global window") {
+    // The gate collects the bounded top-20 eagerly and ranks on the
+    // driver (one corpus scan), so its RETURNED plan is a local
+    // relation; the property to pin lives in the corpus pass itself —
+    // build it exactly as the gate does.
+    import org.apache.spark.sql.functions._
+    val p = io.Tables.documents(spark, dir)
+      .select(graft.text.TextAnalysis.tokens(col("text")).as("toks"))
+      .select(explode(col("toks")).as("token"))
+      .groupBy(col("token")).agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("token").asc).limit(20)
+      .queryExecution.executedPlan.toString
     assert(p.contains("TakeOrderedAndProject"))
     assert(!p.contains("Window "), "global window would single-partition the vocabulary")
+    // And the gate's own plan must stay free of any second corpus scan.
+    val g = plan("text_top_tokens")
+    assert(!g.contains("FileScan"), s"rank stage re-reads the corpus:\n${g.take(400)}")
   }
 
   test("filter_golden_row pushes the key predicate into the parquet scan") {
