@@ -464,7 +464,11 @@ object Dedup {
         .join(lut, col(idCol) === col("_ln"), "left")
         .select(col(idCol), coalesce(col("_ll"), col(idCol)).as("rep"))
     } else
-      clusterRepresentativesWithRounds(nodes, idCol, pairs, aCol, bCol, maxIters, cache)._1
+      // Fall back on the CACHED edge projection (not raw `pairs`) so the
+      // loop's bidirectional union re-reads the cache, never the pair
+      // pipeline.
+      clusterRepresentativesWithRounds(nodes, idCol, edges0,
+        "doc_a", "doc_b", maxIters, cache)._1
   }
 
   /** [[clusterRepresentatives]] plus the number of rounds it took to
