@@ -620,6 +620,20 @@ private[graft] object QueriesCore {
         .groupBy(col("bucket")).agg(count(lit(1)).as("cnt"))
     }),
 
+    // Per-group winsorization (ops/Quality.winsorize): the outlier clamp
+    // a feature pipeline applies before tail-dominated aggregates. Exact
+    // interpolated percentiles (both engines sort-and-interpolate
+    // identically), bounds broadcast, clamp scan-side.
+    "quality_winsorize" -> ((s, dir) => {
+      val orders = t(s, dir, "orders").select(col("o_orderkey"),
+        col("o_orderstatus"), col("o_totalprice").cast(Dec152).as("price"))
+      graft.ops.Quality.winsorize(orders, "price", Seq("o_orderstatus"),
+          lo = 0.01, hi = 0.99)
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          col("price").cast(DoubleType).as("price"),
+          round(col("price_w"), 6).as("price_w"))
+    }),
+
     // O-M4 updated_at touch shape: the merged row is "touched" iff the
     // winner came from the incoming batch (the reference stamps
     // updated_at exactly then; the timestamp itself is nondeterministic,
@@ -1261,6 +1275,19 @@ private[graft] object QueriesCore {
         |         AND length(ticker) BETWEEN 1 AND 10 THEN 'clean' ELSE 'quarantine' END AS bucket,
         |  count(*) AS cnt
         |FROM b GROUP BY 1""".stripMargin,
+
+    // Same sort-and-interpolate percentile definition in both engines
+    // (Spark `percentile` == DuckDB `quantile_cont` on doubles).
+    "quality_winsorize" ->
+      """WITH b AS (SELECT o_orderkey, o_orderstatus,
+        |    CAST(CAST(o_totalprice AS DECIMAL(15,2)) AS DOUBLE) AS price
+        |  FROM orders),
+        |q AS (SELECT o_orderstatus,
+        |    quantile_cont(price, 0.01) AS plo, quantile_cont(price, 0.99) AS phi
+        |  FROM b GROUP BY 1)
+        |SELECT b.o_orderkey, b.o_orderstatus, b.price,
+        |  round(least(greatest(b.price, q.plo), q.phi), 6) AS price_w
+        |FROM b JOIN q USING (o_orderstatus)""".stripMargin,
 
     "merge_touched" ->
       """WITH tagged AS (SELECT user_id, event_type, event_id, ts, value,

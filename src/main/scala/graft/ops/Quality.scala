@@ -41,4 +41,28 @@ object Quality {
     */
   def quarantine(df: DataFrame, valid: Column): (DataFrame, DataFrame) =
     (df.where(valid), df.where(!coalesce(valid, lit(false))))
+
+  /** Per-group winsorization — clamp `valueCol` into its group's
+    * [lo, hi] percentile band, the outlier treatment a feature/label
+    * pipeline applies before aggregates that heavy tails would dominate.
+    * Exact interpolated percentiles (deterministic: the aggregate sorts
+    * internally, so partitioning cannot move the cut) computed ONCE per
+    * group and joined back — the group-bounds table is |groups| rows, so
+    * Catalyst broadcasts it and the clamp itself is scan-side. Null
+    * values pass through unclamped (no fabricated bounds). At 100 TB
+    * swap `percentile` for `approx_percentile` exactly as
+    * `profile_quantiles_approx` does — same plan, t-digest bounds.
+    */
+  def winsorize(df: DataFrame, valueCol: String, groupCols: Seq[String],
+                lo: Double, hi: Double): DataFrame = {
+    require(lo >= 0 && hi <= 1 && lo < hi, "need 0 <= lo < hi <= 1")
+    val v = col(valueCol).cast(org.apache.spark.sql.types.DoubleType)
+    val bounds = df.groupBy(groupCols.map(col): _*)
+      .agg(percentile(v, lit(lo)).as("_w_lo"), percentile(v, lit(hi)).as("_w_hi"))
+    df.join(broadcast(bounds), groupCols)
+      .withColumn(s"${valueCol}_w",
+        when(v.isNull, lit(null))
+          .otherwise(least(greatest(v, col("_w_lo")), col("_w_hi"))))
+      .drop("_w_lo", "_w_hi")
+  }
 }

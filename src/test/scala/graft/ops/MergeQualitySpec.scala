@@ -158,4 +158,23 @@ class MergeQualitySpec extends SparkSpec {
       .collect().map(r => (r.getInt(0), r.getLong(2))).toMap
     assert(got == Map(1 -> 2L, 2 -> 0L))
   }
+
+  test("winsorize clamps per group at the interpolated percentiles; nulls pass through") {
+    // Group a: values 0..10 -> p10 = 1.0, p90 = 9.0 (linear interpolation
+    // on the sorted values); group b is untouched by a's tail.
+    val df = ((0 to 10).map(v => ("a", Some(v.toDouble))) ++
+      Seq(("a", None), ("b", Some(100.0)), ("b", Some(200.0)))).toDF("g", "v")
+    val got = Quality.winsorize(df, "v", Seq("g"), lo = 0.1, hi = 0.9)
+      .collect().map(r => (r.getString(0),
+        Option(r.get(1)).map(_.asInstanceOf[Double]),
+        Option(r.get(2)).map(_.asInstanceOf[Double])))
+    val a = got.filter(_._1 == "a")
+    assert(a.filter(_._2.isDefined).forall { case (_, Some(v), Some(w)) =>
+      w == math.min(math.max(v, 1.0), 9.0); case _ => false })
+    assert(a.exists { case (_, v, w) => v.isEmpty && w.isEmpty }) // null passes through
+    val b = got.filter(_._1 == "b").map(t => (t._2.get, t._3.get)).toSet
+    assert(b == Set((100.0, 110.0), (200.0, 190.0))) // b's own p10/p90 band
+    intercept[IllegalArgumentException](
+      Quality.winsorize(df, "v", Seq("g"), lo = 0.9, hi = 0.1))
+  }
 }
