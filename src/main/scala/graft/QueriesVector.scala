@@ -169,6 +169,19 @@ private[graft] object QueriesVector {
     // partition pruning (the TK4 fetch below never happens). Transport is
     // file-backed (no egress in this container); the staged JSONL per
     // sym_part directory is the fixture standing in for the HTTP body.
+    // Embedding POOLING (chunk -> document / members -> centroid): the
+    // graft_vec_mean TypedImperativeAggregate holds one (sum[dim], n)
+    // buffer per group with map-side partial aggregation — the exchange
+    // carries one dim-length vector per (group, partition), where the
+    // explode-to-(group, pos) formulation shuffles corpus x dim rows.
+    "vec_mean_pool" -> ((s, dir) =>
+      t(s, dir, "embeddings")
+        .groupBy(pmod(col("vec_id"), lit(16)).as("grp"))
+        .agg(graft.functions.VectorAggregates.vecMean(col("embedding")).as("m"),
+          count(lit(1)).as("n_vecs"))
+        .select(col("grp"), col("n_vecs"),
+          transform(col("m"), x => round(x, 6)).as("mean_vec"))),
+
     "vec_quantize_int8" -> ((s, dir) => {
       val qz = graft.functions.VectorExpressions.int8Quantize(col("embedding"))
       t(s, dir, "embeddings")
@@ -216,6 +229,20 @@ private[graft] object QueriesVector {
     "dedup_embedding_lsh" -> embeddingLshOracleSql(),
 
     "dedup_embedding_incremental" -> incrementalEmbeddingLshOracleSql,
+
+    // Per-position mean via a lateral position expansion; both engines
+    // average the same per-element doubles (round 6 absorbs summation
+    // order).
+    "vec_mean_pool" ->
+      """WITH e AS (SELECT vec_id % 16 AS grp, embedding FROM embeddings),
+        |u AS (SELECT grp, unnest(list_transform(embedding,
+        |        (x, i) -> {'pos': i, 'val': CAST(x AS DOUBLE)})) AS s
+        |      FROM e),
+        |m AS (SELECT grp, s.pos AS pos, avg(s.val) AS v FROM u GROUP BY 1, 2),
+        |n AS (SELECT grp, count(*) AS n_vecs FROM e GROUP BY 1)
+        |SELECT m.grp, n.n_vecs, list(round(m.v, 6) ORDER BY m.pos) AS mean_vec
+        |FROM m JOIN n USING (grp)
+        |GROUP BY m.grp, n.n_vecs""".stripMargin,
 
     "vec_quantize_int8" ->
       """WITH e AS (SELECT vec_id,

@@ -128,6 +128,18 @@ object GraftFunctions {
     HeavyHittersAggregate.MisraGries(children.head, weight, k)
   }
 
+  private val vecMeanInfo = new ExpressionInfo(
+    VectorAggregates.getClass.getCanonicalName, null, "graft_vec_mean",
+    "graft_vec_mean(vec) - per-position mean of the group's numeric arrays " +
+      "(embedding pooling); map-side partial (sum, n) state.",
+    "")
+
+  private def vecMeanBuilder(children: Seq[Expression]): Expression = {
+    require(children.length == 1,
+      s"graft_vec_mean expects 1 argument, got ${children.length}")
+    VectorAggregates.VecMean(children.head)
+  }
+
   private val all: Seq[(String, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
     ("graft_dot", dotInfo, dotBuilder),
     ("graft_topk", topkInfo, topkBuilder),
@@ -136,7 +148,8 @@ object GraftFunctions {
     ("graft_text_stats", textStatsInfo, textStatsBuilder),
     ("graft_ngram_stats", ngramStatsInfo, ngramStatsBuilder),
     ("graft_int8_quantize", quantizeInfo, quantizeBuilder),
-    ("graft_misra_gries", misraGriesInfo, misraGriesBuilder))
+    ("graft_misra_gries", misraGriesInfo, misraGriesBuilder),
+    ("graft_vec_mean", vecMeanInfo, vecMeanBuilder))
 
   /** Inject into an extensions hook (builder-time path). */
   def inject(extensions: SparkSessionExtensions): Unit = {
