@@ -195,6 +195,19 @@ class PlanContractSpec extends SparkSpec {
     assert(dots <= 12, s"unfused per-plane dot products leaked into the plan ($dots graft_dot)")
   }
 
+  test("winsorize bounds join is broadcast; vec_mean pools map-side") {
+    // The per-group percentile bounds table is |groups| rows — joining
+    // it back must broadcast, never shuffle the fact side.
+    val w = plan("quality_winsorize")
+    assert(w.contains("BroadcastHashJoin"), w.take(400))
+    assert(!w.contains("SortMergeJoin"), "bounds join must not shuffle the corpus")
+    // Pooling must run its (sum[dim], n) buffer partial (map-side), so
+    // the exchange carries one dim-length vector per group per partition.
+    val p = plan("vec_mean_pool")
+    assert(p.contains("partial_graft_vec_mean") ||
+      (p.contains("graft_vec_mean") && p.contains("ObjectHashAggregate")), p.take(400))
+  }
+
   // ---- streaming plan contracts (round 8): the 15+1 streaming gates'
   // load-bearing plan properties. Logical pins read the unstarted
   // stream's analyzed plan; runtime pins drive one micro-batch through
