@@ -66,6 +66,24 @@ private[graft] object QueriesText {
         .select(col("item").as("token"), col("cnt"))
     }),
 
+    // Unicode-normalized fingerprinting: the same visible text arrives
+    // composed ("café") and decomposed ("cafe" + U+0301) from
+    // different crawlers; an un-normalized fingerprint splits exact-dup
+    // groups. The fixture appends the two encodings by doc parity —
+    // after graft_unicode_normalize(NFC) the per-parity fingerprints of
+    // the same base text MUST collide, and the oracle replicates byte
+    // equality via DuckDB's nfc_normalize.
+    "text_nfc_fingerprint" -> ((s, dir) => {
+      val aug = t(s, dir, "documents").select(col("doc_id"),
+        concat(col("text"),
+          when(pmod(col("doc_id"), lit(2)) === 0, lit(" caf\u00e9"))
+            .otherwise(lit(" cafe\u0301"))).as("raw"))
+      aug.select(col("doc_id"),
+        md5(graft.functions.TextExpressions.unicodeNormalize(col("raw"))).as("fp_nfc"),
+        (graft.functions.TextExpressions.unicodeNormalize(col("raw")) =!= col("raw"))
+          .as("changed"))
+    }),
+
     // Leaderboard: TakeOrderedAndProject (map-side partial top-k) over
     // the token counts — ONE corpus scan — then the ≤ 20 surviving rows
     // rank on the driver ((cnt desc, token asc) is a total order, so
@@ -514,6 +532,18 @@ private[graft] object QueriesText {
 
     "text_quality" ->
       s"WITH $qualityCte SELECT doc_id, quality FROM q",
+
+    // chr(233) = U+00E9 composed, chr(769) = U+0301 combining acute —
+    // byte-explicit so no SQL-literal encoding step can pre-normalize
+    // the fixture. `changed` is TRUE exactly on the decomposed parity.
+    "text_nfc_fingerprint" ->
+      """WITH a AS (SELECT doc_id,
+        |    text || CASE WHEN doc_id % 2 = 0 THEN ' caf' || chr(233)
+        |                 ELSE ' cafe' || chr(769) END AS raw
+        |  FROM documents)
+        |SELECT doc_id, md5(nfc_normalize(raw)) AS fp_nfc,
+        |  nfc_normalize(raw) <> raw AS changed
+        |FROM a""".stripMargin,
 
     "text_fingerprint" ->
       """WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks FROM documents),

@@ -140,6 +140,24 @@ object GraftFunctions {
     VectorAggregates.VecMean(children.head)
   }
 
+  private val unicodeNormInfo = new ExpressionInfo(
+    TextExpressions.getClass.getCanonicalName, null, "graft_unicode_normalize",
+    "graft_unicode_normalize(text[, form]) - Unicode normalization " +
+      "(NFC default; NFD/NFKC/NFKD literal).",
+    "")
+
+  private def unicodeNormBuilder(children: Seq[Expression]): Expression = {
+    require(children.length == 1 || children.length == 2,
+      s"graft_unicode_normalize expects (text[, form]), got ${children.length} arguments")
+    val form = if (children.length == 2) children(1) match {
+      case org.apache.spark.sql.catalyst.expressions.Literal(v: org.apache.spark.unsafe.types.UTF8String, _) =>
+        v.toString
+      case other => throw new IllegalArgumentException(
+        s"graft_unicode_normalize form must be a string literal, got $other")
+    } else "NFC"
+    TextExpressions.UnicodeNormalize(children.head, form)
+  }
+
   private val all: Seq[(String, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
     ("graft_dot", dotInfo, dotBuilder),
     ("graft_topk", topkInfo, topkBuilder),
@@ -149,7 +167,8 @@ object GraftFunctions {
     ("graft_ngram_stats", ngramStatsInfo, ngramStatsBuilder),
     ("graft_int8_quantize", quantizeInfo, quantizeBuilder),
     ("graft_misra_gries", misraGriesInfo, misraGriesBuilder),
-    ("graft_vec_mean", vecMeanInfo, vecMeanBuilder))
+    ("graft_vec_mean", vecMeanInfo, vecMeanBuilder),
+    ("graft_unicode_normalize", unicodeNormInfo, unicodeNormBuilder))
 
   /** Inject into an extensions hook (builder-time path). */
   def inject(extensions: SparkSessionExtensions): Unit = {

@@ -348,4 +348,58 @@ object TextExpressions {
   /** Column-level n-gram multiplicity stats (see [[NgramStats]]). */
   def ngramStats(toks: Column, n: Int): Column =
     GraftShims.column(NgramStats(GraftShims.expression(toks), n))
+
+  /** Unicode canonical normalization (NFC/NFD/NFKC/NFKD) — the cleanup
+    * pass every fingerprint/dedup pipeline needs BEFORE hashing: the
+    * same visible text arrives composed ("é") and decomposed ("e"+U+0301)
+    * from different crawlers, and an un-normalized corpus silently
+    * splits exact-duplicate groups. Spark SQL has no normalizer
+    * built-in; this delegates to the JDK's `java.text.Normalizer` (the
+    * canonical Unicode implementation — identical normative output to
+    * DuckDB's `nfc_normalize`) from generated code, one call per row.
+    */
+  case class UnicodeNormalize(child: Expression, form: String)
+      extends UnaryExpression {
+
+    require(Seq("NFC", "NFD", "NFKC", "NFKD").contains(form),
+      s"unsupported normalization form $form")
+
+    override def dataType: DataType = StringType
+
+    override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+      child.dataType match {
+        case StringType =>
+          org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+        case other =>
+          org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+            s"graft_unicode_normalize requires a string, got $other")
+      }
+
+    override def nullSafeEval(input: Any): Any =
+      org.apache.spark.unsafe.types.UTF8String.fromString(
+        TextExpressions.normalizeString(
+          input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String].toString, form))
+
+    override protected def doGenCode(
+        ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+        ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+        : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+      defineCodeGen(ctx, ev, c =>
+        "org.apache.spark.unsafe.types.UTF8String.fromString(" +
+          s"graft.functions.TextExpressions.normalizeString($c.toString(), " +
+          s""""$form"))""")
+
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+
+    override def prettyName: String = "graft_unicode_normalize"
+  }
+
+  /** Kernel shared by [[UnicodeNormalize]]'s eval and codegen paths. */
+  def normalizeString(s: String, form: String): String =
+    java.text.Normalizer.normalize(s, java.text.Normalizer.Form.valueOf(form))
+
+  /** Column-level Unicode normalization (see [[UnicodeNormalize]]). */
+  def unicodeNormalize(text: Column, form: String = "NFC"): Column =
+    GraftShims.column(UnicodeNormalize(GraftShims.expression(text), form))
 }

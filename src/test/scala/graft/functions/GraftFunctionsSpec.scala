@@ -249,4 +249,33 @@ class GraftFunctionsSpec extends SparkSpec {
     assert(e.getMessage.toLowerCase.contains("dot") ||
       e.getMessage.toLowerCase.contains("type"))
   }
+
+  test("UnicodeNormalize: NFC merges composed/decomposed; NFKC folds compatibility forms") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val composed = "café"         // U+00E9
+    val decomposed = "café"      // e + U+0301
+    val df = Seq(Some(composed), Some(decomposed), None).toDF("s")
+    val nfc = df.select(TextExpressions.unicodeNormalize(col("s")).as("n"))
+      .collect().map(r => Option(r.getString(0)))
+    assert(nfc(0) == Some(composed) && nfc(1) == Some(composed)) // both collapse to NFC
+    assert(nfc(2).isEmpty)                                       // null passes through
+    // NFKC folds compatibility characters NFC leaves alone (ﬁ ligature).
+    val nfkc = Seq("ﬁle").toDF("s")
+      .select(TextExpressions.unicodeNormalize(col("s"), "NFKC").as("n"))
+      .head().getString(0)
+    assert(nfkc == "file")
+    intercept[IllegalArgumentException](
+      TextExpressions.unicodeNormalize(col("s"), "NFX"))
+    // SQL surface, default and explicit form.
+    GraftFunctions.register(spark)
+    df.createOrReplaceTempView("nfc_probe")
+    val viaSql = spark.sql(
+      "SELECT graft_unicode_normalize(s) FROM nfc_probe WHERE s IS NOT NULL")
+      .collect().map(_.getString(0)).toSet
+    assert(viaSql == Set(composed))
+    val nfd = spark.sql(
+      s"SELECT graft_unicode_normalize('$composed', 'NFD')").head().getString(0)
+    assert(nfd == decomposed)
+  }
 }
