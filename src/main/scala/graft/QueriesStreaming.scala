@@ -305,6 +305,31 @@ private[graft] object QueriesStreaming {
       s.read.parquet(out)
     }),
 
+    // Partition-scoped streaming MERGE: the 100 TB form of the merge
+    // sink — each of the three waves reads and rewrites ONLY the hive
+    // partitions it touches (partition-pruned scan + dynamic overwrite;
+    // the plain sink re-reads and swaps the WHOLE state per wave). One
+    // total order over state+batch rows, so re-batching and replays
+    // cannot change a winner: the oracle is the identical batch LWW
+    // dedup the other merge gates share.
+    "streaming_merge_partitioned" -> ((s, dir) => {
+      val ckpt = graft.util.Scratch.dir("graft_smergep_ck")
+      val statePath = graft.util.Scratch.dir("graft_smergep_state") + "/state"
+      withShufflePartitions(s, 8) {
+        graft.streaming.EventStreams.mergeSinkPartitioned(
+          Tables.wavedEventsStream(s, dir, nWaves = 3)
+            .select(col("user_id"), col("event_type"), col("event_id"),
+              col("ts"), col("value")),
+          statePath, keys = Seq("user_id", "event_type"),
+          precedence = Seq(col("ts").desc, col("event_id").desc),
+          partitionCol = "event_type", checkpoint = ckpt)
+          .awaitTermination()
+      }
+      s.read.parquet(statePath)
+        .select(col("user_id"), col("event_type"), col("event_id"),
+          col("ts"), col("value"))
+    }),
+
     "streaming_merge_waves" -> ((s, dir) => {
       val ckpt = graft.util.Scratch.dir("graft_smergew_ck")
       val statePath = graft.util.Scratch.dir("graft_smergew_state") + "/state"
@@ -577,6 +602,8 @@ private[graft] object QueriesStreaming {
     "streaming_merge_live" -> mergeLwwOracleSql,
     // Micro-batch boundaries (three waves here) cannot change the state.
     "streaming_merge_waves" -> mergeLwwOracleSql,
+    // Partition scoping cannot change the state either — same total order.
+    "streaming_merge_partitioned" -> mergeLwwOracleSql,
 
     // Late/out-of-order delivery: watermark semantics graded for real —
     // beyond-watermark rows dropped, in-watermark late rows folded, the

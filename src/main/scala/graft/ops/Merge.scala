@@ -67,10 +67,18 @@ object Merge {
         spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
     }
 
+  /** `incomingWins = true` (default) is the reference's upsert contract:
+    * a batch row replaces the stored row for its key outright, with
+    * `precedence` breaking ties only WITHIN the batch. `false` ranks
+    * state and batch rows together under `precedence` alone — the
+    * TOTAL-ORDER form an at-least-once streaming sink needs, where a
+    * replayed old wave must never regress a newer stored winner.
+    */
   def mergeIntoPartitionedState(spark: SparkSession,
                                 statePath: String, incoming: DataFrame,
                                 keys: Seq[String], precedence: Seq[Column],
-                                partitionCol: String): DataFrame = {
+                                partitionCol: String,
+                                incomingWins: Boolean = true): DataFrame = {
     val touched = incoming.select(partitionCol).distinct()
       .collect().map(_.get(0)).toSeq
     // Null-safe membership: a null partition value in the batch lands in
@@ -86,10 +94,11 @@ object Merge {
     val current = readStateOrEmpty(spark, statePath, incoming.schema)
       .where(touchedPred) // partition-pruned
       .select(incoming.columns.map(col): _*)
+    val rank = if (incomingWins) col("_src").desc +: precedence else precedence
     val merged = lastWriteWins(
       current.withColumn("_src", lit(0))
         .unionByName(incoming.withColumn("_src", lit(1))),
-      keys, col("_src").desc +: precedence).drop("_src")
+      keys, rank).drop("_src")
     // The merged plan READS statePath and the commit below OVERWRITES the
     // same touched partitions: stage the merged rows to a sibling
     // directory and re-read THAT for the overwrite, so the write never

@@ -394,6 +394,33 @@ object EventStreams {
     * events (exactly-once-equivalent semantics on top of an at-least-once
     * source).
     */
+  /** Partition-scoped twin of [[mergeSink]] — the form that holds at
+    * 100 TB standing state: each micro-batch reads ONLY the hive
+    * partitions its rows touch (partition-pruned scan) and rewrites only
+    * those (dynamic overwrite), so per-batch cost is proportional to the
+    * touched partitions, never the table ([[mergeSink]]'s full
+    * read + swap is O(history) per batch). Precedence ranks state and
+    * batch rows in ONE total order (`incomingWins = false`), so
+    * at-least-once replays — including an OLD wave replayed after a
+    * newer one — converge to the same winners as the batch LWW dedup
+    * over all events, exactly like the unpartitioned sink.
+    */
+  def mergeSinkPartitioned(stream: DataFrame, statePath: String,
+                           keys: Seq[String], precedence: Seq[Column],
+                           partitionCol: String,
+                           checkpoint: String): StreamingQuery =
+    stream.writeStream
+      .outputMode(OutputMode.Update())
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        Merge.mergeIntoPartitionedState(batch.sparkSession, statePath,
+          Merge.lastWriteWins(batch, keys, precedence),
+          keys, precedence, partitionCol, incomingWins = false)
+        ()
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+
   def mergeSink(stream: DataFrame, statePath: String, keys: Seq[String],
                 precedence: Seq[Column], checkpoint: String): StreamingQuery =
     stream.writeStream

@@ -133,6 +133,39 @@ class EventStreamsSpec extends SparkSpec {
     assert(state == Map((1L, "click") -> 7.0, (2L, "view") -> 9.0))
   }
 
+  test("mergeSinkPartitioned: touched-partition merge; an old replayed wave cannot regress state") {
+    import org.apache.spark.sql.functions.col
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val statePath = Files.createTempDirectory("graft_pmerge_stream").toString + "/state"
+    val ckpt = Files.createTempDirectory("graft_pmerge_ck").toString
+    val keys = Seq("user_id", "event_type")
+    val prec = Seq(col("ts").desc, col("event_id").desc)
+    def run(): Unit =
+      EventStreams.mergeSinkPartitioned(input.toDF(), statePath, keys, prec,
+        "event_type", ckpt).awaitTermination(60000)
+
+    input.addData(
+      event(1, "2024-01-01 10:00:00", 1, "click", 1.0),
+      event(2, "2024-01-01 10:00:00", 2, "view", 5.0))
+    run()
+    input.addData(
+      event(3, "2024-01-01 11:00:00", 1, "click", 7.0)) // newer click beats event 1
+    run()
+    def state() = spark.read.parquet(statePath)
+      .collect().map(r => (r.getAs[Long]("user_id"), r.getAs[String]("event_type")) ->
+        (r.getAs[Long]("event_id"), r.getAs[Double]("value"))).toMap
+    val afterWaves = state()
+    assert(afterWaves == Map(
+      (1L, "click") -> (3L, 7.0), (2L, "view") -> (2L, 5.0)))
+    // At-least-once worst case: the OLD wave replays AFTER the newer one.
+    // Total-order precedence (incomingWins = false) must keep event 3.
+    graft.ops.Merge.mergeIntoPartitionedState(spark, statePath,
+      Seq(event(1, "2024-01-01 10:00:00", 1, "click", 1.0)).toDF(),
+      keys, prec, "event_type", incomingWins = false)
+    assert(state() == afterWaves, "replayed old wave regressed the state")
+  }
+
   test("corpusLabelSink composes across four waves; untouched labels are never rewritten") {
     import org.apache.spark.sql.functions.col
     implicit val sqlCtx = spark.sqlContext
