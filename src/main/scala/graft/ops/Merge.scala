@@ -79,7 +79,14 @@ object Merge {
                                 keys: Seq[String], precedence: Seq[Column],
                                 partitionCol: String,
                                 incomingWins: Boolean = true): DataFrame = {
-    val touched = incoming.select(partitionCol).distinct()
+    // The incoming plan is read THREE times below (touched-partition
+    // collect, merge union, staging write) — uncached, a heavy upstream
+    // (e.g. a streaming batch dedup) executes three times per merge
+    // (measured 1.5× the whole sink wall at sf10). Persisted for exactly
+    // this call; released before returning.
+    val inc = incoming.persist()
+    try {
+    val touched = inc.select(partitionCol).distinct()
       .collect().map(_.get(0)).toSeq
     // Null-safe membership: a null partition value in the batch lands in
     // the hive default partition, which dynamic overwrite WILL rewrite —
@@ -91,13 +98,13 @@ object Merge {
       if (nonNullTouched.length == touched.length) col(partitionCol).isin(touched: _*)
       else if (nonNullTouched.isEmpty) col(partitionCol).isNull
       else col(partitionCol).isin(nonNullTouched: _*) || col(partitionCol).isNull
-    val current = readStateOrEmpty(spark, statePath, incoming.schema)
+    val current = readStateOrEmpty(spark, statePath, inc.schema)
       .where(touchedPred) // partition-pruned
-      .select(incoming.columns.map(col): _*)
+      .select(inc.columns.map(col): _*)
     val rank = if (incomingWins) col("_src").desc +: precedence else precedence
     val merged = lastWriteWins(
       current.withColumn("_src", lit(0))
-        .unionByName(incoming.withColumn("_src", lit(1))),
+        .unionByName(inc.withColumn("_src", lit(1))),
       keys, rank).drop("_src")
     // The merged plan READS statePath and the commit below OVERWRITES the
     // same touched partitions: stage the merged rows to a sibling
@@ -123,6 +130,7 @@ object Merge {
     fs.delete(new org.apache.hadoop.fs.Path(staging), true)
     spark.catalog.refreshByPath(statePath)
     spark.read.parquet(statePath)
+    } finally inc.unpersist()
   }
 
   /** Insert-if-absent (reference load.py:65-74, `ON CONFLICT DO NOTHING`
