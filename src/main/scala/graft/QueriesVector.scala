@@ -169,6 +169,18 @@ private[graft] object QueriesVector {
     // partition pruning (the TK4 fetch below never happens). Transport is
     // file-backed (no egress in this container); the staged JSONL per
     // sym_part directory is the fixture standing in for the HTTP body.
+    // L2 normalization (the standard pre-ANN projection: unit vectors
+    // make cosine a plain dot). Norm computed once per row in its own
+    // projection — inlined in the per-element lambda it would re-run the
+    // 64-dim dot 64x per row. The unit-norm tripwire rides along.
+    "vec_l2_normalize" -> ((s, dir) =>
+      Similarity.withL2Normalized(
+          t(s, dir, "embeddings"), "embedding", "unit")
+        .select(col("vec_id"),
+          transform(col("unit"), x => round(x, 6)).as("unit_r6"),
+          (abs(graft.vector.Similarity.dot(col("unit"), col("unit")) - 1.0d) < 1e-9)
+            .as("is_unit"))),
+
     // Embedding POOLING (chunk -> document / members -> centroid): the
     // graft_vec_mean TypedImperativeAggregate holds one (sum[dim], n)
     // buffer per group with map-side partial aggregation — the exchange
@@ -229,6 +241,23 @@ private[graft] object QueriesVector {
     "dedup_embedding_lsh" -> embeddingLshOracleSql(),
 
     "dedup_embedding_incremental" -> incrementalEmbeddingLshOracleSql,
+
+    // Same left-to-right double accumulation for the norm in both
+    // engines; is_unit replicated as literal TRUE would hide an engine
+    // bug, so the oracle recomputes it from its own normalized list.
+    "vec_l2_normalize" ->
+      """WITH e AS (SELECT vec_id,
+        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+        |n AS (SELECT vec_id, v,
+        |    sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM e),
+        |u AS (SELECT vec_id,
+        |    CASE WHEN nrm = 0 THEN list_transform(v, x -> 0.0)
+        |         ELSE list_transform(v, x -> x / nrm) END AS unit
+        |  FROM n)
+        |SELECT vec_id,
+        |  list_transform(unit, x -> round(x, 6)) AS unit_r6,
+        |  abs(list_sum(list_transform(unit, x -> x * x)) - 1.0) < 1e-9 AS is_unit
+        |FROM u""".stripMargin,
 
     // Per-position mean via a lateral position expansion; both engines
     // average the same per-element doubles (round 6 absorbs summation

@@ -37,6 +37,24 @@ object Similarity {
     when(n > 0, d / n)
   }
 
+  /** Project an L2-NORMALIZED copy of `vecCol` as `outCol` (unit vectors
+    * make cosine a plain dot — the standard pre-ANN normalization).
+    * The norm is computed ONCE per row in its own projection: inlined
+    * inside the per-element lambda, Catalyst would re-evaluate the full
+    * dot product per element (dim× the work — 64× on these embeddings).
+    * Zero vectors normalize to zero (never NaN); null vectors pass
+    * through null. Elements divide in double.
+    */
+  def withL2Normalized(df: DataFrame, vecCol: String, outCol: String): DataFrame =
+    df.withColumn("_l2n", l2Norm(col(vecCol)))
+      .withColumn(outCol,
+        when(col(vecCol).isNull, lit(null))
+          .when(col("_l2n") === 0.0,
+            transform(col(vecCol), _ => lit(0.0)))
+          .otherwise(transform(col(vecCol),
+            x => x.cast(DoubleType) / col("_l2n"))))
+      .drop("_l2n")
+
   /** Exact brute-force top-k neighbors for each query vector.
     * Input frames must expose (idCol, vecCol). Excludes self-matches by id.
     * Output: (query_id, rank, neighbor_id, sim). The small side (queries)

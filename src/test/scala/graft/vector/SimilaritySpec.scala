@@ -183,4 +183,24 @@ class SimilaritySpec extends SparkSpec {
       .where(col("a") < col("b")).count()
     assert(candidates == manual)
   }
+
+  test("withL2Normalized: unit norms, zero vector stays zero, null passes, norm computed once") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, Some(Seq(3.0f, 4.0f))),
+      (2L, Some(Seq(0.0f, 0.0f))),
+      (3L, None)).toDF("id", "v")
+    val got = Similarity.withL2Normalized(df, "v", "u")
+      .collect().map(r => r.getAs[Long]("id") ->
+        Option(r.getAs[Seq[Double]]("u"))).toMap
+    assert(got(1L) == Some(Seq(0.6, 0.8)))
+    assert(got(2L) == Some(Seq(0.0, 0.0)), "zero vector must stay zero, never NaN")
+    assert(got(3L).isEmpty, "null vector passes through")
+    // The norm must be its own projection: exactly ONE graft_dot per row
+    // feeding the transform, not one per element.
+    val plan = Similarity.withL2Normalized(df, "v", "u")
+      .queryExecution.executedPlan.toString
+    val perRowDots = "graft_dot".r.findAllIn(plan).size
+    assert(perRowDots <= 3, s"dot inlined per element ($perRowDots occurrences):\n$plan")
+  }
 }
