@@ -173,11 +173,19 @@ private[graft] object QueriesVector {
     // make cosine a plain dot). Norm computed once per row in its own
     // projection — inlined in the per-element lambda it would re-run the
     // 64-dim dot 64x per row. The unit-norm tripwire rides along.
+    // Output shape: the array is DIGESTED (md5 of micro-unit integers —
+    // floor(x*1e6+0.5), the quantize-gate recipe) because the driver's
+    // pandas hash-compare cannot canonicalize top-level arrays; the
+    // scalar tripwires (is_unit recomputed from the array, first element
+    // in the clear) keep a digest collision from masking a numeric bug.
     "vec_l2_normalize" -> ((s, dir) =>
       Similarity.withL2Normalized(
           t(s, dir, "embeddings"), "embedding", "unit")
         .select(col("vec_id"),
-          transform(col("unit"), x => round(x, 6)).as("unit_r6"),
+          md5(concat_ws(",", transform(col("unit"),
+              x => floor(x * lit(1e6) + lit(0.5d)).cast(StringType))))
+            .as("unit_md5"),
+          round(element_at(col("unit"), 1), 6).as("u0_r6"),
           (abs(graft.vector.Similarity.dot(col("unit"), col("unit")) - 1.0d) < 1e-9)
             .as("is_unit"))),
 
@@ -186,13 +194,19 @@ private[graft] object QueriesVector {
     // buffer per group with map-side partial aggregation — the exchange
     // carries one dim-length vector per (group, partition), where the
     // explode-to-(group, pos) formulation shuffles corpus x dim rows.
+    // Same digest-the-array output shape as vec_l2_normalize (pandas
+    // hash-compare constraint); n_vecs + the first mean element stay in
+    // the clear as tripwires.
     "vec_mean_pool" -> ((s, dir) =>
       t(s, dir, "embeddings")
         .groupBy(pmod(col("vec_id"), lit(16)).as("grp"))
         .agg(graft.functions.VectorAggregates.vecMean(col("embedding")).as("m"),
           count(lit(1)).as("n_vecs"))
         .select(col("grp"), col("n_vecs"),
-          transform(col("m"), x => round(x, 6)).as("mean_vec"))),
+          md5(concat_ws(",", transform(col("m"),
+              x => floor(x * lit(1e6) + lit(0.5d)).cast(StringType))))
+            .as("mean_md5"),
+          round(element_at(col("m"), 1), 6).as("m0_r6"))),
 
     "vec_quantize_int8" -> ((s, dir) => {
       val qz = graft.functions.VectorExpressions.int8Quantize(col("embedding"))
@@ -245,6 +259,9 @@ private[graft] object QueriesVector {
     // Same left-to-right double accumulation for the norm in both
     // engines; is_unit replicated as literal TRUE would hide an engine
     // bug, so the oracle recomputes it from its own normalized list.
+    // The md5 digest mirrors the Spark side's floor(x*1e6+0.5) micro-unit
+    // integers exactly (integers stringify identically in both engines,
+    // where raw doubles would not).
     "vec_l2_normalize" ->
       """WITH e AS (SELECT vec_id,
         |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
@@ -255,23 +272,30 @@ private[graft] object QueriesVector {
         |         ELSE list_transform(v, x -> x / nrm) END AS unit
         |  FROM n)
         |SELECT vec_id,
-        |  list_transform(unit, x -> round(x, 6)) AS unit_r6,
+        |  md5(array_to_string(list_transform(unit,
+        |    x -> CAST(CAST(floor(x * 1000000 + 0.5) AS BIGINT) AS VARCHAR)), ',')) AS unit_md5,
+        |  round(unit[1], 6) AS u0_r6,
         |  abs(list_sum(list_transform(unit, x -> x * x)) - 1.0) < 1e-9 AS is_unit
         |FROM u""".stripMargin,
 
     // Per-position mean via a lateral position expansion; both engines
-    // average the same per-element doubles (round 6 absorbs summation
-    // order).
+    // average the same per-element doubles (the micro-unit digest rounds
+    // to 6 decimals, absorbing summation order).
     "vec_mean_pool" ->
       """WITH e AS (SELECT vec_id % 16 AS grp, embedding FROM embeddings),
         |u AS (SELECT grp, unnest(list_transform(embedding,
         |        (x, i) -> {'pos': i, 'val': CAST(x AS DOUBLE)})) AS s
         |      FROM e),
         |m AS (SELECT grp, s.pos AS pos, avg(s.val) AS v FROM u GROUP BY 1, 2),
-        |n AS (SELECT grp, count(*) AS n_vecs FROM e GROUP BY 1)
-        |SELECT m.grp, n.n_vecs, list(round(m.v, 6) ORDER BY m.pos) AS mean_vec
-        |FROM m JOIN n USING (grp)
-        |GROUP BY m.grp, n.n_vecs""".stripMargin,
+        |n AS (SELECT grp, count(*) AS n_vecs FROM e GROUP BY 1),
+        |mv AS (SELECT m.grp, n.n_vecs,
+        |         list(CAST(floor(m.v * 1000000 + 0.5) AS BIGINT) ORDER BY m.pos) AS ivec,
+        |         list(m.v ORDER BY m.pos) AS vec
+        |       FROM m JOIN n USING (grp) GROUP BY m.grp, n.n_vecs)
+        |SELECT grp, n_vecs,
+        |  md5(array_to_string(list_transform(ivec, x -> CAST(x AS VARCHAR)), ',')) AS mean_md5,
+        |  round(vec[1], 6) AS m0_r6
+        |FROM mv""".stripMargin,
 
     "vec_quantize_int8" ->
       """WITH e AS (SELECT vec_id,

@@ -37,9 +37,23 @@ object Verify {
       .filter { case (name, _) => only.forall(_.contains(name)) }
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
     contract.foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
+      try {
+        val df = fn(spark, sfDir)
+        // Harness-compatibility tripwire: the driver canonicalizes results
+        // via pandas sort_values + hash, which dies on unhashable ndarray /
+        // dict cells. A gate emitting a top-level array/map/struct column
+        // would err at compare time with a cryptic TypeError (the round-9
+        // vec_l2_normalize failure mode) — fail HERE with the fix named.
+        val complex = df.schema.fields.collect {
+          case f if f.dataType.isInstanceOf[org.apache.spark.sql.types.ArrayType] ||
+                    f.dataType.isInstanceOf[org.apache.spark.sql.types.MapType] ||
+                    f.dataType.isInstanceOf[org.apache.spark.sql.types.StructType] => f.name
+        }
+        require(complex.isEmpty, s"top-level complex column(s) " +
+          s"[${complex.mkString(", ")}] break the driver's pandas hash-compare; " +
+          "digest to a scalar (md5 of joined elements) as vec_quantize_int8 does")
+        df.coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
+      } catch { case e: Throwable =>
         errors(name) = s"${e.getClass.getName}: ${String.valueOf(e.getMessage).take(500)}"
         System.err.println(s"[verify] $name FAILED: ${errors(name)}")
       }

@@ -19,9 +19,9 @@ import org.apache.spark.sql.types._
   * explode-to-(group, pos) formulation shuffles |corpus| × dim rows and
   * sorts them back, unusable at 100 TB.
   *
-  * Contract: all vectors in a group must share one length (ragged input
-  * is a data bug — the aggregate FAILS loudly rather than silently
-  * zero-padding) and elements must be non-null (same rationale); null
+  * Contract: all vectors in a group must share one non-zero length
+  * (ragged or dim-0 input is a data bug — the aggregate FAILS loudly
+  * rather than silently zero-padding) and elements must be non-null (same rationale); null
   * ARRAYS are skipped like any aggregate skips null input rows. Sums run
   * in double (deterministic given Spark's within-group accumulation
   * order at fixed partitioning; round the result for cross-engine
@@ -35,6 +35,14 @@ object VectorAggregates {
     var n: Long = 0L
 
     def add(xs: Array[Double]): Unit = {
+      // Zero-length vectors are rejected as loudly as ragged ones: a
+      // dim-0 buffer would serialize identically to the EMPTY buffer
+      // (dim=0, sums=null on the way back), so whether the group returns
+      // [] or null — and whether n survives — would depend on whether
+      // partial-aggregate serialization happened to run. The require
+      // keeps the invariant sums == null ⟺ n == 0 that merge relies on.
+      require(xs.length > 0,
+        "graft_vec_mean: zero-length vector (data bug; filter or impute first)")
       if (sums == null) sums = new Array[Double](xs.length)
       require(xs.length == sums.length,
         s"graft_vec_mean: ragged vectors in one group (${xs.length} vs ${sums.length})")
@@ -43,6 +51,8 @@ object VectorAggregates {
       n += 1L
     }
 
+    // other.sums == null implies other.n == 0 (add() rejects dim-0
+    // vectors), so skipping a sum-less side never drops a count.
     def merge(other: VecMeanBuffer): Unit =
       if (other.sums != null) {
         if (sums == null) { sums = other.sums.clone(); n = other.n }

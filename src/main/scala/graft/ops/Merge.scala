@@ -73,6 +73,18 @@ object Merge {
     * state and batch rows together under `precedence` alone — the
     * TOTAL-ORDER form an at-least-once streaming sink needs, where a
     * replayed old wave must never regress a newer stored winner.
+    *
+    * CONTRACT: `partitionCol` must be functionally dependent on `keys`
+    * (typically it IS one of them, or a deterministic bucket of one) —
+    * the state read is pruned to the batch's partitions, so a key whose
+    * stored winner sits under a DIFFERENT partition value would be
+    * invisible to the merge and end up duplicated across partitions
+    * (and, under `incomingWins = false` replay, an old wave could
+    * resurrect a loser the pruned read never saw). Membership in `keys`
+    * (the gate's `event_type` usage) satisfies this trivially; a
+    * derived-bucket caller owns the dependence — it is not statically
+    * checkable here, and post-dedup batches are one row per key, so a
+    * runtime probe could not see a cross-batch violation either.
     */
   def mergeIntoPartitionedState(spark: SparkSession,
                                 statePath: String, incoming: DataFrame,

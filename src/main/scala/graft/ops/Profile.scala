@@ -156,8 +156,11 @@ object Profile {
     val item =
       if (batch.schema(itemCol).dataType == StringType) col(itemCol)
       else col(itemCol).cast(LongType)
+    // count(when(...)), not sum(when(...)): sum over an EMPTY batch is
+    // NULL, and a null in the one-row state NPEs the resolve's getLong
+    // (and poisons every later fold's sum) — count is never null.
     batch.agg(misraGries(item, k).as("cand"), count(lit(1)).as("total"),
-      sum(when(item.isNull, 1L).otherwise(0L)).as("nulls"))
+      count(when(item.isNull, lit(1))).as("nulls"))
   }
 
   /** Fold a batch state into the running state — the mergeable-summaries
@@ -181,9 +184,13 @@ object Profile {
     import graft.functions.HeavyHittersAggregate.misraGriesWeighted
     val counters = states.select(explode(col("cand")).as("c"))
       .select(col("c.item").as("item"), col("c.est").as("est"))
+    // coalesce to 0: zero input states (or states written before the
+    // count(when) fix) must fold to an exact-zero total, not a null that
+    // NPEs the resolve.
     counters.agg(misraGriesWeighted(col("item"), col("est"), k).as("cand"))
       .crossJoin(broadcast(
-        states.agg(sum("total").as("total"), sum("nulls").as("nulls"))))
+        states.agg(coalesce(sum("total"), lit(0L)).as("total"),
+          coalesce(sum("nulls"), lit(0L)).as("nulls"))))
       .select(col("cand"), col("total"), col("nulls"))
   }
 
@@ -199,7 +206,18 @@ object Profile {
     require(num > 0 && den >= num, "need a frequency fraction 0 < num/den <= 1")
     val stringKeyed = corpus.schema(itemCol).dataType == StringType
     val item = if (stringKeyed) col(itemCol) else col(itemCol).cast(LongType)
-    val head = state.select(col("cand"), col("total"), col("nulls")).head()
+    val spark0 = corpus.sparkSession
+    // A 0-row state (nothing ever summarized) means no heavy hitters —
+    // return the empty result instead of head() throwing.
+    val headOpt = state.select(col("cand"), col("total"), col("nulls")).take(1).headOption
+    if (headOpt.isEmpty) {
+      import spark0.implicits._
+      // Branch-local toDF: unifying the two branches would LUB the tuple
+      // to (Option[Any], Long), which has no encoder.
+      return if (stringKeyed) Seq.empty[(Option[String], Long)].toDF("item", "cnt")
+        else Seq.empty[(Option[Long], Long)].toDF("item", "cnt")
+    }
+    val head = headOpt.get
     val total = head.getLong(1)
     val nullCnt = head.getLong(2)
     val cntMin = ((BigInt(total) * num + den - 1) / den).toLong

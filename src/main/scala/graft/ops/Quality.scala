@@ -49,7 +49,11 @@ object Quality {
     * internally, so partitioning cannot move the cut) computed ONCE per
     * group and joined back — the group-bounds table is |groups| rows, so
     * Catalyst broadcasts it and the clamp itself is scan-side. Null
-    * values pass through unclamped (no fabricated bounds). At 100 TB
+    * values pass through unclamped (no fabricated bounds), and so do
+    * null GROUP KEYS: the bounds join is null-safe (`<=>` per key, which
+    * BroadcastHashJoin supports natively), so the null group clamps into
+    * its own bounds instead of vanishing through an unmatched equi-join —
+    * an engine would silently lose every null-keyed row there. At 100 TB
     * swap `percentile` for `approx_percentile` exactly as
     * `profile_quantiles_approx` does — same plan, t-digest bounds.
     */
@@ -59,10 +63,17 @@ object Quality {
     val v = col(valueCol).cast(org.apache.spark.sql.types.DoubleType)
     val bounds = df.groupBy(groupCols.map(col): _*)
       .agg(percentile(v, lit(lo)).as("_w_lo"), percentile(v, lit(hi)).as("_w_hi"))
-    df.join(broadcast(bounds), groupCols)
+    val bAliased = groupCols.foldLeft(bounds)(
+      (b, c) => b.withColumnRenamed(c, s"_w_g_$c"))
+    val joinCond = groupCols.map(c => col(c) <=> col(s"_w_g_$c")).reduce(_ && _)
+    // Left join + null-coalesced bounds: even a group missing from the
+    // bounds table (impossible today — bounds derive from df — but cheap
+    // insurance against a future pre-filtered bounds source) passes
+    // through unclamped rather than dropping rows.
+    df.join(broadcast(bAliased), joinCond, "left")
       .withColumn(s"${valueCol}_w",
         when(v.isNull, lit(null))
           .otherwise(least(greatest(v, col("_w_lo")), col("_w_hi"))))
-      .drop("_w_lo", "_w_hi")
+      .drop(groupCols.map(c => s"_w_g_$c") :+ "_w_lo" :+ "_w_hi": _*)
   }
 }

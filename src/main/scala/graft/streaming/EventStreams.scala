@@ -403,7 +403,13 @@ object EventStreams {
     * batch rows in ONE total order (`incomingWins = false`), so
     * at-least-once replays — including an OLD wave replayed after a
     * newer one — converge to the same winners as the batch LWW dedup
-    * over all events, exactly like the unpartitioned sink.
+    * over all events, exactly like the unpartitioned sink. That
+    * convergence claim additionally requires `partitionCol` to be
+    * functionally dependent on `keys` (the gate passes `event_type`,
+    * which IS a key): the partition-pruned state read cannot see a
+    * winner stored under a different partition value, so a key whose
+    * partition could change between waves would be duplicated or
+    * regressed — see [[graft.ops.Merge.mergeIntoPartitionedState]].
     */
   def mergeSinkPartitioned(stream: DataFrame, statePath: String,
                            keys: Seq[String], precedence: Seq[Column],

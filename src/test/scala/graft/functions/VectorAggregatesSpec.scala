@@ -29,6 +29,20 @@ class VectorAggregatesSpec extends SparkSpec {
     assert(got.length == 1 && got.head.isNullAt(1))
   }
 
+  test("vecMean: a zero-length vector fails loudly (advice r9)") {
+    // A dim-0 buffer serializes identically to the empty buffer, so
+    // whether the group returned [] or null would depend on whether
+    // partial-agg serialization ran — rejected like ragged input instead.
+    val e = intercept[Exception] {
+      Seq(("a", Seq.empty[Float]), ("a", Seq(1.0f)))
+        .toDF("g", "v")
+        .groupBy("g").agg(VectorAggregates.vecMean(col("v")).as("m"))
+        .collect()
+    }
+    assert(String.valueOf(e.getMessage).contains("zero-length") ||
+      String.valueOf(e.getCause).contains("zero-length"))
+  }
+
   test("vecMean: ragged vectors in one group fail loudly") {
     val e = intercept[Exception] {
       Seq(("a", Seq(1.0f, 2.0f)), ("a", Seq(1.0f, 2.0f, 3.0f)))

@@ -190,6 +190,28 @@ class HeavyHittersSpec extends SparkSpec {
     assert(got == naive(1L, 20L))
   }
 
+  test("empty batches: summarize/fold/resolve stay total-0, never null (advice r9)") {
+    // sum(when(...)) over an empty batch is NULL; the state must carry
+    // exact zeros instead, and a 0-row state must resolve to no hitters.
+    val empty = spark.range(0).select(col("id").as("item"))
+    val s = Profile.hhSummarize(empty, "item", 8).head()
+    assert(s.getLong(1) == 0L && s.getLong(2) == 0L)
+    // Folding an empty summary into a real state keeps exact counts.
+    val folded = Profile.hhMergeAll(
+      Profile.hhSummarize(skewed, "item", 64)
+        .unionByName(Profile.hhSummarize(empty, "item", 64)), 64)
+    val f = folded.head()
+    assert(f.getLong(1) == skewed.count() && f.getLong(2) == 0L)
+    // Resolve against an empty corpus + empty-batch state: empty result.
+    assert(Profile.hhResolve(empty, Profile.hhSummarize(empty, "item", 8),
+      "item", 1L, 20L).count() == 0L)
+    // A 0-ROW state (nothing ever summarized) resolves empty, not a throw.
+    assert(Profile.hhResolve(skewed, Profile.hhSummarize(empty, "item", 8).limit(0),
+      "item", 1L, 20L).count() == 0L)
+    // End-to-end: heavyHitters over an empty corpus returns empty.
+    assert(Profile.heavyHitters(empty, "item", 1L, 20L).count() == 0L)
+  }
+
   test("a frequent NULL group is reported, matching the naive plan") {
     // The sketch skips nulls and the semi-join can't match them; the
     // operator must still surface the NULL group exactly as

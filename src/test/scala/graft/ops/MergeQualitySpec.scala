@@ -177,4 +177,22 @@ class MergeQualitySpec extends SparkSpec {
     intercept[IllegalArgumentException](
       Quality.winsorize(df, "v", Seq("g"), lo = 0.9, hi = 0.1))
   }
+
+  test("winsorize keeps null GROUP KEYS as their own clamped group (advice r9)") {
+    // A null-keyed group must not vanish through the bounds join (a plain
+    // equi-join never matches null keys); it clamps into its own band.
+    val df = (Seq(("a", 1.0), ("a", 2.0), ("a", 3.0)) ++
+      (0 to 10).map(v => (null.asInstanceOf[String], v.toDouble))).toDF("g", "v")
+    val got = Quality.winsorize(df, "v", Seq("g"), lo = 0.1, hi = 0.9)
+      .collect().map(r => (Option(r.getString(0)), r.getDouble(1), r.getDouble(2)))
+    assert(got.length == 14) // no row lost
+    val nullGrp = got.filter(_._1.isEmpty)
+    assert(nullGrp.length == 11)
+    // null group's own band: p10 = 1.0, p90 = 9.0 over 0..10
+    assert(nullGrp.forall { case (_, v, w) => w == math.min(math.max(v, 1.0), 9.0) })
+    // the named group is untouched by the null group's values
+    // (compare at 1e-9: the interpolated percentile carries float error)
+    val aClamped = got.filter(_._1.contains("a")).map(_._3).sorted.toSeq
+    assert(aClamped.zip(Seq(1.2, 2.0, 2.8)).forall { case (g, e) => math.abs(g - e) < 1e-9 })
+  }
 }
