@@ -290,4 +290,67 @@ class PlanContractSpec extends SparkSpec {
     assert(p.contains("symbols=") && !p.substring(p.indexOf("symbols=")).take(60).contains("TK4"),
       p.take(600))
   }
+
+  test("withL2Normalized computes the norm ONCE per row, never per element") {
+    // The 64-dim dot must sit in its own projection (SQRT(graft_dot) AS
+    // _l2n) with the transform lambda dividing by the ATTRIBUTE — if a
+    // refactor inlines it into the lambda body, the dot re-runs dim
+    // times per row (64x the kernel work). Exactly two dots in the whole
+    // gate plan: the norm and the is_unit tripwire.
+    val p = plan("vec_l2_normalize")
+    assert("graft_dot".r.findAllIn(p).size == 2,
+      s"expected exactly 2 graft_dot (norm + is_unit tripwire):\n${p.take(800)}")
+    assert(p.contains("/ _l2n"),
+      s"lambda must divide by the projected norm attribute:\n${p.take(800)}")
+  }
+
+  test("partitioned merge reads state partition-pruned and consumes the persisted batch") {
+    // The 100 TB property of mergeIntoPartitionedState: per-batch cost is
+    // O(touched partitions). The state scan must carry a real partition
+    // filter (pruning at the file index, not a post-scan Filter) and the
+    // incoming side must come back from the persist (InMemoryTableScan),
+    // not a re-execution of its upstream. The touched-only dynamic
+    // overwrite is pinned behaviorally in MergeQualitySpec (untouched
+    // partition files stay byte-identical).
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val statePath =
+      java.nio.file.Files.createTempDirectory("pmerge_plan").toString + "/state"
+    Seq((1L, "A", 10.0), (2L, "B", 20.0), (3L, "C", 30.0)).toDF("k", "part", "v")
+      .write.partitionBy("part").parquet(statePath)
+    val plans = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution, durationNs: Long): Unit =
+        plans.add(qe.executedPlan.toString)
+      override def onFailure(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution, e: Exception): Unit = ()
+    }
+    spark.listenerManager.register(listener)
+    try {
+      val batch = Seq((2L, "B", 99.0), (4L, "B", 40.0)).toDF("k", "part", "v")
+      graft.ops.Merge.mergeIntoPartitionedState(spark, statePath, batch,
+        Seq("k"), Seq(col("v").desc), "part")
+      // Listener delivery is async: poll until the staging-write plan
+      // (the one that reads state + persisted batch) has arrived.
+      def captured(): Seq[String] = {
+        import scala.jdk.CollectionConverters._
+        plans.iterator().asScala.toSeq
+      }
+      def mergePlans(): Seq[String] = captured().filter(p =>
+        p.contains("InMemoryTableScan") && p.contains("PartitionFilters"))
+      val deadline = System.nanoTime() + 15000000000L
+      while (System.nanoTime() < deadline && mergePlans().isEmpty) Thread.sleep(100)
+      val mp = mergePlans()
+      assert(mp.nonEmpty,
+        s"no captured plan combines the persisted batch with a state scan:\n${captured().mkString("\n---\n").take(1200)}")
+      // The state scan's partition filter names the touched value and the
+      // filter bracket is non-empty (a full-scan read would show
+      // `PartitionFilters: []`).
+      assert(mp.exists(p => p.linesIterator.exists(l =>
+          l.contains("PartitionFilters: [") && !l.contains("PartitionFilters: []") &&
+            l.contains("/state") && !l.contains("_staging"))),
+        s"state scan is not partition-pruned:\n${mp.head.take(1200)}")
+    } finally spark.listenerManager.unregister(listener)
+  }
 }
