@@ -56,6 +56,24 @@ private[graft] object QueriesVector {
           col("neighbor_id"), round(col("sim"), 6).as("sim"))
     }),
 
+    // IVF over LEARNED cells: deterministic spherical k-means (seeds =
+    // 10 smallest ids, one Lloyd round) labels the corpus, then the same
+    // ivfTopK runs over the learned cells. This is the index-build path
+    // when no natural label exists — and it lifts the label-IVF recall
+    // ceiling (~nprobe/ncells on unclustered labels) by concentrating
+    // true neighbors into probed cells. The full fit (assignment argmax,
+    // decimal-mean recompute, re-assignment, probe ranking) is replicated
+    // exactly by the oracle.
+    "sim_ivf_kmeans" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val labeled = Similarity.withKmeansLabel(emb, "vec_id", "embedding",
+        k = 10, iters = 1)
+      Similarity.ivfTopK(labeled.where(col("vec_id") < 8), labeled, "vec_id",
+          "embedding", "centroid_id", k = 5, nprobe = 3)
+        .select(col("query_id"), col("rank").cast(LongType).as("rank"),
+          col("neighbor_id"), round(col("sim"), 6).as("sim"))
+    }),
+
     // Two-tier quantized search: int8-code recall tier (4x less data per
     // comparison), exact float rescore of k*4 candidates — the shape a
     // 100 TB vector corpus actually ships. Codes, approx ranks and the
@@ -116,6 +134,22 @@ private[graft] object QueriesVector {
         Similarity.ivfTopK(q, emb, "vec_id", "embedding", "label", k = 5, nprobe = 3),
         Similarity.bruteForceTopK(q, emb, "vec_id", "embedding", 5),
         k = 5, floor = 0.2)
+    }),
+
+    // Learned-cell IVF recall: measured 0.925 mean / 0.8 min at sf0.001
+    // AND sf0.01 vs 0.33-0.43 for label-IVF at the same nprobe/ncells —
+    // the learned clustering is what the floor certifies (floor ~60% of
+    // measured, same policy as the other audits).
+    "recall_ivf_kmeans" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val labeled = Similarity.withKmeansLabel(emb, "vec_id", "embedding",
+        k = 10, iters = 1)
+      val q = emb.where(col("vec_id") < 8)
+      Recall.topKRecall(
+        Similarity.ivfTopK(labeled.where(col("vec_id") < 8), labeled, "vec_id",
+          "embedding", "centroid_id", k = 5, nprobe = 3),
+        Similarity.bruteForceTopK(q, emb, "vec_id", "embedding", 5),
+        k = 5, floor = 0.55)
     }),
 
     "recall_quantized_rescore" -> ((s, dir) => {
@@ -221,6 +255,70 @@ private[graft] object QueriesVector {
 
   )
 
+  /** DuckDB replica of the full k-means-IVF path: seed pick (k smallest
+    * ids), assignment argmax (highest cosine, ties to smallest centroid
+    * id, zero-norm scored -2 — exactly [[Similarity.nearestCentroid]]),
+    * decimal-mean recompute (bit-identical to [[Similarity.centroids]]),
+    * re-assignment, then the standard ivfTopK replica (recomputed cell
+    * means, nprobe probe ranking, exact scoring) over the learned labels.
+    */
+  private val kmeansIvfOracleSql: String =
+    """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      |           FROM embeddings),
+      |seeds AS (SELECT vec_id AS centroid_id, v AS cv FROM e ORDER BY vec_id LIMIT 10),
+      |s1 AS (SELECT e.vec_id, s.centroid_id,
+      |         list_dot_product(e.v, s.cv) AS d,
+      |         sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(s.cv, s.cv)) AS nn
+      |       FROM e CROSS JOIN seeds s),
+      |a1 AS (SELECT vec_id, centroid_id FROM (
+      |         SELECT vec_id, centroid_id,
+      |           row_number() OVER (PARTITION BY vec_id
+      |             ORDER BY (CASE WHEN nn > 0 THEN d / nn ELSE -2 END) DESC, centroid_id) AS rn
+      |         FROM s1) t1 WHERE rn = 1),
+      |ex1 AS (SELECT a1.centroid_id, unnest(e.v) AS val, generate_subscripts(e.v, 1) AS pos
+      |        FROM e JOIN a1 USING (vec_id)),
+      |cm1 AS (SELECT centroid_id, pos,
+      |          CAST(SUM(CAST(val AS DECIMAL(27,12))) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS m
+      |        FROM ex1 GROUP BY 1, 2),
+      |c1 AS (SELECT centroid_id, list(m ORDER BY pos) AS cv FROM cm1 GROUP BY 1),
+      |s2 AS (SELECT e.vec_id, c.centroid_id,
+      |         list_dot_product(e.v, c.cv) AS d,
+      |         sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(c.cv, c.cv)) AS nn
+      |       FROM e CROSS JOIN c1 c),
+      |a2 AS (SELECT vec_id, centroid_id FROM (
+      |         SELECT vec_id, centroid_id,
+      |           row_number() OVER (PARTITION BY vec_id
+      |             ORDER BY (CASE WHEN nn > 0 THEN d / nn ELSE -2 END) DESC, centroid_id) AS rn
+      |         FROM s2) t2 WHERE rn = 1),
+      |ex2 AS (SELECT a2.centroid_id, unnest(e.v) AS val, generate_subscripts(e.v, 1) AS pos
+      |        FROM e JOIN a2 USING (vec_id)),
+      |cm2 AS (SELECT centroid_id, pos,
+      |          CAST(SUM(CAST(val AS DECIMAL(27,12))) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS m
+      |        FROM ex2 GROUP BY 1, 2),
+      |c2 AS (SELECT centroid_id, list(m ORDER BY pos) AS cv FROM cm2 GROUP BY 1),
+      |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 8),
+      |pr AS (SELECT query_id, qv, centroid_id,
+      |         list_dot_product(qv, cv) AS d,
+      |         sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv)) AS nn
+      |       FROM q CROSS JOIN c2),
+      |pr2 AS (SELECT query_id, qv, centroid_id,
+      |          row_number() OVER (PARTITION BY query_id
+      |            ORDER BY (CASE WHEN nn > 0 THEN d / nn END) DESC, centroid_id) AS crank
+      |        FROM pr),
+      |probes AS (SELECT query_id, qv, centroid_id FROM pr2 WHERE crank <= 3),
+      |cc AS (SELECT e.vec_id AS neighbor_id, a2.centroid_id, e.v AS nv
+      |       FROM e JOIN a2 USING (vec_id)),
+      |sc AS (SELECT p.query_id, cc.neighbor_id,
+      |         list_dot_product(p.qv, cc.nv) AS d,
+      |         sqrt(list_dot_product(p.qv, p.qv)) * sqrt(list_dot_product(cc.nv, cc.nv)) AS nn
+      |       FROM cc JOIN probes p ON cc.centroid_id = p.centroid_id
+      |       WHERE p.query_id <> cc.neighbor_id),
+      |r AS (SELECT query_id, neighbor_id, CASE WHEN nn > 0 THEN d / nn END AS sim,
+      |        row_number() OVER (PARTITION BY query_id
+      |          ORDER BY (CASE WHEN nn > 0 THEN d / nn END) DESC, neighbor_id) AS rank
+      |      FROM sc)
+      |SELECT query_id, rank, neighbor_id, round(sim, 6) AS sim FROM r WHERE rank <= 5""".stripMargin
+
   val oracleSql: Map[String, String] = Map(
     "sim_brute_topk" -> bruteTopKOracleSql,
 
@@ -251,6 +349,8 @@ private[graft] object QueriesVector {
 
     "sim_ivf_topk" -> ivfOracleSql,
     "sim_ivf_topk_bulk" -> ivfOracleSql,
+    "sim_ivf_kmeans" -> kmeansIvfOracleSql,
+    "recall_ivf_kmeans" -> topKRecallOracleSql(kmeansIvfOracleSql),
 
     "dedup_embedding_lsh" -> embeddingLshOracleSql(),
 

@@ -192,6 +192,66 @@ object Similarity {
         col("pair.id").as("neighbor_id"), col("pair.score").as("sim"))
   }
 
+  /** Scan-side nearest-centroid assignment: `cents` (collected, k×dim
+    * doubles) is embedded as LITERAL arrays, so assignment is a pure
+    * projection — k codegen'd dots per row, zero joins, zero shuffles
+    * (the MLlib-KMeans broadcast shape, expressed in Catalyst). Argmax
+    * via `array_max` over (csim, -centroid_id) structs: highest cosine,
+    * ties to the SMALLEST centroid id — a total order, so assignment is
+    * deterministic and independently replicable. Zero-norm vectors
+    * (null cosine) score -2.0, below every real cosine.
+    */
+  private def nearestCentroid(vec: Column, cents: Seq[(Long, Seq[Double])]): Column = {
+    require(cents.nonEmpty, "nearestCentroid needs at least one centroid")
+    val scored = cents.map { case (cid, cv) =>
+      struct(
+        coalesce(cosine(vec, typedLit(cv)), lit(-2.0d)).as("csim"),
+        lit(-cid).as("negid"))
+    }
+    (array_max(array(scored: _*)).getField("negid") * -1L).as("centroid_id")
+  }
+
+  /** Deterministic spherical k-means (Lloyd): seeds = the k
+    * smallest-id vectors, then `iters` rounds of assign → decimal-mean
+    * recompute ([[centroids]] — order-independent sums, so the fit is
+    * identical run to run and engine to engine). Each round is one
+    * scan-side assignment plus one map-side-combinable (cell, pos)
+    * aggregation; the k×dim centroid table is collected per round
+    * (bounded by k — the textbook distributed-Lloyd driver state) and
+    * re-embedded as literals. Cells that lose all members simply drop
+    * out (no respawn heuristic — deterministic beats clever here).
+    */
+  def kmeansCentroids(corpus: DataFrame, idCol: String, vecCol: String,
+                      k: Int, iters: Int): Seq[(Long, Seq[Double])] = {
+    require(k >= 1, s"k-means needs k >= 1, got $k")
+    require(iters >= 0, s"negative iterations: $iters")
+    var cents: Seq[(Long, Seq[Double])] =
+      corpus.orderBy(col(idCol).asc).limit(k)
+        .select(col(idCol).cast(LongType).as("centroid_id"),
+          transform(col(vecCol), x => x.cast(DoubleType)).as("cvec"))
+        .collect().map(r => (r.getLong(0), r.getSeq[Double](1))).toSeq
+    for (_ <- 1 to iters) {
+      val labeled = corpus.withColumn("_kx_cid", nearestCentroid(col(vecCol), cents))
+      cents = centroids(labeled, "_kx_cid", vecCol)
+        .collect().map(r => (r.getLong(0), r.getSeq[Double](1))).toSeq
+        .sortBy(_._1)
+    }
+    cents
+  }
+
+  /** Corpus labeled with its LEARNED k-means cell (fit via
+    * [[kmeansCentroids]], final assignment as a scan-side projection) —
+    * the IVF index-build step when no natural partition label exists, or
+    * when the natural label clusters poorly (the label-IVF recall
+    * ceiling is ~nprobe/ncells on unclustered labels; learned cells
+    * concentrate true neighbors into probed cells instead).
+    */
+  def withKmeansLabel(corpus: DataFrame, idCol: String, vecCol: String,
+                      k: Int, iters: Int,
+                      outCol: String = "centroid_id"): DataFrame =
+    corpus.withColumn(outCol,
+      nearestCentroid(col(vecCol), kmeansCentroids(corpus, idCol, vecCol, k, iters)))
+
   /** Exact embedding-cosine near-duplicate pairs: all (a < b) with
     * cosine >= threshold. Norms are precomputed once per vector in their
     * own projection (not once per pair). O(n^2) compare — this is the
