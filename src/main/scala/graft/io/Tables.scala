@@ -264,55 +264,76 @@ object Tables {
     val span = tsMax - tsMin + 1
     val waveDir = stageWaves(spark, raw,
       waveFor(((tns - tsMin) * nWaves / span).cast("int")), nWaves,
-      "graft_waves")
+      "graft_waves", filesPerWave = WaveStageFiles)
     normalizeEventTs(spark.readStream.schema(raw.schema)
-      .option("maxFilesPerTrigger", "1")
+      .option("maxFilesPerTrigger", WaveStageFiles.toString)
       .parquet(waveDir))
   }
 
-  /** Stage `df` as `nWaves` single-file parquet waves keyed by the
-    * integer `wave` column (0-based), with strictly increasing file
-    * modification times, and return the wave directory: a
-    * `maxFilesPerTrigger=1` file stream over it delivers one wave per
-    * micro-batch, oldest-first. Shared by the event-time wave fixtures
-    * here and the document-wave streaming gates in Queries.
+  /** Stage `df` as `nWaves` parquet waves of exactly `filesPerWave`
+    * files each, keyed by the integer `wave` column (0-based), with
+    * strictly increasing file modification times (all of wave i's files
+    * older than all of wave i+1's), and return the wave directory: a
+    * `maxFilesPerTrigger=filesPerWave` file stream over it delivers one
+    * whole wave per micro-batch, oldest-first. Shared by the event-time
+    * wave fixtures here and the document-wave streaming gates in Queries.
     *
-    * ONE parallel job stages every wave: range-partitioning on the wave
-    * index puts each wave in its own task (same value never splits), and
-    * the hive-partitioned write lands one file per wave directory —
-    * a wave-at-a-time repartition(1) loop would funnel the whole fixture
-    * through nWaves sequential single-task writes.
+    * ONE parallel job stages every wave, with `filesPerWave` write tasks
+    * per wave: rows are salted by a row hash into (w, s) groups, hash-
+    * repartitioned so each group lands in exactly one task, and the
+    * hive-partitioned write then produces exactly one file per
+    * `w=i/s=j` directory — the file-count invariant the trigger's
+    * wave/batch alignment depends on. Which file of a wave a row lands
+    * in is salt-dependent but irrelevant: a trigger always reads the
+    * whole wave, so per-wave CONTENT (what every gate asserts on) is
+    * salt-independent. `filesPerWave` is the staging write-parallelism
+    * knob: at 1 (default) each wave funnels through a single writer
+    * task, which the heavy-hitters stage split measured as the dominant
+    * scale cost of every waved gate (SCALE.md round-10) — the event
+    * fixture stages with [[WaveStageFiles]] instead.
     */
   private[graft] def stageWaves(spark: SparkSession, df: DataFrame,
                                 wave: org.apache.spark.sql.Column,
-                                nWaves: Int, tag: String): String = {
-    import org.apache.spark.sql.functions.col
+                                nWaves: Int, tag: String,
+                                filesPerWave: Int = 1): String = {
+    import org.apache.spark.sql.functions.{col, lit, pmod, xxhash64}
+    require(filesPerWave >= 1, s"filesPerWave must be >= 1, got $filesPerWave")
     val waveDir = new org.apache.hadoop.fs.Path(graft.util.Scratch.dir(tag))
     val fs = waveDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val tmp = new org.apache.hadoop.fs.Path(
       graft.util.Scratch.dir(tag + "_tmp"), "waves")
-    df.withColumn("w", wave.cast("int"))
-      .repartitionByRange(nWaves, col("w"))
-      .write.mode("overwrite").partitionBy("w").parquet(tmp.toString)
+    val salt =
+      if (filesPerWave == 1) lit(0)
+      else pmod(xxhash64(df.columns.map(col): _*), lit(filesPerWave.toLong)).cast("int")
+    df.withColumn("w", wave.cast("int")).withColumn("s", salt)
+      .repartition(nWaves * filesPerWave, col("w"), col("s"))
+      .write.mode("overwrite").partitionBy("w", "s").parquet(tmp.toString)
     val base = System.currentTimeMillis()
-    (0 until nWaves).foreach { i =>
-      val src = new org.apache.hadoop.fs.Path(tmp, s"w=$i")
-      val dest = new org.apache.hadoop.fs.Path(waveDir, f"wave-$i%04d.parquet")
+    for (i <- 0 until nWaves; j <- 0 until filesPerWave) {
+      val src = new org.apache.hadoop.fs.Path(tmp, s"w=$i/s=$j")
+      val dest = new org.apache.hadoop.fs.Path(waveDir, f"wave-$i%04d-$j%02d.parquet")
       val part =
         if (fs.exists(src))
           fs.listStatus(src).map(_.getPath).filter(_.getName.startsWith("part-")).head
         else {
-          // An empty wave still needs a file so delivery order (and the
-          // wave count the gates assert) is independent of the data split.
-          val empty = new org.apache.hadoop.fs.Path(tmp, s"empty$i")
+          // An empty (wave, salt) group still needs a file so the
+          // files-per-trigger wave alignment (and the wave count the
+          // gates assert) is independent of the data split.
+          val empty = new org.apache.hadoop.fs.Path(tmp, s"empty$i-$j")
           df.limit(0).repartition(1).write.mode("overwrite").parquet(empty.toString)
           fs.listStatus(empty).map(_.getPath).filter(_.getName.startsWith("part-")).head
         }
       if (!fs.rename(part, dest))
         throw new java.io.IOException(s"stageWaves($tag): cannot stage $dest")
-      // Oldest-first delivery order is decided by modification time.
-      fs.setTimes(dest, base + i * 1000L, -1L)
+      // Oldest-first delivery order is decided by modification time;
+      // distinct per-file times keep the within-trigger grouping stable.
+      fs.setTimes(dest, base + (i.toLong * filesPerWave + j) * 1000L, -1L)
     }
     waveDir.toString
   }
+
+  /** Write parallelism of the event-wave fixture staging: files per
+    * wave, matched by the stream's `maxFilesPerTrigger` so one trigger
+    * still consumes exactly one wave. */
+  private[graft] val WaveStageFiles = 8
 }
