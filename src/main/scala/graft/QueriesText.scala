@@ -18,6 +18,13 @@ private[graft] object QueriesText {
 
   import QueriesShared._
 
+  /** Fixed BM25 query set (terms from the fixture's stable vocabulary,
+    * present at every SF); shared by the gate and its oracle VALUES. */
+  private val Bm25Queries = Seq(
+    "q1" -> "hash join",
+    "q2" -> "scan filter column",
+    "q3" -> "merge batch order")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_normalize" -> ((s, dir) =>
       t(s, dir, "documents").select(col("doc_id"),
@@ -116,6 +123,15 @@ private[graft] object QueriesText {
         .withColumn("idf", round(log(col("n_docs") / col("df")), 6))
         .select(col("token"), col("df"), col("idf"))
     }),
+
+    // Okapi BM25 top-10 per query over a fixed query set — retrieval
+    // ranking for contamination checks / doc-query relevance. Every
+    // ranking input is cross-engine exact (integer tf/df/dl/N, Σdl/N
+    // avgdl, term-ordered score fold), so rank matches the oracle
+    // bit-for-bit; scores round to 6 for the value compare.
+    "text_bm25_topk" -> ((s, dir) =>
+      graft.text.Bm25.bm25TopK(t(s, dir, "documents"), "doc_id", "text",
+        Bm25Queries, k = 10)),
 
     // Approximate distinct (the 100 TB variant of agg_distinct_users).
     // HLL sketches are engine-specific, so the gate emits the
@@ -627,6 +643,38 @@ private[graft] object QueriesText {
         |SELECT token, df,
         |  round(ln((SELECT CAST(count(*) AS DOUBLE) FROM documents) / df), 6) AS idf
         |FROM g""".stripMargin,
+
+    // Constants written as the same double ASTs the Spark side folds
+    // ((1.2 + 1.0), (1.0 - 0.75)) so both engines evaluate identical
+    // IEEE operations; the score fold lists contributions in term order
+    // to mirror the sorted-collect left fold.
+    "text_bm25_topk" ->
+      """WITH q(query_id, term) AS (VALUES
+        |  ('q1', 'hash'), ('q1', 'join'),
+        |  ('q2', 'scan'), ('q2', 'filter'), ('q2', 'column'),
+        |  ('q3', 'merge'), ('q3', 'batch'), ('q3', 'order')),
+        |toks AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t FROM documents),
+        |dls AS (SELECT doc_id, len(t) AS dl FROM toks),
+        |st AS (SELECT CAST(count(*) AS BIGINT) AS n_docs, CAST(sum(dl) AS BIGINT) AS sum_dl FROM dls),
+        |tf AS (SELECT doc_id, tok AS term, count(*) AS tf FROM (
+        |         SELECT doc_id, unnest(t) AS tok FROM toks) u
+        |       WHERE tok IN (SELECT DISTINCT term FROM q)
+        |       GROUP BY 1, 2),
+        |dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+        |contrib AS (SELECT q.query_id, tf.doc_id, tf.term,
+        |    ln(1.0 + (CAST(st.n_docs AS DOUBLE) - CAST(dfq.df AS DOUBLE) + 0.5)
+        |             / (CAST(dfq.df AS DOUBLE) + 0.5))
+        |      * (CAST(tf.tf AS DOUBLE) * (1.2 + 1.0))
+        |      / (CAST(tf.tf AS DOUBLE) + 1.2 * ((1.0 - 0.75) + 0.75 * CAST(dls.dl AS DOUBLE)
+        |           / (CAST(st.sum_dl AS DOUBLE) / CAST(st.n_docs AS DOUBLE)))) AS c
+        |  FROM q JOIN tf USING (term) JOIN dfq USING (term)
+        |  JOIN dls ON tf.doc_id = dls.doc_id CROSS JOIN st),
+        |sc AS (SELECT query_id, doc_id, list_sum(list(c ORDER BY term)) AS score
+        |       FROM contrib GROUP BY 1, 2),
+        |r AS (SELECT query_id, doc_id, score,
+        |        row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id) AS rank
+        |      FROM sc)
+        |SELECT query_id, rank, doc_id, round(score, 6) AS score FROM r WHERE rank <= 10""".stripMargin,
 
     "dedup_exact" ->
       """SELECT fingerprint, count(*) AS cnt, min(doc_id) AS keeper FROM (
