@@ -354,6 +354,160 @@ object VectorExpressions {
     override def prettyName: String = "graft_lsh_buckets"
   }
 
+  /** graft_nearest_centroid(vec): argmax-cosine centroid id over a
+    * SMALL literal centroid set — the k-means assignment kernel. The
+    * composed form (array_max over k struct(cosine, -id) branches with
+    * typedLit arrays) generates an expression so large the stage falls
+    * out of codegen into interpreted eval (measured 45 s vs 2 s on a
+    * 200 k-vector assignment at sf10); this kernel is a fixed-size
+    * generated loop with the centroid matrix attached as a reference
+    * object, so code size is independent of k and dim.
+    *
+    * Exact cosine semantics of the composed form, bit-for-bit: the row
+    * norm is computed once (same left-to-right accumulation as
+    * [[DotProduct]]), each score is `dot / (|v|·|c|)` with |c|
+    * precomputed from the same doubles, zero-norm pairs score -2.0
+    * (below any cosine), ties go to the SMALLEST centroid id (ids must
+    * arrive sorted ascending; first-strict-max keeps the earliest).
+    * Null array -> null; a null ELEMENT scores every pair -2 -> the
+    * smallest id, like the composed coalesce(cosine, -2) did.
+    */
+  case class NearestCentroid(child: Expression, ids: Array[Long],
+                             cents: Array[Array[Double]])
+      extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+    require(ids.nonEmpty && ids.length == cents.length,
+      s"graft_nearest_centroid: ${ids.length} ids vs ${cents.length} centroids")
+    require(ids.zip(ids.tail).forall { case (a, b) => a < b },
+      "graft_nearest_centroid: ids must be strictly ascending (tie contract)")
+
+    // Recomputed per JVM after deserialization — deterministic from cents.
+    private lazy val norms: Array[Double] = cents.map { c =>
+      var s = 0.0; var i = 0
+      while (i < c.length) { s += c(i) * c(i); i += 1 }
+      math.sqrt(s)
+    }
+
+    override def dataType: DataType = LongType
+    override def nullable: Boolean = child.nullable
+
+    override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+      child.dataType match {
+        case ArrayType(_: NumericType, _) =>
+          org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+        case other =>
+          org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+            s"graft_nearest_centroid requires a numeric array, got $other")
+      }
+
+    private def elemType: NumericType =
+      child.dataType.asInstanceOf[ArrayType].elementType.asInstanceOf[NumericType]
+
+    override def nullSafeEval(input: Any): Any = {
+      val arr = input.asInstanceOf[ArrayData]
+      val n = arr.numElements()
+      val xs = new Array[Double](n)
+      var i = 0
+      while (i < n) {
+        if (arr.isNullAt(i)) return ids(0)
+        xs(i) = elemType match {
+          case FloatType => arr.getFloat(i).toDouble
+          case DoubleType => arr.getDouble(i)
+          case IntegerType => arr.getInt(i).toDouble
+          case LongType => arr.getLong(i).toDouble
+          case ShortType => arr.getShort(i).toDouble
+          case ByteType => arr.getByte(i).toDouble
+          case d: DecimalType => arr.getDecimal(i, d.precision, d.scale).toDouble
+        }
+        i += 1
+      }
+      VectorExpressions.nearestCentroidRow(xs, cents, norms, ids)
+    }
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val centsRef = ctx.addReferenceObj("kmCents", cents, "double[][]")
+      val normsRef = ctx.addReferenceObj("kmNorms", norms, "double[]")
+      val idsRef = ctx.addReferenceObj("kmIds", ids, "long[]")
+      val getter: (String, String) => String = (buf, idx) => elemType match {
+        case FloatType => s"(double) $buf.getFloat($idx)"
+        case DoubleType => s"$buf.getDouble($idx)"
+        case IntegerType => s"(double) $buf.getInt($idx)"
+        case LongType => s"(double) $buf.getLong($idx)"
+        case ShortType => s"(double) $buf.getShort($idx)"
+        case ByteType => s"(double) $buf.getByte($idx)"
+        case d: DecimalType => s"$buf.getDecimal($idx, ${d.precision}, ${d.scale}).toDouble()"
+      }
+      nullSafeCodeGen(ctx, ev, a => {
+        val i = ctx.freshName("i")
+        val n = ctx.freshName("n")
+        val xs = ctx.freshName("xs")
+        val anyNull = ctx.freshName("anyNull")
+        s"""
+           |int $n = $a.numElements();
+           |boolean $anyNull = false;
+           |double[] $xs = new double[$n];
+           |for (int $i = 0; $i < $n; $i++) {
+           |  if ($a.isNullAt($i)) { $anyNull = true; break; }
+           |  $xs[$i] = ${getter(a, i)};
+           |}
+           |${ev.value} = $anyNull
+           |  ? $idsRef[0]
+           |  : graft.functions.VectorExpressions.nearestCentroidRow($xs, $centsRef, $normsRef, $idsRef);
+         """.stripMargin
+      })
+    }
+
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+
+    // Content equality for the array fields (see LshBuckets note).
+    override def equals(other: Any): Boolean = other match {
+      case o: NearestCentroid =>
+        child == o.child && java.util.Arrays.equals(ids, o.ids) &&
+          cents.length == o.cents.length &&
+          cents.indices.forall(j => java.util.Arrays.equals(cents(j), o.cents(j)))
+      case _ => false
+    }
+
+    override def hashCode(): Int =
+      java.util.Objects.hash(child, Int.box(java.util.Arrays.hashCode(ids)),
+        Int.box(cents.map(java.util.Arrays.hashCode).sum))
+
+    override def prettyName: String = "graft_nearest_centroid"
+  }
+
+  /** Kernel shared by [[NearestCentroid]]'s eval and codegen paths:
+    * cosine argmax with first-strict-max tie-break (= smallest id for
+    * ascending ids); zero-norm pairs score -2.0.
+    */
+  def nearestCentroidRow(xs: Array[Double], cents: Array[Array[Double]],
+                         norms: Array[Double], ids: Array[Long]): Long = {
+    var ss = 0.0
+    var i = 0
+    while (i < xs.length) { ss += xs(i) * xs(i); i += 1 }
+    val nv = math.sqrt(ss)
+    var best = Double.NegativeInfinity
+    var bestId = ids(0)
+    var j = 0
+    while (j < cents.length) {
+      val c = cents(j)
+      val m = math.min(xs.length, c.length)
+      var d = 0.0
+      var t = 0
+      while (t < m) { d += xs(t) * c(t); t += 1 }
+      val nn = nv * norms(j)
+      val score = if (nn > 0) d / nn else -2.0
+      if (score > best) { best = score; bestId = ids(j) }
+      j += 1
+    }
+    bestId
+  }
+
+  /** Column-level nearest-centroid assignment (see [[NearestCentroid]]). */
+  def nearestCentroid(vec: Column, ids: Array[Long],
+                      cents: Array[Array[Double]]): Column =
+    GraftShims.column(NearestCentroid(GraftShims.expression(vec), ids, cents))
+
   /** Kernel shared by [[LshBuckets]]'s eval and codegen paths: one bucket
     * id per table, bit b of table t set iff the (t,b) plane's dot with the
     * vector prefix is strictly positive.

@@ -192,23 +192,38 @@ object Similarity {
         col("pair.id").as("neighbor_id"), col("pair.score").as("sim"))
   }
 
+  /** Production-path centroid recompute: one [[graft.functions.
+    * VectorAggregates.vecMean]] buffer per (cell, partition) — the
+    * exchange carries one dim-length DOUBLE vector per cell per
+    * partition, and the sums run in double, ~an order of magnitude
+    * cheaper than [[centroids]]' per-element DECIMAL path. The price is
+    * bit-exactness: double sums are partition-order-dependent in the
+    * last ulp, so a fit built on this is not independently replicable —
+    * the oracle gates use [[centroids]]; swap this in at 100 TB where
+    * nobody replays the fit bit-for-bit (assignments differing in a
+    * boundary ulp are equally valid clusterings).
+    */
+  def centroidsFast(corpus: DataFrame, labelCol: String, vecCol: String): DataFrame =
+    corpus.groupBy(col(labelCol).as("centroid_id"))
+      .agg(graft.functions.VectorAggregates.vecMean(col(vecCol)).as("cvec"))
+
   /** Scan-side nearest-centroid assignment: `cents` (collected, k×dim
-    * doubles) is embedded as LITERAL arrays, so assignment is a pure
-    * projection — k codegen'd dots per row, zero joins, zero shuffles
-    * (the MLlib-KMeans broadcast shape, expressed in Catalyst). Argmax
-    * via `array_max` over (csim, -centroid_id) structs: highest cosine,
-    * ties to the SMALLEST centroid id — a total order, so assignment is
-    * deterministic and independently replicable. Zero-norm vectors
-    * (null cosine) score -2.0, below every real cosine.
+    * doubles) rides into the [[graft.functions.VectorExpressions
+    * .NearestCentroid]] kernel as a reference object, so assignment is a
+    * pure projection — one codegen'd k×dim loop per row, zero joins,
+    * zero shuffles (the MLlib-KMeans broadcast shape, expressed in
+    * Catalyst). Highest cosine wins, ties to the SMALLEST centroid id —
+    * a total order, so assignment is deterministic and independently
+    * replicable. Zero-norm pairs score -2.0, below every real cosine.
+    * (The earlier composed form — array_max over k typedLit cosine
+    * structs — generated code past the codegen size limits and ran the
+    * whole stage interpreted: 45 s vs 2 s on the sf10 assignment.)
     */
   private def nearestCentroid(vec: Column, cents: Seq[(Long, Seq[Double])]): Column = {
     require(cents.nonEmpty, "nearestCentroid needs at least one centroid")
-    val scored = cents.map { case (cid, cv) =>
-      struct(
-        coalesce(cosine(vec, typedLit(cv)), lit(-2.0d)).as("csim"),
-        lit(-cid).as("negid"))
-    }
-    (array_max(array(scored: _*)).getField("negid") * -1L).as("centroid_id")
+    val sorted = cents.sortBy(_._1)
+    graft.functions.VectorExpressions.nearestCentroid(vec,
+      sorted.map(_._1).toArray, sorted.map(_._2.toArray).toArray)
   }
 
   /** Deterministic spherical k-means (Lloyd): seeds = the k
@@ -222,7 +237,8 @@ object Similarity {
     * out (no respawn heuristic — deterministic beats clever here).
     */
   def kmeansCentroids(corpus: DataFrame, idCol: String, vecCol: String,
-                      k: Int, iters: Int): Seq[(Long, Seq[Double])] = {
+                      k: Int, iters: Int,
+                      exact: Boolean = true): Seq[(Long, Seq[Double])] = {
     require(k >= 1, s"k-means needs k >= 1, got $k")
     require(iters >= 0, s"negative iterations: $iters")
     var cents: Seq[(Long, Seq[Double])] =
@@ -232,7 +248,13 @@ object Similarity {
         .collect().map(r => (r.getLong(0), r.getSeq[Double](1))).toSeq
     for (_ <- 1 to iters) {
       val labeled = corpus.withColumn("_kx_cid", nearestCentroid(col(vecCol), cents))
-      cents = centroids(labeled, "_kx_cid", vecCol)
+      // exact = decimal means (bit-replicable, the oracle-gate path);
+      // false = the vecMean double path ([[centroidsFast]] — the 100 TB
+      // default, ~10x cheaper per element, ulp-order-dependent).
+      val recomputed =
+        if (exact) centroids(labeled, "_kx_cid", vecCol)
+        else centroidsFast(labeled, "_kx_cid", vecCol)
+      cents = recomputed
         .collect().map(r => (r.getLong(0), r.getSeq[Double](1))).toSeq
         .sortBy(_._1)
     }
@@ -248,9 +270,11 @@ object Similarity {
     */
   def withKmeansLabel(corpus: DataFrame, idCol: String, vecCol: String,
                       k: Int, iters: Int,
-                      outCol: String = "centroid_id"): DataFrame =
+                      outCol: String = "centroid_id",
+                      exact: Boolean = true): DataFrame =
     corpus.withColumn(outCol,
-      nearestCentroid(col(vecCol), kmeansCentroids(corpus, idCol, vecCol, k, iters)))
+      nearestCentroid(col(vecCol),
+        kmeansCentroids(corpus, idCol, vecCol, k, iters, exact)))
 
   /** Exact embedding-cosine near-duplicate pairs: all (a < b) with
     * cosine >= threshold. Norms are precomputed once per vector in their

@@ -291,6 +291,17 @@ class PlanContractSpec extends SparkSpec {
       p.take(600))
   }
 
+  test("kmeans assignment runs the graft_nearest_centroid kernel, scan-side") {
+    // The composed form (array_max over k typedLit cosine structs) blew
+    // codegen size limits and ran the stage interpreted — 45 s vs 2 s on
+    // the sf10 assignment. The kernel must be in the plan and the
+    // corpus-side join input must stay a scan projection (no exchange
+    // between the file scan and the candidates join build side).
+    val p = plan("sim_ivf_kmeans")
+    assert(p.contains("graft_nearest_centroid"), p.take(600))
+    assert(!p.contains("array_max"), "composed assignment leaked back in")
+  }
+
   test("withL2Normalized computes the norm ONCE per row, never per element") {
     // The 64-dim dot must sit in its own projection (SQRT(graft_dot) AS
     // _l2n) with the transform lambda dividing by the ATTRIBUTE — if a
