@@ -133,6 +133,30 @@ private[graft] object QueriesText {
       graft.text.Bm25.bm25TopK(t(s, dir, "documents"), "doc_id", "text",
         Bm25Queries, k = 10)),
 
+    // Incremental BM25 index maintenance: the even-doc slice's (tf,
+    // stats) index persisted as state, odd docs arriving as the batch —
+    // fold = tf APPEND + stats sum (history never re-tokenized,
+    // O(batch) per fold), then score the folded index. The scores are
+    // EXACTLY the full-rebuild scores (tf rows identical, df/N/Σdl
+    // exact integer sums), so the oracle IS text_bm25_topk's.
+    "text_bm25_incremental" -> ((s, dir) => {
+      import graft.text.Bm25
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val terms = Bm25.queryTerms(Bm25Queries)
+      val root = graft.util.StateSeed.root("graft_bm25", dir) { root =>
+        val (tfE, stE) = Bm25.buildIndex(
+          docs.where(pmod(col("doc_id"), lit(2)) === 0), "doc_id", "text", terms)
+        tfE.write.parquet(root + "/tf")
+        stE.write.parquet(root + "/stats")
+      }
+      val (tfO, stO) = Bm25.buildIndex(
+        docs.where(pmod(col("doc_id"), lit(2)) =!= 0), "doc_id", "text", terms)
+      Bm25.scoreIndex(
+        s.read.parquet(root + "/tf").unionByName(tfO),
+        Bm25.foldStats(s.read.parquet(root + "/stats").unionByName(stO)),
+        Bm25Queries, k = 10)
+    }),
+
     // Approximate distinct (the 100 TB variant of agg_distinct_users).
     // HLL sketches are engine-specific, so the gate emits the
     // DETERMINISTIC check — Spark's fixed HLL++ estimate (rsd 2%,
@@ -649,6 +673,36 @@ private[graft] object QueriesText {
     // IEEE operations; the score fold lists contributions in term order
     // to mirror the sorted-collect left fold.
     "text_bm25_topk" ->
+      """WITH q(query_id, term) AS (VALUES
+        |  ('q1', 'hash'), ('q1', 'join'),
+        |  ('q2', 'scan'), ('q2', 'filter'), ('q2', 'column'),
+        |  ('q3', 'merge'), ('q3', 'batch'), ('q3', 'order')),
+        |toks AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t FROM documents),
+        |dls AS (SELECT doc_id, len(t) AS dl FROM toks),
+        |st AS (SELECT CAST(count(*) AS BIGINT) AS n_docs, CAST(sum(dl) AS BIGINT) AS sum_dl FROM dls),
+        |tf AS (SELECT doc_id, tok AS term, count(*) AS tf FROM (
+        |         SELECT doc_id, unnest(t) AS tok FROM toks) u
+        |       WHERE tok IN (SELECT DISTINCT term FROM q)
+        |       GROUP BY 1, 2),
+        |dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+        |contrib AS (SELECT q.query_id, tf.doc_id, tf.term,
+        |    ln(1.0 + (CAST(st.n_docs AS DOUBLE) - CAST(dfq.df AS DOUBLE) + 0.5)
+        |             / (CAST(dfq.df AS DOUBLE) + 0.5))
+        |      * (CAST(tf.tf AS DOUBLE) * (1.2 + 1.0))
+        |      / (CAST(tf.tf AS DOUBLE) + 1.2 * ((1.0 - 0.75) + 0.75 * CAST(dls.dl AS DOUBLE)
+        |           / (CAST(st.sum_dl AS DOUBLE) / CAST(st.n_docs AS DOUBLE)))) AS c
+        |  FROM q JOIN tf USING (term) JOIN dfq USING (term)
+        |  JOIN dls ON tf.doc_id = dls.doc_id CROSS JOIN st),
+        |sc AS (SELECT query_id, doc_id, list_sum(list(c ORDER BY term)) AS score
+        |       FROM contrib GROUP BY 1, 2),
+        |r AS (SELECT query_id, doc_id, score,
+        |        row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id) AS rank
+        |      FROM sc)
+        |SELECT query_id, rank, doc_id, round(score, 6) AS score FROM r WHERE rank <= 10""".stripMargin,
+
+    // Same oracle by construction: the incremental fold must reproduce
+    // the full-rebuild scores exactly (see the gate comment).
+    "text_bm25_incremental" ->
       """WITH q(query_id, term) AS (VALUES
         |  ('q1', 'hash'), ('q1', 'join'),
         |  ('q2', 'scan'), ('q2', 'filter'), ('q2', 'column'),

@@ -18,6 +18,13 @@ import org.apache.spark.sql.types._
   * tf, one for the per-(query, doc) score fold, one bounded window for
   * the top-k.
   *
+  * Incremental maintenance: the index of a corpus SLICE is (tf, stats)
+  * — tf one row per (doc, query term), stats one exact-integer row.
+  * Slices over disjoint doc sets fold by tf APPEND + stats sum (df and
+  * avgdl derive from the folded tables), so a growing corpus costs
+  * O(batch) per fold and history is never re-tokenized — and the folded
+  * scores are EXACTLY the full-rebuild scores, not an approximation.
+  *
   * Determinism (every ranking input is cross-engine exact): N, df, tf,
   * dl are integers; avgdl = Σdl / N divides two exact integers in
   * double; idf = ln(1 + (N - df + 0.5)/(df + 0.5)) of exact rationals;
@@ -27,21 +34,18 @@ import org.apache.spark.sql.types._
   */
 object Bm25 {
 
-  /** `queries`: (query_id, whitespace query text). Output:
-    * (query_id, rank, doc_id, score) — score rounded to 6 for the
-    * cross-engine value compare, rank cut at `k`.
-    */
-  def bm25TopK(docs: DataFrame, idCol: String, textCol: String,
-               queries: Seq[(String, String)], k: Int,
-               k1: Double = 1.2, b: Double = 0.75): DataFrame = {
-    require(queries.nonEmpty, "bm25TopK needs at least one query")
-    val spark = docs.sparkSession
-    import spark.implicits._
-    val qterms = queries
-      .flatMap { case (qid, text) => text.trim.split("\\s+").distinct.map((qid, _)) }
-      .toDF("query_id", "term")
-    val termSet = qterms.select("term").as[String].collect().distinct.toSeq
+  /** Distinct terms of a (query_id, text) query set. */
+  def queryTerms(queries: Seq[(String, String)]): Seq[String] =
+    queries.flatMap(_._2.trim.split("\\s+")).distinct
 
+  /** Index slice of `docs` for `terms`: (tf, stats).
+    * tf: (doc_id, dl, term, tf) — only docs containing a term appear;
+    * stats: ONE row (n_docs, sum_dl) over ALL docs of the slice
+    * (document length norms count every document, matching or not).
+    */
+  def buildIndex(docs: DataFrame, idCol: String, textCol: String,
+                 terms: Seq[String]): (DataFrame, DataFrame) = {
+    require(terms.nonEmpty, "buildIndex needs at least one term")
     val toks = docs.select(col(idCol).as("doc_id"),
         TextAnalysis.tokens(col(textCol)).as("toks"))
       .withColumn("dl", size(col("toks")))
@@ -49,9 +53,32 @@ object Bm25 {
       sum(col("dl").cast(LongType)).as("sum_dl"))
     val tf = toks
       .select(col("doc_id"), col("dl"), explode(col("toks")).as("term"))
-      .where(col("term").isin(termSet: _*))
+      .where(col("term").isin(terms: _*))
       .groupBy(col("doc_id"), col("dl"), col("term"))
       .agg(count(lit(1)).as("tf"))
+    (tf, stats)
+  }
+
+  /** Fold any number of one-row slice stats into one exact row (zero
+    * slices fold to exact zeros, not nulls). */
+  def foldStats(statsSlices: DataFrame): DataFrame =
+    statsSlices.agg(coalesce(sum("n_docs"), lit(0L)).as("n_docs"),
+      coalesce(sum("sum_dl"), lit(0L)).as("sum_dl"))
+
+  /** Score `queries` against a (possibly folded) index. `stats` must be
+    * the ONE-row folded form. Output: (query_id, rank, doc_id, score) —
+    * score rounded to 6 for the cross-engine value compare, rank cut at
+    * `k`, ties by doc_id.
+    */
+  def scoreIndex(tf: DataFrame, stats: DataFrame,
+                 queries: Seq[(String, String)], k: Int,
+                 k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(queries.nonEmpty, "scoreIndex needs at least one query")
+    val spark = tf.sparkSession
+    import spark.implicits._
+    val qterms = queries
+      .flatMap { case (qid, text) => text.trim.split("\\s+").distinct.map((qid, _)) }
+      .toDF("query_id", "term")
     val dfTab = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
 
     val dlD = col("dl").cast(DoubleType)
@@ -77,5 +104,13 @@ object Bm25 {
     scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
       .select(col("query_id"), col("rank").cast(LongType).as("rank"),
         col("doc_id"), round(col("score"), 6).as("score"))
+  }
+
+  /** One-shot form: build the slice index and score it. */
+  def bm25TopK(docs: DataFrame, idCol: String, textCol: String,
+               queries: Seq[(String, String)], k: Int,
+               k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val (tf, stats) = buildIndex(docs, idCol, textCol, queryTerms(queries))
+    scoreIndex(tf, stats, queries, k, k1, b)
   }
 }

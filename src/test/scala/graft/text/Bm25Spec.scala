@@ -49,6 +49,25 @@ class Bm25Spec extends SparkSpec {
     assert(a == b)
   }
 
+  test("incremental index fold reproduces the full rebuild exactly") {
+    val qs = Seq("q" -> "spark data")
+    val terms = Bm25.queryTerms(qs)
+    val (tfA, stA) = Bm25.buildIndex(docs.where(col("doc_id") <= 2), "doc_id", "text", terms)
+    val (tfB, stB) = Bm25.buildIndex(docs.where(col("doc_id") > 2), "doc_id", "text", terms)
+    val folded = Bm25.scoreIndex(tfA.unionByName(tfB),
+        Bm25.foldStats(stA.unionByName(stB)), qs, k = 10)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+    val full = Bm25.bm25TopK(docs, "doc_id", "text", qs, k = 10)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(folded == full)
+  }
+
+  test("foldStats of zero slices yields exact zeros, not nulls") {
+    val (_, st) = Bm25.buildIndex(docs, "doc_id", "text", Seq("spark"))
+    val z = Bm25.foldStats(st.limit(0)).collect().head
+    assert(z.getLong(0) == 0L && z.getLong(1) == 0L)
+  }
+
   test("k cuts per query; multiple queries rank independently") {
     val got = Bm25.bm25TopK(docs, "doc_id", "text",
         Seq("q1" -> "spark", "q2" -> "data"), k = 1)
