@@ -124,6 +124,14 @@ private[graft] object QueriesText {
         .select(col("token"), col("df"), col("idf"))
     }),
 
+    // Truncation-duplicate detector: docs whose text is a PROPER prefix
+    // of another doc's. Exact via sorted adjacency over DISTINCT texts
+    // (range-partitioned parallel successor probe + driver boundary
+    // fix-up) — no quadratic pairing; the fixture genuinely contains
+    // truncations (24 distinct at sf0.01, 236 at sf0.1).
+    "dedup_prefix_contained" -> ((s, dir) =>
+      Dedup.prefixContainedDocs(t(s, dir, "documents"), "doc_id", "text")),
+
     // Okapi BM25 top-10 per query over a fixed query set — retrieval
     // ranking for contamination checks / doc-query relevance. Every
     // ranking input is cross-engine exact (integer tf/df/dl/N, Σdl/N
@@ -667,6 +675,17 @@ private[graft] object QueriesText {
         |SELECT token, df,
         |  round(ln((SELECT CAST(count(*) AS DOUBLE) FROM documents) / df), 6) AS idf
         |FROM g""".stripMargin,
+
+    // Sorted-adjacency prefix containment replicated as one global lead
+    // (the oracle can afford the single-partition form; binary string
+    // order in both engines, so successor choice agrees).
+    "dedup_prefix_contained" ->
+      """WITH u AS (SELECT DISTINCT text AS t FROM documents),
+        |s AS (SELECT t, lead(t) OVER (ORDER BY t) AS nxt FROM u),
+        |c AS (SELECT t FROM s
+        |      WHERE nxt IS NOT NULL AND len(nxt) > len(t) AND substr(nxt, 1, len(t)) = t)
+        |SELECT d.doc_id, CAST(len(d.text) AS BIGINT) AS n_chars
+        |FROM documents d JOIN c ON d.text = c.t""".stripMargin,
 
     // Constants written as the same double ASTs the Spark side folds
     // ((1.2 + 1.0), (1.0 - 0.75)) so both engines evaluate identical

@@ -861,4 +861,55 @@ object Dedup {
         greatest(col("da"), col("db")).as("doc_b"), col("hamming"))
     within.unionByName(cross)
   }
+
+  /** Docs whose text is a PROPER PREFIX of another doc's text — the
+    * truncation-duplicate detector (re-crawled pages cut mid-stream,
+    * context-window-clipped copies). Exact, via sorted adjacency: among
+    * DISTINCT texts, if any text extends `t`, the lexicographic
+    * SUCCESSOR of `t` does (texts with prefix `t` form the contiguous
+    * range right after `t`), so one range-partitioned sort + a next-
+    * neighbor probe decides every text — no quadratic pairing, no
+    * per-length explode.
+    *
+    * Scale shape: distinct-collapse first (the sort runs on unique
+    * texts); `repartitionByRange` gives contiguous text ranges, the
+    * successor window runs PER RANGE PARTITION (parallel — never a
+    * global single-partition window), and each partition's last row is
+    * patched with the next non-empty partition's first text via a
+    * driver-built boundary map (bounded: one row per partition).
+    * Output: (doc_id, n_chars) for every doc whose text is contained —
+    * duplicates of a contained text are all reported.
+    */
+  def prefixContainedDocs(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val uniq = docs.select(col(textCol).as("t")).where(col("t").isNotNull).distinct()
+    val n = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val ranged = uniq.repartitionByRange(n, col("t"))
+      .withColumn("_part", org.apache.spark.sql.functions.spark_partition_id())
+    // Successor within each contiguous text range (parallel window).
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("_part")).orderBy(col("t").asc)
+    val withNext = ranged.withColumn("_next", lead(col("t"), 1).over(w))
+    // Boundary fix-up: partition p's LAST text's successor is the first
+    // text of the next NON-EMPTY partition. One row per non-empty
+    // partition reaches the driver (bounded by the partition count).
+    val firsts = ranged.groupBy(col("_part")).agg(min(col("t")).as("ft"))
+      .collect().map(r => (r.getInt(0), r.getString(1))).sortBy(_._1)
+    val boundary = firsts.indices.dropRight(1).map { i =>
+      (firsts(i)._1, firsts(i + 1)._2) // part -> first text of next non-empty part
+    }
+    val boundaryDf =
+      if (boundary.isEmpty) Seq.empty[(Int, String)].toDF("_part", "_bnext")
+      else boundary.toDF("_part", "_bnext")
+    val contained = withNext
+      .join(broadcast(boundaryDf), Seq("_part"), "left")
+      .withColumn("_succ", coalesce(col("_next"), col("_bnext")))
+      .where(col("_succ").isNotNull &&
+        length(col("_succ")) > length(col("t")) &&
+        col("_succ").startsWith(col("t")))
+      .select(col("t"))
+    docs.join(contained, docs(textCol) === contained("t"))
+      .select(col(idCol).as("doc_id"), length(col(textCol)).cast(LongType).as("n_chars"))
+  }
 }

@@ -48,7 +48,9 @@ object PlanDump {
       "recall_embedding_lsh_sampled" -> "sampled audit: the hash-sample filter sits UNDER both tiers, pair cost falls quadratically",
       "dedup_cluster_reps_incremental" -> "incremental CC fold: relabel = equi-joins through the contracted-graph labels, history table never re-clustered",
       "profile_heavy_hitters" -> "heavy hitters: MG sketch partial-aggregates map-side (<= k counters per partition on the wire); pass 2 recounts only the broadcast candidates",
-      "incremental_heavy_hitters" -> "incremental HH resolve: broadcast semi-join of the folded state's candidates, pre-resolved count threshold (no total re-attach)")
+      "incremental_heavy_hitters" -> "incremental HH resolve: broadcast semi-join of the folded state's candidates, pre-resolved count threshold (no total re-attach)",
+      "sim_ivf_kmeans" -> "learned-cell IVF: graft_nearest_centroid assignment is ONE scan-side kernel call (the composed form fell out of codegen), probes broadcast",
+      "text_bm25_topk" -> "BM25: tf shuffle filtered to query terms before aggregation; df + stats broadcast; term-ordered score fold")
     val keep = Seq("Exchange", "Scan", "Join", "Aggregate", "Window", "Expand",
       "TakeOrdered", "Broadcast", "Sort", "Filter", "Project", "WholeStageCodegen")
     val sb = new StringBuilder

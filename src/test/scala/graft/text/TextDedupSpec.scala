@@ -301,4 +301,30 @@ class TextDedupSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(incDistributed == incCollapsed)
   }
+
+  test("prefixContainedDocs: proper prefixes only, dup-text-safe, partition-boundary-safe") {
+    import spark.implicits._
+    // "ab" is duplicated: the duplicate must not hide that "abc"
+    // extends it (distinct-collapse before the adjacency probe), both
+    // copies must be reported, and an exact duplicate alone ("zz") is
+    // NOT a proper prefix.
+    val docs = Seq(
+      (1L, "ab"), (2L, "ab"), (3L, "abc"), (4L, "abcd"),
+      (5L, "zz"), (6L, "zz"), (7L, "q")
+    ).toDF("doc_id", "text")
+    def run(df: org.apache.spark.sql.DataFrame) =
+      Dedup.prefixContainedDocs(df, "doc_id", "text")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val expected = Set((1L, 2L), (2L, 2L), (3L, 3L)) // ab x2, abc; abcd/zz/q not contained
+    assert(run(docs) == expected)
+    // Partition-boundary fix-up: with shuffle.partitions > distinct
+    // texts, "abc"'s successor "abcd" lands in a different range
+    // partition; the boundary map must still link them. Result must be
+    // identical under any partitioning.
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    try {
+      spark.conf.set("spark.sql.shuffle.partitions", "7")
+      assert(run(docs.repartition(5)) == expected)
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+  }
 }
