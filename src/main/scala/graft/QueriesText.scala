@@ -696,7 +696,10 @@ private[graft] object QueriesText {
         |  ('q1', 'hash'), ('q1', 'join'),
         |  ('q2', 'scan'), ('q2', 'filter'), ('q2', 'column'),
         |  ('q3', 'merge'), ('q3', 'batch'), ('q3', 'order')),
-        |toks AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t FROM documents),
+        |toks AS (SELECT doc_id,
+        |    CASE WHEN trim(text) = '' THEN []
+        |         ELSE regexp_split_to_array(trim(text), '\s+') END AS t
+        |  FROM documents),
         |dls AS (SELECT doc_id, len(t) AS dl FROM toks),
         |st AS (SELECT CAST(count(*) AS BIGINT) AS n_docs, CAST(sum(dl) AS BIGINT) AS sum_dl FROM dls),
         |tf AS (SELECT doc_id, tok AS term, count(*) AS tf FROM (
@@ -726,7 +729,10 @@ private[graft] object QueriesText {
         |  ('q1', 'hash'), ('q1', 'join'),
         |  ('q2', 'scan'), ('q2', 'filter'), ('q2', 'column'),
         |  ('q3', 'merge'), ('q3', 'batch'), ('q3', 'order')),
-        |toks AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t FROM documents),
+        |toks AS (SELECT doc_id,
+        |    CASE WHEN trim(text) = '' THEN []
+        |         ELSE regexp_split_to_array(trim(text), '\s+') END AS t
+        |  FROM documents),
         |dls AS (SELECT doc_id, len(t) AS dl FROM toks),
         |st AS (SELECT CAST(count(*) AS BIGINT) AS n_docs, CAST(sum(dl) AS BIGINT) AS sum_dl FROM dls),
         |tf AS (SELECT doc_id, tok AS term, count(*) AS tf FROM (

@@ -57,7 +57,8 @@ private[graft] object QueriesVector {
     }),
 
     // IVF over LEARNED cells: deterministic spherical k-means (seeds =
-    // 10 smallest ids, one Lloyd round) labels the corpus, then the same
+    // 10 smallest by md5-hash-of-id — layout-decorrelated spread — one
+    // Lloyd round) labels the corpus, then the same
     // ivfTopK runs over the learned cells. This is the index-build path
     // when no natural label exists — and it lifts the label-IVF recall
     // ceiling (~nprobe/ncells on unclustered labels) by concentrating
@@ -256,16 +257,19 @@ private[graft] object QueriesVector {
   )
 
   /** DuckDB replica of the full k-means-IVF path: seed pick (k smallest
-    * ids), assignment argmax (highest cosine, ties to smallest centroid
-    * id, zero-norm scored -2 — exactly [[Similarity.nearestCentroid]]),
-    * decimal-mean recompute (bit-identical to [[Similarity.centroids]]),
-    * re-assignment, then the standard ivfTopK replica (recomputed cell
-    * means, nprobe probe ranking, exact scoring) over the learned labels.
+    * by (md5-hash-of-id, id) — the layout-decorrelated spread
+    * [[Similarity.kmeansCentroids]] uses), assignment argmax (highest
+    * cosine, ties to smallest centroid id, zero-norm scored -2 — exactly
+    * [[Similarity.nearestCentroid]]), decimal-mean recompute
+    * (bit-identical to [[Similarity.centroids]]), re-assignment, then the
+    * standard ivfTopK replica (recomputed cell means, nprobe probe
+    * ranking, exact scoring) over the learned labels.
     */
   private val kmeansIvfOracleSql: String =
-    """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+    s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
       |           FROM embeddings),
-      |seeds AS (SELECT vec_id AS centroid_id, v AS cv FROM e ORDER BY vec_id LIMIT 10),
+      |seeds AS (SELECT vec_id AS centroid_id, v AS cv FROM e
+      |          ORDER BY ${md5Hash60Sql("CAST(vec_id AS VARCHAR)")}, vec_id LIMIT 10),
       |s1 AS (SELECT e.vec_id, s.centroid_id,
       |         list_dot_product(e.v, s.cv) AS d,
       |         sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(s.cv, s.cv)) AS nn

@@ -478,7 +478,9 @@ object VectorExpressions {
 
   /** Kernel shared by [[NearestCentroid]]'s eval and codegen paths:
     * cosine argmax with first-strict-max tie-break (= smallest id for
-    * ascending ids); zero-norm pairs score -2.0.
+    * ascending ids); zero-norm pairs score -2.0. A row whose dimension
+    * differs from a centroid's fails loudly (the graft_vec_mean ragged
+    * contract) instead of silently truncating the dot product.
     */
   def nearestCentroidRow(xs: Array[Double], cents: Array[Array[Double]],
                          norms: Array[Double], ids: Array[Long]): Long = {
@@ -491,7 +493,10 @@ object VectorExpressions {
     var j = 0
     while (j < cents.length) {
       val c = cents(j)
-      val m = math.min(xs.length, c.length)
+      require(xs.length == c.length,
+        s"graft_nearest_centroid: vector dim ${xs.length} != centroid dim ${c.length}" +
+          " (ragged corpus)")
+      val m = c.length
       var d = 0.0
       var t = 0
       while (t < m) { d += xs(t) * c(t); t += 1 }

@@ -879,14 +879,36 @@ object Dedup {
     * driver-built boundary map (bounded: one row per partition).
     * Output: (doc_id, n_chars) for every doc whose text is contained —
     * duplicates of a contained text are all reported.
+    *
+    * The range-partitioned frame is PERSISTED before the boundary
+    * collect and read again by the final query: `repartitionByRange`'s
+    * bounds come from seeded reservoir sampling whose seed varies per
+    * execution, so without one shared materialization the boundary map
+    * and the final job could land on DIFFERENT partition boundaries and
+    * silently drop contained texts once partitions outgrow the
+    * exhaustive-sampling regime. `cache` must therefore be a real
+    * persist (`CacheScope.untracked`, or a scope's `persist` for
+    * long-lived sessions) — never `CacheScope.none`.
+    *
+    * The corpus re-join (every doc of a contained text, duplicates
+    * included) keys on `(xxhash64(text), length(text))` so the big-side
+    * exchange carries 12-byte keys instead of full document texts.
+    * Exactness is preserved, not assumed: among DISTINCT texts a key
+    * collision is detectable, so keys held by more than one distinct
+    * text (~n²/2⁶⁴ of them — in practice none) are split out and
+    * verified by full text equality, while the collision-free rest
+    * match by key alone (key ↔ text is bijective there, and every doc
+    * text is itself a member of the distinct set).
     */
-  def prefixContainedDocs(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+  def prefixContainedDocs(docs: DataFrame, idCol: String, textCol: String,
+                          cache: DataFrame => DataFrame =
+                            graft.util.CacheScope.untracked): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
     val uniq = docs.select(col(textCol).as("t")).where(col("t").isNotNull).distinct()
     val n = spark.conf.get("spark.sql.shuffle.partitions").toInt
-    val ranged = uniq.repartitionByRange(n, col("t"))
-      .withColumn("_part", org.apache.spark.sql.functions.spark_partition_id())
+    val ranged = cache(uniq.repartitionByRange(n, col("t"))
+      .withColumn("_part", org.apache.spark.sql.functions.spark_partition_id()))
     // Successor within each contiguous text range (parallel window).
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("_part")).orderBy(col("t").asc)
@@ -894,6 +916,8 @@ object Dedup {
     // Boundary fix-up: partition p's LAST text's successor is the first
     // text of the next NON-EMPTY partition. One row per non-empty
     // partition reaches the driver (bounded by the partition count).
+    // This collect also materializes the persisted range partitioning,
+    // pinning the boundaries the final query will read.
     val firsts = ranged.groupBy(col("_part")).agg(min(col("t")).as("ft"))
       .collect().map(r => (r.getInt(0), r.getString(1))).sortBy(_._1)
     val boundary = firsts.indices.dropRight(1).map { i =>
@@ -909,7 +933,24 @@ object Dedup {
         length(col("_succ")) > length(col("t")) &&
         col("_succ").startsWith(col("t")))
       .select(col("t"))
-    docs.join(contained, docs(textCol) === contained("t"))
-      .select(col(idCol).as("doc_id"), length(col(textCol)).cast(LongType).as("n_chars"))
+    // Narrow-key corpus re-join with the exact collision split.
+    val key = (t: Column) => Seq(xxhash64(t).as("_h"), length(t).as("_hl"))
+    val dupKeys = ranged.select(key(col("t")): _*)
+      .groupBy(col("_h"), col("_hl")).agg(count(lit(1)).as("_c"))
+      .where(col("_c") > 1).select(col("_h"), col("_hl"))
+    val containedK = contained.select(col("t") +: key(col("t")): _*)
+    val safeKeys = containedK.join(broadcast(dupKeys), Seq("_h", "_hl"), "left_anti")
+      .select(col("_h"), col("_hl"))
+    val unsafe = containedK.join(broadcast(dupKeys), Seq("_h", "_hl"), "left_semi")
+    val keyedDocs = docs.select(
+      col(idCol).as("doc_id") +:
+        length(col(textCol)).cast(LongType).as("n_chars") +:
+        col(textCol).as("_dt") +: key(col(textCol)): _*)
+    val viaKey = keyedDocs.join(safeKeys, Seq("_h", "_hl"))
+      .select(col("doc_id"), col("n_chars"))
+    val viaText = keyedDocs.join(broadcast(unsafe), Seq("_h", "_hl"))
+      .where(col("_dt") === col("t"))
+      .select(col("doc_id"), col("n_chars"))
+    viaKey.unionByName(viaText)
   }
 }

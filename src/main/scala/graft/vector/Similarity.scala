@@ -226,23 +226,31 @@ object Similarity {
       sorted.map(_._1).toArray, sorted.map(_._2.toArray).toArray)
   }
 
-  /** Deterministic spherical k-means (Lloyd): seeds = the k
-    * smallest-id vectors, then `iters` rounds of assign → decimal-mean
-    * recompute ([[centroids]] — order-independent sums, so the fit is
-    * identical run to run and engine to engine). Each round is one
-    * scan-side assignment plus one map-side-combinable (cell, pos)
-    * aggregation; the k×dim centroid table is collected per round
-    * (bounded by k — the textbook distributed-Lloyd driver state) and
-    * re-embedded as literals. Cells that lose all members simply drop
-    * out (no respawn heuristic — deterministic beats clever here).
+  /** Deterministic spherical k-means (Lloyd): seeds = the k vectors
+    * with the smallest (md5-derived hash of id, id) — equally
+    * deterministic and engine-replicable as smallest-id seeding, but
+    * decorrelated from data LAYOUT: id order tracks insert order, so
+    * id-ordered seeds turn "the first k docs are near-duplicates" into
+    * k coincident centroids; a hash spread picks k docs scattered
+    * uniformly over the corpus regardless of how it was loaded. Then
+    * `iters` rounds of assign → decimal-mean recompute ([[centroids]] —
+    * order-independent sums, so the fit is identical run to run and
+    * engine to engine). Each round is one scan-side assignment plus one
+    * map-side-combinable (cell, pos) aggregation; the k×dim centroid
+    * table is collected per round (bounded by k — the textbook
+    * distributed-Lloyd driver state) and re-embedded as literals. Cells
+    * that lose all members simply drop out (no respawn heuristic —
+    * deterministic beats clever here).
     */
   def kmeansCentroids(corpus: DataFrame, idCol: String, vecCol: String,
                       k: Int, iters: Int,
                       exact: Boolean = true): Seq[(Long, Seq[Double])] = {
     require(k >= 1, s"k-means needs k >= 1, got $k")
     require(iters >= 0, s"negative iterations: $iters")
+    val seedHash =
+      graft.functions.Hashes.Md5Hash60(col(idCol).cast(StringType))
     var cents: Seq[(Long, Seq[Double])] =
-      corpus.orderBy(col(idCol).asc).limit(k)
+      corpus.orderBy(seedHash.asc, col(idCol).asc).limit(k)
         .select(col(idCol).cast(LongType).as("centroid_id"),
           transform(col(vecCol), x => x.cast(DoubleType)).as("cvec"))
         .collect().map(r => (r.getLong(0), r.getSeq[Double](1))).toSeq

@@ -14,8 +14,9 @@ class KmeansSpec extends SparkSpec {
   import spark.implicits._
 
   // Two tight clusters around orthogonal axes + a straggler: seeds (the
-  // 2 smallest ids) land one in each cluster, so one Lloyd round should
-  // keep the split and move centroids to the cluster means.
+  // 2 smallest by md5-hash-of-id — ids 4 then 1 on this fixture) land
+  // one in each cluster, so one Lloyd round should keep the split and
+  // move centroids to the cluster means.
   private def corpus = Seq(
     (0L, Seq(1.0f, 0.0f, 0.0f)),
     (1L, Seq(0.0f, 1.0f, 0.1f)),
@@ -42,24 +43,26 @@ class KmeansSpec extends SparkSpec {
   }
 
   test("zero-norm vectors assign to the smallest centroid id (cosine null -> -2 floor)") {
-    val withZero = corpus.union(Seq((9L, Seq(0.0f, 0.0f, 0.0f))).toDF("vec_id", "embedding"))
+    // Id 10 hashes above both seed hashes, so the seeds stay ids 4 and 1.
+    val withZero = corpus.union(Seq((10L, Seq(0.0f, 0.0f, 0.0f))).toDF("vec_id", "embedding"))
     val labels = Similarity.withKmeansLabel(withZero, "vec_id", "embedding", k = 2, iters = 0)
-      .where(col("vec_id") === 9L).select(col("centroid_id"))
+      .where(col("vec_id") === 10L).select(col("centroid_id"))
       .collect().map(_.getLong(0))
-    // iters=0: centroids are the raw seeds (ids 0 and 1); ties at -2 go
-    // to the smallest centroid id.
-    assert(labels.toSeq == Seq(0L))
+    // iters=0: centroids are the raw seeds (ids 1 and 4 under the
+    // hash-spread pick); ties at -2 go to the smallest centroid id.
+    assert(labels.toSeq == Seq(1L))
   }
 
   test("a cell that loses all members drops out instead of resurrecting") {
-    // Seed 1 is a duplicate of seed 0: every vector is nearer (or tied
-    // to) cell 0, so after one recompute only cell 0 survives.
+    // The hash-spread seeds on {0..3} are ids 1 and 2; their vectors are
+    // duplicates, so every row ties to both cells, ties go to cell 1, and
+    // after one recompute only cell 1 survives.
     val dup = Seq(
-      (0L, Seq(1.0f, 0.0f)), (1L, Seq(1.0f, 0.0f)),
-      (2L, Seq(0.9f, 0.1f)), (3L, Seq(0.8f, 0.1f))
+      (0L, Seq(0.9f, 0.1f)), (1L, Seq(1.0f, 0.0f)),
+      (2L, Seq(1.0f, 0.0f)), (3L, Seq(0.8f, 0.1f))
     ).toDF("vec_id", "embedding")
     val cents = Similarity.kmeansCentroids(dup, "vec_id", "embedding", k = 2, iters = 1)
-    assert(cents.map(_._1) == Seq(0L), s"expected only cell 0, got ${cents.map(_._1)}")
+    assert(cents.map(_._1) == Seq(1L), s"expected only cell 1, got ${cents.map(_._1)}")
   }
 
   test("withKmeansLabel labels every row and the label set is the centroid set") {
