@@ -25,6 +25,46 @@ private[graft] object QueriesText {
     "q2" -> "scan filter column",
     "q3" -> "merge batch order")
 
+  /** Shared DuckDB replica of the BM25 top-k ranking. Constants are
+    * written as the same double ASTs the Spark side folds ((1.2 + 1.0),
+    * (1.0 - 0.75)) so both engines evaluate identical IEEE operations;
+    * the score fold lists contributions in term order to mirror the
+    * sorted-collect left fold; the toks CTE guards empty/whitespace-only
+    * text like TextAnalysis.tokens (dl = 0, not ['']). The incremental
+    * and compacted gates score bit-identically to the full rebuild by
+    * construction, so all three keys map here.
+    */
+  private val bm25TopKOracleSql: String =
+    """WITH q(query_id, term) AS (VALUES
+      |  ('q1', 'hash'), ('q1', 'join'),
+      |  ('q2', 'scan'), ('q2', 'filter'), ('q2', 'column'),
+      |  ('q3', 'merge'), ('q3', 'batch'), ('q3', 'order')),
+      |toks AS (SELECT doc_id,
+      |    CASE WHEN trim(text) = '' THEN []
+      |         ELSE regexp_split_to_array(trim(text), '\s+') END AS t
+      |  FROM documents),
+      |dls AS (SELECT doc_id, len(t) AS dl FROM toks),
+      |st AS (SELECT CAST(count(*) AS BIGINT) AS n_docs, CAST(sum(dl) AS BIGINT) AS sum_dl FROM dls),
+      |tf AS (SELECT doc_id, tok AS term, count(*) AS tf FROM (
+      |         SELECT doc_id, unnest(t) AS tok FROM toks) u
+      |       WHERE tok IN (SELECT DISTINCT term FROM q)
+      |       GROUP BY 1, 2),
+      |dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+      |contrib AS (SELECT q.query_id, tf.doc_id, tf.term,
+      |    ln(1.0 + (CAST(st.n_docs AS DOUBLE) - CAST(dfq.df AS DOUBLE) + 0.5)
+      |             / (CAST(dfq.df AS DOUBLE) + 0.5))
+      |      * (CAST(tf.tf AS DOUBLE) * (1.2 + 1.0))
+      |      / (CAST(tf.tf AS DOUBLE) + 1.2 * ((1.0 - 0.75) + 0.75 * CAST(dls.dl AS DOUBLE)
+      |           / (CAST(st.sum_dl AS DOUBLE) / CAST(st.n_docs AS DOUBLE)))) AS c
+      |  FROM q JOIN tf USING (term) JOIN dfq USING (term)
+      |  JOIN dls ON tf.doc_id = dls.doc_id CROSS JOIN st),
+      |sc AS (SELECT query_id, doc_id, list_sum(list(c ORDER BY term)) AS score
+      |       FROM contrib GROUP BY 1, 2),
+      |r AS (SELECT query_id, doc_id, score,
+      |        row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id) AS rank
+      |      FROM sc)
+      |SELECT query_id, rank, doc_id, round(score, 6) AS score FROM r WHERE rank <= 10""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_normalize" -> ((s, dir) =>
       t(s, dir, "documents").select(col("doc_id"),
@@ -156,6 +196,43 @@ private[graft] object QueriesText {
           docs.where(pmod(col("doc_id"), lit(2)) === 0), "doc_id", "text", terms)
         tfE.write.parquet(root + "/tf")
         stE.write.parquet(root + "/stats")
+      }
+      val (tfO, stO) = Bm25.buildIndex(
+        docs.where(pmod(col("doc_id"), lit(2)) =!= 0), "doc_id", "text", terms)
+      Bm25.scoreIndex(
+        s.read.parquet(root + "/tf").unionByName(tfO),
+        Bm25.foldStats(s.read.parquet(root + "/stats").unionByName(stO)),
+        Bm25Queries, k = 10)
+    }),
+
+    // Compaction story for the BM25 incremental state: every fold
+    // APPENDS tf/stats parquet files, so a long-lived index accumulates
+    // files without bound — the same small-file failure
+    // dedup_incremental_compacted already solves for the shingle index.
+    // Here two history folds (doc_id%4 ∈ {0,2}) land in one state dir
+    // fanned wide, ops/Compact rewrites both dirs to a bounded file
+    // count (slices are doc-disjoint, so a file-level rewrite IS the
+    // semantic compaction — no (doc,term) rows to re-sum), and the
+    // compacted state folded with the odd-id batch must score EXACTLY
+    // like the full rebuild: the oracle is text_bm25_topk's.
+    "text_bm25_compacted" -> ((s, dir) => {
+      import graft.text.Bm25
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val terms = Bm25.queryTerms(Bm25Queries)
+      val root = graft.util.StateSeed.root("graft_bm25_c", dir) { root =>
+        val (tf0, st0) = Bm25.buildIndex(
+          docs.where(pmod(col("doc_id"), lit(4)) === 0), "doc_id", "text", terms)
+        tf0.repartition(24).write.parquet(root + "/tf")
+        st0.write.parquet(root + "/stats")
+        val (tf2, st2) = Bm25.buildIndex(
+          docs.where(pmod(col("doc_id"), lit(4)) === 2), "doc_id", "text", terms)
+        tf2.repartition(24).write.mode("append").parquet(root + "/tf")
+        st2.write.mode("append").parquet(root + "/stats")
+        Seq("/tf", "/stats").foreach { sub =>
+          val stats = graft.ops.Compact.compactParquet(s, root + sub)
+          require(stats.filesAfter < stats.filesBefore,
+            s"compaction did not reduce $sub: $stats")
+        }
       }
       val (tfO, stO) = Bm25.buildIndex(
         docs.where(pmod(col("doc_id"), lit(2)) =!= 0), "doc_id", "text", terms)
@@ -515,8 +592,14 @@ private[graft] object QueriesText {
     // Symmetric int8 quantization (4x smaller vectors for the ANN recall
     // tier; floats re-read only at exact rescore). floor(x*scale + 0.5)
     // is bit-replicable in DuckDB; the gate emits the code digest.
-    "corpus_filter_report" -> ((s, dir) =>
-      t(s, dir, "documents")
+    "corpus_filter_report" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      // Corpus-level truncation flag: the one non-scan-side column — a
+      // doc fails when its text is a proper prefix of another doc's
+      // text (Dedup.prefixContainedDocs; narrow 12-byte-key join).
+      val truncated = Dedup.prefixContainedDocs(docs, "doc_id", "text")
+        .select(col("doc_id"), lit(true).as("_trunc"))
+      docs
         .select(col("doc_id"), col("text"), TextAnalysis.tokens(col("text")).as("toks"))
         .select(col("doc_id"), col("text"),
           graft.functions.TextExpressions.ngramStats(col("toks"), 1).as("u0"))
@@ -530,9 +613,14 @@ private[graft] object QueriesText {
           (TextAnalysis.patternCount(col("text"),
             TextAnalysis.FilterPatterns.collectFirst { case ("long_digits", p) => p }.get) === 0)
             .as("pass_no_digit_runs"))
+        .join(truncated, Seq("doc_id"), "left")
+        .withColumn("pass_not_truncated", col("_trunc").isNull)
+        .drop("_trunc")
         .withColumn("keep",
           col("pass_lang") && col("pass_quality") &&
-            col("pass_repetition") && col("pass_no_digit_runs"))),
+            col("pass_repetition") && col("pass_no_digit_runs") &&
+            col("pass_not_truncated"))
+    }),
 
     // ---- sequence packing -------------------------------------------------
     // Concat-and-chunk assignment (the pretraining packing pass): docs
@@ -648,9 +736,15 @@ private[graft] object QueriesText {
          |  SELECT DISTINCT db AS doc_id FROM pairs
          |  JOIN sizes sa ON da = sa.doc_id
          |  JOIN sizes sb ON db = sb.doc_id
-         |  WHERE CAST(i AS DOUBLE) / (sa.nsh + sb.nsh - i) >= 0.5)
+         |  WHERE CAST(i AS DOUBLE) / (sa.nsh + sb.nsh - i) >= 0.5),
+         |tu AS (SELECT DISTINCT text AS t FROM ae WHERE text IS NOT NULL),
+         |ts2 AS (SELECT t, lead(t) OVER (ORDER BY t) AS nxt FROM tu),
+         |tc AS (SELECT t FROM ts2
+         |       WHERE nxt IS NOT NULL AND len(nxt) > len(t) AND substr(nxt, 1, len(t)) = t),
+         |trunc_losers AS (SELECT ae.doc_id FROM ae JOIN tc ON ae.text = tc.t)
          |SELECT doc_id, lang_guess, quality FROM ae
-         |WHERE doc_id NOT IN (SELECT doc_id FROM near_losers)""".stripMargin
+         |WHERE doc_id NOT IN (SELECT doc_id FROM near_losers)
+         |  AND doc_id NOT IN (SELECT doc_id FROM trunc_losers)""".stripMargin
     },
 
     "text_heavy_tokens" ->
@@ -687,73 +781,12 @@ private[graft] object QueriesText {
         |SELECT d.doc_id, CAST(len(d.text) AS BIGINT) AS n_chars
         |FROM documents d JOIN c ON d.text = c.t""".stripMargin,
 
-    // Constants written as the same double ASTs the Spark side folds
-    // ((1.2 + 1.0), (1.0 - 0.75)) so both engines evaluate identical
-    // IEEE operations; the score fold lists contributions in term order
-    // to mirror the sorted-collect left fold.
-    "text_bm25_topk" ->
-      """WITH q(query_id, term) AS (VALUES
-        |  ('q1', 'hash'), ('q1', 'join'),
-        |  ('q2', 'scan'), ('q2', 'filter'), ('q2', 'column'),
-        |  ('q3', 'merge'), ('q3', 'batch'), ('q3', 'order')),
-        |toks AS (SELECT doc_id,
-        |    CASE WHEN trim(text) = '' THEN []
-        |         ELSE regexp_split_to_array(trim(text), '\s+') END AS t
-        |  FROM documents),
-        |dls AS (SELECT doc_id, len(t) AS dl FROM toks),
-        |st AS (SELECT CAST(count(*) AS BIGINT) AS n_docs, CAST(sum(dl) AS BIGINT) AS sum_dl FROM dls),
-        |tf AS (SELECT doc_id, tok AS term, count(*) AS tf FROM (
-        |         SELECT doc_id, unnest(t) AS tok FROM toks) u
-        |       WHERE tok IN (SELECT DISTINCT term FROM q)
-        |       GROUP BY 1, 2),
-        |dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
-        |contrib AS (SELECT q.query_id, tf.doc_id, tf.term,
-        |    ln(1.0 + (CAST(st.n_docs AS DOUBLE) - CAST(dfq.df AS DOUBLE) + 0.5)
-        |             / (CAST(dfq.df AS DOUBLE) + 0.5))
-        |      * (CAST(tf.tf AS DOUBLE) * (1.2 + 1.0))
-        |      / (CAST(tf.tf AS DOUBLE) + 1.2 * ((1.0 - 0.75) + 0.75 * CAST(dls.dl AS DOUBLE)
-        |           / (CAST(st.sum_dl AS DOUBLE) / CAST(st.n_docs AS DOUBLE)))) AS c
-        |  FROM q JOIN tf USING (term) JOIN dfq USING (term)
-        |  JOIN dls ON tf.doc_id = dls.doc_id CROSS JOIN st),
-        |sc AS (SELECT query_id, doc_id, list_sum(list(c ORDER BY term)) AS score
-        |       FROM contrib GROUP BY 1, 2),
-        |r AS (SELECT query_id, doc_id, score,
-        |        row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id) AS rank
-        |      FROM sc)
-        |SELECT query_id, rank, doc_id, round(score, 6) AS score FROM r WHERE rank <= 10""".stripMargin,
-
-    // Same oracle by construction: the incremental fold must reproduce
-    // the full-rebuild scores exactly (see the gate comment).
-    "text_bm25_incremental" ->
-      """WITH q(query_id, term) AS (VALUES
-        |  ('q1', 'hash'), ('q1', 'join'),
-        |  ('q2', 'scan'), ('q2', 'filter'), ('q2', 'column'),
-        |  ('q3', 'merge'), ('q3', 'batch'), ('q3', 'order')),
-        |toks AS (SELECT doc_id,
-        |    CASE WHEN trim(text) = '' THEN []
-        |         ELSE regexp_split_to_array(trim(text), '\s+') END AS t
-        |  FROM documents),
-        |dls AS (SELECT doc_id, len(t) AS dl FROM toks),
-        |st AS (SELECT CAST(count(*) AS BIGINT) AS n_docs, CAST(sum(dl) AS BIGINT) AS sum_dl FROM dls),
-        |tf AS (SELECT doc_id, tok AS term, count(*) AS tf FROM (
-        |         SELECT doc_id, unnest(t) AS tok FROM toks) u
-        |       WHERE tok IN (SELECT DISTINCT term FROM q)
-        |       GROUP BY 1, 2),
-        |dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
-        |contrib AS (SELECT q.query_id, tf.doc_id, tf.term,
-        |    ln(1.0 + (CAST(st.n_docs AS DOUBLE) - CAST(dfq.df AS DOUBLE) + 0.5)
-        |             / (CAST(dfq.df AS DOUBLE) + 0.5))
-        |      * (CAST(tf.tf AS DOUBLE) * (1.2 + 1.0))
-        |      / (CAST(tf.tf AS DOUBLE) + 1.2 * ((1.0 - 0.75) + 0.75 * CAST(dls.dl AS DOUBLE)
-        |           / (CAST(st.sum_dl AS DOUBLE) / CAST(st.n_docs AS DOUBLE)))) AS c
-        |  FROM q JOIN tf USING (term) JOIN dfq USING (term)
-        |  JOIN dls ON tf.doc_id = dls.doc_id CROSS JOIN st),
-        |sc AS (SELECT query_id, doc_id, list_sum(list(c ORDER BY term)) AS score
-        |       FROM contrib GROUP BY 1, 2),
-        |r AS (SELECT query_id, doc_id, score,
-        |        row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id) AS rank
-        |      FROM sc)
-        |SELECT query_id, rank, doc_id, round(score, 6) AS score FROM r WHERE rank <= 10""".stripMargin,
+    // See [[bm25TopKOracleSql]]: one replica for the full rebuild, the
+    // incremental fold, and the compacted fold — the latter two must
+    // reproduce the rebuild scores exactly by construction.
+    "text_bm25_topk" -> bm25TopKOracleSql,
+    "text_bm25_incremental" -> bm25TopKOracleSql,
+    "text_bm25_compacted" -> bm25TopKOracleSql,
 
     "dedup_exact" ->
       """SELECT fingerprint, count(*) AS cnt, min(doc_id) AS keeper FROM (
@@ -971,14 +1004,20 @@ private[graft] object QueriesText {
          |    + (CASE WHEN n_tok > 0 THEN h_en / n_tok ELSE 0.0 END) * 0.3
          |    + least(n_tok / 100.0, 1.0) * 0.3, 6) AS quality,
          |    CASE WHEN n_tok > 0 THEN 1 - n_tok_distinct / n_tok ELSE 0.0 END AS rep
-         |  FROM b)
+         |  FROM b),
+         |tu AS (SELECT DISTINCT text AS t FROM documents WHERE text IS NOT NULL),
+         |ts2 AS (SELECT t, lead(t) OVER (ORDER BY t) AS nxt FROM tu),
+         |tc AS (SELECT t FROM ts2
+         |       WHERE nxt IS NOT NULL AND len(nxt) > len(t) AND substr(nxt, 1, len(t)) = t)
          |SELECT doc_id,
          |  (h_en = best AND best > 0) AS pass_lang,
          |  quality >= 0.45 AS pass_quality,
          |  rep < 0.6 AS pass_repetition,
          |  len(regexp_extract_all(text, '[0-9]{6,}')) = 0 AS pass_no_digit_runs,
+         |  COALESCE(text NOT IN (SELECT t FROM tc), TRUE) AS pass_not_truncated,
          |  (h_en = best AND best > 0) AND quality >= 0.45 AND rep < 0.6
-         |    AND len(regexp_extract_all(text, '[0-9]{6,}')) = 0 AS keep
+         |    AND len(regexp_extract_all(text, '[0-9]{6,}')) = 0
+         |    AND COALESCE(text NOT IN (SELECT t FROM tc), TRUE) AS keep
          |FROM m""".stripMargin
     },
 

@@ -5,13 +5,16 @@ import org.apache.spark.sql.functions._
 
 /** The composed training-data cleaning flow — the flagship beyond-reference
   * pipeline: language filter -> quality filter -> exact-dedup keeper ->
-  * near-dup keeper. Every stage is one of the library's scan-side
-  * expressions or index joins, so the whole flow is a single lazy plan.
+  * truncation-duplicate drop -> near-dup keeper. Every stage is one of
+  * the library's scan-side expressions or index joins.
   *
   * Keeper policy (deterministic): within an exact-duplicate group the
-  * smallest doc_id survives; among near-dup pairs (Jaccard >= threshold)
-  * the larger doc_id is dropped (transitively this keeps each near-dup
-  * cluster's smallest id surviving against its direct pairs).
+  * smallest doc_id survives; a surviving doc whose text is a PROPER
+  * PREFIX of another surviving doc's text is dropped (the truncated
+  * re-crawl loses to the complete copy — [[Dedup.prefixContainedDocs]]);
+  * among near-dup pairs (Jaccard >= threshold) the larger doc_id is
+  * dropped (transitively this keeps each near-dup cluster's smallest id
+  * surviving against its direct pairs).
   */
 object CorpusPipeline {
 
@@ -56,7 +59,18 @@ object CorpusPipeline {
     val nearLosers = Dedup.ngramJaccardPairsFromIndex(idx, jaccardThreshold)
       .select(col("doc_b").as("doc_id")).distinct()
 
-    afterExact.join(nearLosers, Seq("doc_id"), "left_anti")
+    // Truncation-duplicate drop: a surviving doc whose text is a proper
+    // prefix of another surviving doc's text loses to the complete copy
+    // (independent of the Jaccard tier — a short truncation shares too
+    // few shingles with its full version to reach the threshold).
+    // prefixContainedDocs persists internally regardless of `cache` —
+    // its range-boundary materialization is correctness-critical.
+    val truncLosers = Dedup.prefixContainedDocs(
+        afterExact.select(col("doc_id"), col("text")), "doc_id", "text", cache)
+      .select(col("doc_id"))
+
+    afterExact.join(nearLosers.unionByName(truncLosers).distinct(),
+        Seq("doc_id"), "left_anti")
       .select(col("doc_id"), col("lang_guess"), col("quality"))
   }
 }

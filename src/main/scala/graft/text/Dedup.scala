@@ -886,9 +886,11 @@ object Dedup {
     * execution, so without one shared materialization the boundary map
     * and the final job could land on DIFFERENT partition boundaries and
     * silently drop contained texts once partitions outgrow the
-    * exhaustive-sampling regime. `cache` must therefore be a real
-    * persist (`CacheScope.untracked`, or a scope's `persist` for
-    * long-lived sessions) — never `CacheScope.none`.
+    * exhaustive-sampling regime. The persist is therefore
+    * correctness-critical, not a perf knob: if `cache` does not persist
+    * (`CacheScope.none`), an untracked persist is forced anyway — pass
+    * a scope's `persist` in long-lived sessions to get deterministic
+    * release.
     *
     * The corpus re-join (every doc of a contained text, duplicates
     * included) keys on `(xxhash64(text), length(text))` so the big-side
@@ -907,8 +909,12 @@ object Dedup {
     import spark.implicits._
     val uniq = docs.select(col(textCol).as("t")).where(col("t").isNotNull).distinct()
     val n = spark.conf.get("spark.sql.shuffle.partitions").toInt
-    val ranged = cache(uniq.repartitionByRange(n, col("t"))
+    val ranged0 = cache(uniq.repartitionByRange(n, col("t"))
       .withColumn("_part", org.apache.spark.sql.functions.spark_partition_id()))
+    val ranged =
+      if (ranged0.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
+        ranged0.persist()
+      else ranged0
     // Successor within each contiguous text range (parallel window).
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("_part")).orderBy(col("t").asc)

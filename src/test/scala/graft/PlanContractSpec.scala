@@ -364,4 +364,40 @@ class PlanContractSpec extends SparkSpec {
         s"state scan is not partition-pruned:\n${mp.head.take(1200)}")
     } finally spark.listenerManager.unregister(listener)
   }
+
+  test("dedup_prefix_contained: one materialized range partitioning, per-range window, " +
+    "broadcast boundary map, narrow-key corpus re-join") {
+    val p = plan("dedup_prefix_contained")
+    // The range partitioning is persisted and read by every consumer —
+    // the boundary map and the final query cannot see different bounds.
+    assert(p.contains("InMemoryRelation"), "range partitioning must be persisted once")
+    assert(p.contains("rangepartitioning(t"), "distinct texts must be range-partitioned")
+    // The successor probe is a per-range-partition window, never a
+    // global single-partition sort of the corpus.
+    assert(!p.contains("Exchange SinglePartition"), p.take(600))
+    assert(p.contains("StartsWith"), "adjacency probe missing")
+    // The corpus re-join keys on (xxhash64, length) — 12-byte keys on
+    // the wire, not full document texts.
+    assert("HashJoin \\[_h#\\d+L?, _hl#".r.findFirstIn(p).isDefined,
+      s"corpus re-join is not keyed on the fingerprint:\n${p.take(800)}")
+    assert(p.contains("xxhash64"))
+  }
+
+  test("text_bm25_topk: query-term filter under tf agg, df/qterms/stats broadcast, " +
+    "WindowGroupLimit top-k") {
+    val p = plan("text_bm25_topk")
+    // Corpus vocabulary never reaches an aggregation: the explode is
+    // filtered to the query terms before the tf groupBy.
+    assert("Filter \\(term#\\d+ IN \\(hash,join".r.findFirstIn(p).isDefined,
+      s"query-term filter not pushed below the tf aggregation:\n${p.take(800)}")
+    // df and qterms attach as broadcast hash joins; the one-row stats
+    // attach is a broadcast cross, never a shuffled join.
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 2, p.take(600))
+    assert(p.contains("IdentityBroadcastMode") || p.contains("BroadcastNestedLoopJoin"),
+      "stats row must broadcast")
+    assert(!p.contains("SortMergeJoin"))
+    // Top-k via rank-limit pushdown: partial group limit before the
+    // final, so each map task retains O(k) per query.
+    assert("WindowGroupLimit".r.findAllIn(p).size >= 2, "partial+final group limit expected")
+  }
 }

@@ -50,7 +50,8 @@ object PlanDump {
       "profile_heavy_hitters" -> "heavy hitters: MG sketch partial-aggregates map-side (<= k counters per partition on the wire); pass 2 recounts only the broadcast candidates",
       "incremental_heavy_hitters" -> "incremental HH resolve: broadcast semi-join of the folded state's candidates, pre-resolved count threshold (no total re-attach)",
       "sim_ivf_kmeans" -> "learned-cell IVF: graft_nearest_centroid assignment is ONE scan-side kernel call (the composed form fell out of codegen), probes broadcast",
-      "text_bm25_topk" -> "BM25: tf shuffle filtered to query terms before aggregation; df + stats broadcast; term-ordered score fold")
+      "text_bm25_topk" -> "BM25: tf shuffle filtered to query terms before aggregation; df + stats broadcast; term-ordered score fold",
+      "dedup_prefix_contained" -> "persisted range partitioning read by boundary map AND final query; per-range successor window; (xxhash64,len)-keyed corpus re-join")
     val keep = Seq("Exchange", "Scan", "Join", "Aggregate", "Window", "Expand",
       "TakeOrdered", "Broadcast", "Sort", "Filter", "Project", "WholeStageCodegen")
     val sb = new StringBuilder

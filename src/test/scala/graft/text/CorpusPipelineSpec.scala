@@ -21,6 +21,24 @@ class CorpusPipelineSpec extends SparkSpec {
     assert(got == Set(0L, 4L))
   }
 
+  test("clean: a truncated copy loses to the complete doc it prefixes") {
+    val full = "the quick brown fox jumps over the lazy dog near the river " +
+      "bank today and then it runs off to the hills"
+    val docs = Seq(
+      (0L, full),
+      // Proper prefix of doc 0 — a truncation duplicate. Too short to
+      // reach the Jaccard threshold against the full copy, so only the
+      // truncation tier can catch it.
+      (1L, full.take(40)),
+      (2L, "a completely different english document about the engine and " +
+        "all of the things it is doing today in the tests"))
+      .toDF("doc_id", "text")
+    val got = CorpusPipeline.clean(docs, "doc_id", "text",
+        lang = "en", minQuality = 0.1, jaccardThreshold = 0.5, maxDocFreq = 100L)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(got == Set(0L, 2L), s"truncated doc 1 must be dropped, got $got")
+  }
+
   test("quantiles: exact interpolated per-group percentiles, one row per prob") {
     val df = Seq(("a", 1.0), ("a", 2.0), ("a", 3.0), ("a", 4.0), ("b", 10.0))
       .toDF("g", "v")
