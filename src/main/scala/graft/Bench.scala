@@ -244,12 +244,53 @@ object Bench {
     if (failed.nonEmpty)
       System.err.println(s"[bench] *** ${failed.size}/${results.size} queries FAILED" +
         s" (excluded from total): ${failed.map(_._1).mkString(", ")} ***")
-    println(line)
     // Durable copy of the full artifact: survives any stdout truncation.
     val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_local.json")
     java.nio.file.Files.write(java.nio.file.Paths.get(out),
       (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     System.err.println(s"[bench] full artifact written to $out")
-    spark.stop()
+    // Shut everything down BEFORE the final stdout lines: the streaming
+    // gates leave a StateStore maintenance pool whose shutdown can log a
+    // stack trace asynchronously, and rounds 9-11 showed that any noise
+    // printed AFTER the artifact line pushes it out of a bounded stdout
+    // tail capture. Stop order: state stores, session, then a short
+    // quiesce so straggler log lines land before (not between) the
+    // artifact lines below.
+    try org.apache.spark.sql.execution.streaming.state.StateStore.stop()
+    catch { case _: Throwable => () }
+    try spark.stop() catch { case _: Throwable => () }
+    Thread.sleep(1500)
+    println(line)
+    // Trailing COMPACT line, printed last: the full artifact line above is
+    // ~4.6 KB (153 queries) and cannot fit a 2000-char tail window, which
+    // is exactly how rounds 9-11 recorded "parsed": null for successful
+    // runs. This line carries the headline fields plus as many of the
+    // most expensive queries as fit a conservative budget, and points at
+    // the durable full artifact.
+    println(compactLine(total, ok, failed, flakyJson, seedState, sfDir, out))
+  }
+
+  /** The trailing compact artifact line: headline fields plus as many of
+    * the most expensive queries as fit `budget` characters. Always valid
+    * JSON regardless of how many entries fit (including zero).
+    */
+  private[graft] def compactLine(total: Double, ok: Seq[(String, Double)],
+                                 failed: Seq[(String, String)], flakyJson: String,
+                                 seedState: Boolean, sfDir: String, out: String,
+                                 budget: Int = 1500): String = {
+    val failedJson = failed.map { case (k, e) => jsonStr(k) + ":" + jsonStr(e) }
+      .mkString("{", ",", "}")
+    val head = s"""{"metric":"total","value":${fmt3(total)},"unit":"sec",""" +
+      s""""queries_total":${ok.size},"failed_count":${failed.size},""" +
+      s""""failed":$failedJson,"flaky":$flakyJson,"seeded_state":$seedState,""" +
+      s""""sf":${jsonStr(sfDir)},"full_artifact":${jsonStr(out)},""" +
+      s""""queries_truncated_to_top":true,"queries":{"""
+    val tailFixed = "}}"
+    val entries = ok.sortBy(-_._2).iterator
+      .map { case (k, v) => jsonStr(k) + ":" + fmt3(v) }
+      .scanLeft(("", 0)) { case ((_, len), e) => (e, len + e.length + 1) }
+      .drop(1).takeWhile(_._2 <= budget - head.length - tailFixed.length)
+      .map(_._1).toSeq
+    head + entries.mkString(",") + tailFixed
   }
 }

@@ -172,6 +172,21 @@ private[graft] object QueriesText {
     "dedup_prefix_contained" -> ((s, dir) =>
       Dedup.prefixContainedDocs(t(s, dir, "documents"), "doc_id", "text")),
 
+    // Head-truncation detector: docs whose text is a PROPER SUFFIX of
+    // another doc's (lead-stripped copies). The fixture's truncations
+    // all clip the tail (0 natural suffix dups at every SF), so the
+    // gate synthesizes them at query time — every 7th doc contributes a
+    // copy missing its first 25 chars — and the detector must flag
+    // exactly those (plus any natural ones, of which there are none).
+    "dedup_suffix_contained" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val tails = docs
+        .where(pmod(col("doc_id"), lit(7)) === 0 && length(col("text")) > 25)
+        .select((col("doc_id") + 1000000L).as("doc_id"),
+          expr("substring(text, 26)").as("text"))
+      Dedup.suffixContainedDocs(docs.unionByName(tails), "doc_id", "text")
+    }),
+
     // Okapi BM25 top-10 per query over a fixed query set — retrieval
     // ranking for contamination checks / doc-query relevance. Every
     // ranking input is cross-engine exact (integer tf/df/dl/N, Σdl/N
@@ -588,6 +603,23 @@ private[graft] object QueriesText {
             .otherwise(lit(0.0)).as("top_bigram_frac"))
     }),
 
+    // Gopher-style within-doc duplicate-LINE signals: fraction of lines
+    // duplicated and fraction of characters inside duplicated lines.
+    // The fixture is single-line (no '\n' at any SF), so the gate
+    // segments deterministically into 2-token chunk "lines" — the
+    // operator itself takes any array-of-lines column (real corpora
+    // feed split(text, '\n')). Pure scan-side HOFs: no explode, no
+    // shuffle.
+    "text_dup_lines" -> ((s, dir) => {
+      val lines = TextAnalysis.tokenChunkLines(
+        TextAnalysis.tokens(col("text")), width = 2)
+      t(s, dir, "documents")
+        .select(col("doc_id"), TextAnalysis.dupLineStats(lines).as("st"))
+        .select(col("doc_id"), col("st.n_lines").as("n_lines"),
+          col("st.dup_line_frac").as("dup_line_frac"),
+          col("st.dup_char_frac").as("dup_char_frac"))
+    }),
+
     // ---- embedding quantization -------------------------------------------
     // Symmetric int8 quantization (4x smaller vectors for the ANN recall
     // tier; floats re-read only at exact rescore). floor(x*scale + 0.5)
@@ -780,6 +812,22 @@ private[graft] object QueriesText {
         |      WHERE nxt IS NOT NULL AND len(nxt) > len(t) AND substr(nxt, 1, len(t)) = t)
         |SELECT d.doc_id, CAST(len(d.text) AS BIGINT) AS n_chars
         |FROM documents d JOIN c ON d.text = c.t""".stripMargin,
+
+    // Same sorted-adjacency twin over REVERSED text (suffix of t =
+    // prefix of reverse(t)), over the gate's synthesized corpus:
+    // documents plus a head-stripped copy of every 7th doc.
+    "dedup_suffix_contained" ->
+      """WITH aug AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, substr(text, 26) FROM documents
+        |  WHERE doc_id % 7 = 0 AND len(text) > 25),
+        |u AS (SELECT DISTINCT reverse(text) AS t FROM aug),
+        |s AS (SELECT t, lead(t) OVER (ORDER BY t) AS nxt FROM u),
+        |c AS (SELECT t FROM s
+        |      WHERE nxt IS NOT NULL AND len(nxt) > len(t) AND substr(nxt, 1, len(t)) = t)
+        |SELECT d.doc_id, CAST(len(d.text) AS BIGINT) AS n_chars
+        |FROM aug d JOIN c ON reverse(d.text) = c.t""".stripMargin,
 
     // See [[bm25TopKOracleSql]]: one replica for the full rebuild, the
     // incremental fold, and the compacted fold — the latter two must
@@ -980,6 +1028,33 @@ private[graft] object QueriesText {
         |    THEN round(CAST(list_max(list_transform(list_distinct(bi),
         |           g -> len(list_filter(bi, x -> x = g)))) AS DOUBLE) / len(bi), 6)
         |    ELSE 0.0 END AS top_bigram_frac
+        |FROM s""".stripMargin,
+
+    // Twin of the 2-token chunk segmentation + duplicate-line stats.
+    // DuckDB list slicing toks[a:b] is 1-based inclusive and clamps,
+    // matching Spark's slice(toks, a, 2) on the ragged last chunk.
+    "text_dup_lines" ->
+      """WITH t AS (SELECT doc_id,
+        |    CASE WHEN trim(text) = '' THEN []
+        |         ELSE regexp_split_to_array(trim(text), '\s+') END AS toks
+        |  FROM documents),
+        |l AS (SELECT doc_id,
+        |    CASE WHEN len(toks) > 0
+        |      THEN list_transform(range(0, CAST(floor((len(toks) - 1) / 2.0) AS BIGINT) + 1),
+        |             i -> array_to_string(toks[i * 2 + 1 : i * 2 + 2], ' '))
+        |      ELSE [] END AS lines0
+        |  FROM t),
+        |f AS (SELECT doc_id, list_filter(lines0, x -> len(trim(x)) > 0) AS arr FROM l),
+        |s AS (SELECT doc_id, len(arr) AS n, len(list_distinct(arr)) AS nd,
+        |    coalesce(list_sum(list_transform(arr, x -> len(x))), 0) AS sum_all,
+        |    coalesce(list_sum(list_transform(list_distinct(arr), x -> len(x))), 0) AS sum_dist
+        |  FROM f)
+        |SELECT doc_id, CAST(n AS BIGINT) AS n_lines,
+        |  CASE WHEN n > 0 THEN round((n - nd) / CAST(n AS DOUBLE), 6) ELSE 0.0 END
+        |    AS dup_line_frac,
+        |  CASE WHEN sum_all > 0
+        |    THEN round((sum_all - sum_dist) / CAST(sum_all AS DOUBLE), 6) ELSE 0.0 END
+        |    AS dup_char_frac
         |FROM s""".stripMargin,
 
     // floor(x*scale + 0.5) quantization codes are exact double arithmetic

@@ -871,10 +871,15 @@ object Dedup {
     * neighbor probe decides every text — no quadratic pairing, no
     * per-length explode.
     *
-    * Scale shape: distinct-collapse first (the sort runs on unique
-    * texts); `repartitionByRange` gives contiguous text ranges, the
-    * successor window runs PER RANGE PARTITION (parallel — never a
-    * global single-partition window), and each partition's last row is
+    * Scale shape: ONE full-text shuffle total. The raw rows are range-
+    * partitioned directly — equal texts land in one partition (the
+    * RangePartitioner contract), so duplicate texts form contiguous
+    * runs under the per-partition sort and collapse inside the same
+    * window pass that probes successors (the last row of each run sees
+    * the next DISTINCT text in `lead`); the old standalone `.distinct()`
+    * was a second shuffle carrying every text byte. The successor
+    * window runs PER RANGE PARTITION (parallel — never a global
+    * single-partition window), and each partition's last run-end is
     * patched with the next non-empty partition's first text via a
     * driver-built boundary map (bounded: one row per partition).
     * Output: (doc_id, n_chars) for every doc whose text is contained —
@@ -895,30 +900,41 @@ object Dedup {
     * The corpus re-join (every doc of a contained text, duplicates
     * included) keys on `(xxhash64(text), length(text))` so the big-side
     * exchange carries 12-byte keys instead of full document texts.
-    * Exactness is preserved, not assumed: among DISTINCT texts a key
-    * collision is detectable, so keys held by more than one distinct
-    * text (~n²/2⁶⁴ of them — in practice none) are split out and
-    * verified by full text equality, while the collision-free rest
-    * match by key alone (key ↔ text is bijective there, and every doc
-    * text is itself a member of the distinct set).
+    * Exactness is preserved, not assumed: a key held by more than one
+    * corpus ROW (an exact-duplicate text, or a genuine collision —
+    * ~n²/2⁶⁴ of those, in practice none) is flagged from a key-only
+    * count (no texts on that wire either) and made exact by comparing
+    * the texts the join co-located; unflagged keys are held by exactly
+    * one row, so a key match implies text equality (every doc text is
+    * itself a corpus text).
     */
   def prefixContainedDocs(docs: DataFrame, idCol: String, textCol: String,
                           cache: DataFrame => DataFrame =
                             graft.util.CacheScope.untracked): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    val uniq = docs.select(col(textCol).as("t")).where(col("t").isNotNull).distinct()
     val n = spark.conf.get("spark.sql.shuffle.partitions").toInt
-    val ranged0 = cache(uniq.repartitionByRange(n, col("t"))
+    // ONE full-text shuffle: the raw rows are range-partitioned directly
+    // (no upstream `.distinct()` — that was a second shuffle carrying
+    // every text byte). Equal texts land in one range partition by the
+    // RangePartitioner's contract, so duplicate texts form contiguous
+    // runs under the per-partition sort and collapse inside the same
+    // window pass that finds successors.
+    val rows = docs.select(col(textCol).as("t")).where(col("t").isNotNull)
+    val ranged0 = cache(rows.repartitionByRange(n, col("t"))
       .withColumn("_part", org.apache.spark.sql.functions.spark_partition_id()))
     val ranged =
       if (ranged0.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
         ranged0.persist()
       else ranged0
-    // Successor within each contiguous text range (parallel window).
+    // Successor within each contiguous text range (parallel window). The
+    // LAST row of each equal-text run sees the next DISTINCT text in
+    // `lead`, so filtering to run-ends is simultaneously the duplicate
+    // collapse and the successor probe — one sort, no distinct shuffle.
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("_part")).orderBy(col("t").asc)
-    val withNext = ranged.withColumn("_next", lead(col("t"), 1).over(w))
+    val lastOfRun = ranged.withColumn("_next", lead(col("t"), 1).over(w))
+      .where(col("_next").isNull || col("_next") =!= col("t"))
     // Boundary fix-up: partition p's LAST text's successor is the first
     // text of the next NON-EMPTY partition. One row per non-empty
     // partition reaches the driver (bounded by the partition count).
@@ -932,31 +948,57 @@ object Dedup {
     val boundaryDf =
       if (boundary.isEmpty) Seq.empty[(Int, String)].toDF("_part", "_bnext")
       else boundary.toDF("_part", "_bnext")
-    val contained = withNext
+    // Keys that might be ambiguous: held by >1 row (an exact-duplicate
+    // text or a genuine (xxhash64, length) collision — either way the
+    // verified path handles it). Counted over the persisted narrow keys,
+    // so this shuffle carries 12-byte keys, never texts. Over-flagging
+    // duplicates as "unsafe" is deliberate: it keeps this pass
+    // text-free, and the unsafe side is exact by construction.
+    val key = (t: Column) => Seq(xxhash64(t).as("_h"), length(t).as("_hl"))
+    val dupKeys = ranged.select(key(col("t")): _*)
+      .groupBy(col("_h"), col("_hl")).agg(count(lit(1)).as("_c"))
+      .where(col("_c") > 1).select(col("_h"), col("_hl"))
+    // Contained DISTINCT texts with their narrow keys and the ambiguity
+    // flag. A `_dup`-null key is held by exactly ONE corpus row, so a
+    // key match implies text equality (every doc text is itself a
+    // corpus text); flagged keys fall back to full text equality in the
+    // post-join filter below. One sort feeds this — it is consumed by
+    // exactly one downstream join, so no extra persist is needed.
+    val contained = lastOfRun
       .join(broadcast(boundaryDf), Seq("_part"), "left")
       .withColumn("_succ", coalesce(col("_next"), col("_bnext")))
       .where(col("_succ").isNotNull &&
         length(col("_succ")) > length(col("t")) &&
         col("_succ").startsWith(col("t")))
-      .select(col("t"))
-    // Narrow-key corpus re-join with the exact collision split.
-    val key = (t: Column) => Seq(xxhash64(t).as("_h"), length(t).as("_hl"))
-    val dupKeys = ranged.select(key(col("t")): _*)
-      .groupBy(col("_h"), col("_hl")).agg(count(lit(1)).as("_c"))
-      .where(col("_c") > 1).select(col("_h"), col("_hl"))
-    val containedK = contained.select(col("t") +: key(col("t")): _*)
-    val safeKeys = containedK.join(broadcast(dupKeys), Seq("_h", "_hl"), "left_anti")
-      .select(col("_h"), col("_hl"))
-    val unsafe = containedK.join(broadcast(dupKeys), Seq("_h", "_hl"), "left_semi")
+      .select(col("t") +: key(col("t")): _*)
+      .join(broadcast(dupKeys.withColumn("_dup", lit(true))), Seq("_h", "_hl"), "left")
+    // Narrow-key corpus re-join with the exact collision split folded
+    // into ONE join + filter: the big side carries 12-byte keys, the
+    // contained side is small (AQE broadcasts it), and the filter makes
+    // ambiguous keys exact by comparing the texts the join co-located.
     val keyedDocs = docs.select(
       col(idCol).as("doc_id") +:
         length(col(textCol)).cast(LongType).as("n_chars") +:
         col(textCol).as("_dt") +: key(col(textCol)): _*)
-    val viaKey = keyedDocs.join(safeKeys, Seq("_h", "_hl"))
+    keyedDocs.join(contained, Seq("_h", "_hl"))
+      .where(col("_dup").isNull || col("_dt") === col("t"))
       .select(col("doc_id"), col("n_chars"))
-    val viaText = keyedDocs.join(broadcast(unsafe), Seq("_h", "_hl"))
-      .where(col("_dt") === col("t"))
-      .select(col("doc_id"), col("n_chars"))
-    viaKey.unionByName(viaText)
   }
+
+  /** Docs whose text is a PROPER SUFFIX of another doc's text — the
+    * head-truncation twin of [[prefixContainedDocs]] (a tail-clipped
+    * re-crawl keeps the head and loses the tail; a lead-stripped copy —
+    * boilerplate header removal, mid-stream reconnect — keeps the tail
+    * and loses the head). `s` is a suffix of `t` iff `reverse(s)` is a
+    * prefix of `reverse(t)`, and reversal preserves length, so the
+    * whole prefix scale shape (ONE range shuffle, run-collapsing sort,
+    * driver boundary map, narrow-key corpus re-join) is inherited
+    * unchanged; `n_chars` reports the original text length.
+    */
+  def suffixContainedDocs(docs: DataFrame, idCol: String, textCol: String,
+                          cache: DataFrame => DataFrame =
+                            graft.util.CacheScope.untracked): DataFrame =
+    prefixContainedDocs(
+      docs.select(col(idCol), reverse(col(textCol)).as("_graft_rev")),
+      idCol, "_graft_rev", cache)
 }

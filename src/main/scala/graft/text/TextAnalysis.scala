@@ -192,6 +192,51 @@ object TextAnalysis {
         StructField("chunk_toks", ArrayType(StringType), nullable = true))))))
   }
 
+  /** Within-document duplicate-line statistics (the Gopher repetition
+    * signals): over an array-of-lines column, the fraction of non-blank
+    * lines that are duplicates of another line and the fraction of their
+    * characters inside duplicated lines. Feed `split(text, "\n")` for
+    * real multi-line corpora, or any deterministic segmentation (the
+    * gate uses fixed-width token chunks — the fixture has no newlines).
+    * Scan-side only: array HOFs per row, no shuffle, no explode.
+    * Returns struct(n_lines, dup_line_frac, dup_char_frac), fractions
+    * rounded to 6 (cross-engine double stability).
+    */
+  def dupLineStats(lines: Column): Column = {
+    val arr = filter(lines, x => length(trim(x)) > lit(0))
+    val dist = array_distinct(arr)
+    val n = size(arr)
+    val nd = size(dist)
+    val charSum = (a: Column) =>
+      aggregate(a, lit(0L), (acc, x) => acc + length(x).cast(LongType))
+    val sumAll = charSum(arr)
+    val sumDist = charSum(dist)
+    struct(
+      n.cast(LongType).as("n_lines"),
+      when(n > 0, round((n - nd).cast(DoubleType) / n.cast(DoubleType), 6))
+        .otherwise(lit(0.0)).as("dup_line_frac"),
+      when(sumAll > 0,
+        round((sumAll - sumDist).cast(DoubleType) / sumAll.cast(DoubleType), 6))
+        .otherwise(lit(0.0)).as("dup_char_frac"))
+  }
+
+  /** Deterministic line segmentation for corpora WITHOUT newlines: the
+    * token array re-joined in fixed-width chunks (`width` tokens per
+    * line, last line ragged). Gives [[dupLineStats]] a meaningful unit
+    * on single-line fixtures; real corpora should split on '\n' instead.
+    */
+  def tokenChunkLines(toks: Column, width: Int): Column = {
+    require(width >= 1, s"line width must be >= 1, got $width")
+    // Guarded: [[tokens]] yields [] for blank text, and sequence(0, -1)
+    // would DESCEND rather than come up empty.
+    when(size(toks) > 0,
+      transform(
+        sequence(lit(0L), floor((size(toks) - 1).cast(LongType) / lit(width))),
+        i => array_join(
+          slice(toks, (i * width + 1).cast(IntegerType), lit(width)), " ")))
+      .otherwise(array().cast(ArrayType(StringType)))
+  }
+
   /** Exact-duplicate fingerprint: md5 of the whitespace-normalized text. */
   def exactFingerprint(text: Column): Column =
     md5(concat_ws(" ", tokens(text)))

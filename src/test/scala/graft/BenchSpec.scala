@@ -32,4 +32,31 @@ class BenchSpec extends AnyFunSuite {
     val progress = """{"query":"corpus_clean","sec":2.698,"reps":[2.6,2.7,2.8]}"""
     assert(Bench.parseArtifactEntry(progress, "corpus_clean").isEmpty)
   }
+
+  // The trailing compact line exists because the driver's stdout capture
+  // keeps only the last ~2000 characters: the full 153-query line cannot
+  // fit, so the LAST printed line must be a complete JSON object within
+  // that window (rounds 9-11 recorded "parsed": null without it).
+  test("compact line fits its budget and keeps the most expensive queries") {
+    val ok = (1 to 200).map(i => (f"some_quite_long_query_name_$i%03d", i / 10.0))
+    val line = Bench.compactLine(total = 123.456, ok = ok, failed = Seq.empty,
+      flakyJson = "{}", seedState = true, sfDir = "/root/testdata/sf0.1",
+      out = "BENCH_local.json", budget = 1500)
+    assert(line.length <= 1500)
+    assert(line.startsWith("{") && line.endsWith("}}"))
+    // Most expensive query survives truncation; the cheapest is dropped.
+    assert(line.contains("\"some_quite_long_query_name_200\":20.000"))
+    assert(!line.contains("some_quite_long_query_name_001"))
+    assert(line.contains("\"queries_truncated_to_top\":true"))
+    assert(Bench.parseArtifactEntry(line, "some_quite_long_query_name_200").contains(20.0))
+  }
+
+  test("compact line stays valid JSON when nothing fits the budget") {
+    val ok = Seq(("x" * 400, 1.0))
+    val line = Bench.compactLine(total = 1.0, ok = ok,
+      failed = Seq(("bad_query", "boom")), flakyJson = "{}",
+      seedState = false, sfDir = "sf", out = "o", budget = 420)
+    assert(line.endsWith("\"queries\":{}}"))
+    assert(line.contains("\"failed_count\":1"))
+  }
 }

@@ -371,7 +371,13 @@ class PlanContractSpec extends SparkSpec {
     // The range partitioning is persisted and read by every consumer —
     // the boundary map and the final query cannot see different bounds.
     assert(p.contains("InMemoryRelation"), "range partitioning must be persisted once")
-    assert(p.contains("rangepartitioning(t"), "distinct texts must be range-partitioned")
+    assert(p.contains("rangepartitioning(t"), "texts must be range-partitioned")
+    // The range shuffle is the ONLY exchange that carries text bytes:
+    // duplicate texts collapse inside the range sort (equal keys share a
+    // range partition), so there is no upstream distinct hash shuffle of
+    // the corpus.
+    assert(!p.contains("hashpartitioning(t#"),
+      "full texts must never hash-shuffle (the old distinct did)")
     // The successor probe is a per-range-partition window, never a
     // global single-partition sort of the corpus.
     assert(!p.contains("Exchange SinglePartition"), p.take(600))
