@@ -113,6 +113,38 @@ private[graft] object QueriesStreaming {
 
     // SQL-surface parity: the same engine running `spark.sql` over temp
     // views (per-nation revenue by quarter — the flagship shape in SQL).
+    // Streaming retrieval-index maintenance: the LIVE twin of
+    // text_bm25_incremental. Two document waves (even ids, then odd)
+    // flow through bm25IndexSink — each micro-batch appends its (tf,
+    // stats) slice to the persisted index (O(batch) per wave, history
+    // never re-tokenized, waves replay-safe via dynamic partition
+    // overwrite). Scoring the FOLDED index must reproduce the
+    // full-corpus rebuild ranking bit-for-bit: same oracle as
+    // text_bm25_topk.
+    "streaming_bm25_live" -> ((s, dir) => {
+      import graft.text.Bm25
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val terms = Bm25.queryTerms(QueriesText.Bm25Queries)
+      // Parallel wave staging (the round-10 fix for the event gates):
+      // k salted files per wave, matched by maxFilesPerTrigger so one
+      // trigger still consumes exactly one wave — single-file waves
+      // serialize the fixture write AND the batch read at scale.
+      val waveDir = Tables.stageWaves(s, docs, pmod(col("doc_id"), lit(2)), 2,
+        "graft_bm25w", filesPerWave = Tables.WaveStageFiles)
+      val stream = s.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", Tables.WaveStageFiles.toString).parquet(waveDir)
+      val statePath = graft.util.Scratch.dir("graft_bm25w_state")
+      val ckpt = graft.util.Scratch.dir("graft_bm25w_ck")
+      withShufflePartitions(s, 8) {
+        graft.streaming.EventStreams.bm25IndexSink(stream, "doc_id", "text",
+          terms, statePath, ckpt).awaitTermination()
+      }
+      Bm25.scoreIndex(
+        s.read.parquet(statePath + "/tf").drop("wave"),
+        Bm25.foldStats(s.read.parquet(statePath + "/stats").drop("wave")),
+        QueriesText.Bm25Queries, k = 10)
+    }),
+
     "streaming_dedup_incremental_live" -> ((s, dir) => {
       val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
       val waveDir = Tables.stageWaves(s, docs, pmod(col("doc_id"), lit(2)), 2, "graft_incw")
@@ -544,6 +576,8 @@ private[graft] object QueriesStreaming {
         |FROM h GROUP BY 1, 2""".stripMargin,
 
     "streaming_dedup_incremental_live" -> incrementalLiveOracleSql,
+    // The streaming fold must score exactly like the full rebuild.
+    "streaming_bm25_live" -> QueriesText.bm25TopKOracleSql,
     // Crash + replay must converge to the UNINTERRUPTED run's result —
     // the whole point of the replay-safe sink. Same oracle by
     // construction.

@@ -19,8 +19,9 @@ private[graft] object QueriesText {
   import QueriesShared._
 
   /** Fixed BM25 query set (terms from the fixture's stable vocabulary,
-    * present at every SF); shared by the gate and its oracle VALUES. */
-  private val Bm25Queries = Seq(
+    * present at every SF); shared by the gate and its oracle VALUES
+    * (and by the streaming index-maintenance gate in QueriesStreaming). */
+  private[graft] val Bm25Queries = Seq(
     "q1" -> "hash join",
     "q2" -> "scan filter column",
     "q3" -> "merge batch order")
@@ -34,7 +35,7 @@ private[graft] object QueriesText {
     * and compacted gates score bit-identically to the full rebuild by
     * construction, so all three keys map here.
     */
-  private val bm25TopKOracleSql: String =
+  private[graft] val bm25TopKOracleSql: String =
     """WITH q(query_id, term) AS (VALUES
       |  ('q1', 'hash'), ('q1', 'join'),
       |  ('q2', 'scan'), ('q2', 'filter'), ('q2', 'column'),
@@ -611,10 +612,10 @@ private[graft] object QueriesText {
     // feed split(text, '\n')). Pure scan-side HOFs: no explode, no
     // shuffle.
     "text_dup_lines" -> ((s, dir) => {
-      val lines = TextAnalysis.tokenChunkLines(
-        TextAnalysis.tokens(col("text")), width = 2)
       t(s, dir, "documents")
-        .select(col("doc_id"), TextAnalysis.dupLineStats(lines).as("st"))
+        .select(col("doc_id"),
+          TextAnalysis.dupLineStatsFromTokens(
+            TextAnalysis.tokens(col("text")), width = 2).as("st"))
         .select(col("doc_id"), col("st.n_lines").as("n_lines"),
           col("st.dup_line_frac").as("dup_line_frac"),
           col("st.dup_char_frac").as("dup_char_frac"))

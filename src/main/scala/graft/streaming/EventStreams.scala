@@ -411,6 +411,41 @@ object EventStreams {
     * partition could change between waves would be duplicated or
     * regressed — see [[graft.ops.Merge.mergeIntoPartitionedState]].
     */
+  /** Streaming BM25 retrieval-index maintenance: each micro-batch of
+    * documents is tokenized ONCE and appended to the persisted index as
+    * a slice — tf rows for the query vocabulary plus one exact-integer
+    * stats row per wave ([[graft.text.Bm25]]'s fold contract: slices
+    * over disjoint doc sets fold by tf append + stats sum, so the folded
+    * index scores EXACTLY like a full rebuild, O(batch) per wave,
+    * history never re-tokenized). Compaction of the accumulating slice
+    * files is the reader's periodic concern (`ops/Compact`, as the
+    * `text_bm25_compacted` gate proves result-transparent).
+    *
+    * Replay safety matches [[corpusDedupSink]]: both outputs are
+    * wave-partitioned (wave = batchId) and written with dynamic
+    * partition overwrite, so an at-least-once retry REPLACES its own
+    * wave instead of double-counting its documents in df and avgdl.
+    */
+  def bm25IndexSink(docs: DataFrame, idCol: String, textCol: String,
+                    terms: Seq[String], statePath: String,
+                    checkpoint: String): StreamingQuery =
+    docs.writeStream
+      .outputMode(OutputMode.Update())
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val (tf, stats) = graft.text.Bm25.buildIndex(batch, idCol, textCol, terms)
+        val wave = batchId.toInt
+        def writeWave(df: DataFrame, path: String): Unit =
+          df.withColumn("wave", lit(wave))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("wave").parquet(path)
+        writeWave(tf, statePath + "/tf")
+        writeWave(stats, statePath + "/stats")
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+
   def mergeSinkPartitioned(stream: DataFrame, statePath: String,
                            keys: Seq[String], precedence: Seq[Column],
                            partitionCol: String,

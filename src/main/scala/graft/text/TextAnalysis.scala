@@ -202,17 +202,31 @@ object TextAnalysis {
     * Returns struct(n_lines, dup_line_frac, dup_char_frac), fractions
     * rounded to 6 (cross-engine double stability).
     */
-  def dupLineStats(lines: Column): Column = {
-    val arr = filter(lines, x => length(trim(x)) > lit(0))
-    val dist = array_distinct(arr)
-    val n = size(arr)
-    val nd = size(dist)
-    val charSum = (a: Column) =>
-      aggregate(a, lit(0L), (acc, x) => acc + length(x).cast(LongType))
-    val sumAll = charSum(arr)
-    val sumDist = charSum(dist)
+  def dupLineStats(lines: Column): Column =
+    dupLineStatsKernel(lines, chunkWidth = 0)
+
+  /** [[dupLineStats]] straight from a TOKEN array, segmented into
+    * `width`-token lines INSIDE the kernel (no intermediate chunk array
+    * — the fused form of `dupLineStats(tokenChunkLines(toks, width))`,
+    * same output bit-for-bit).
+    */
+  def dupLineStatsFromTokens(toks: Column, width: Int): Column = {
+    require(width >= 1, s"line width must be >= 1, got $width")
+    dupLineStatsKernel(toks, chunkWidth = width)
+  }
+
+  private def dupLineStatsKernel(lines: Column, chunkWidth: Int): Column = {
+    // Single-pass codegen'd kernel; the four field references below
+    // collapse to one kernel call via codegen subexpression elimination
+    // (the array-HOF composition was CodegenFallback and re-evaluated
+    // the whole chain per field — see TextExpressions.LineDupStats).
+    val st = graft.functions.TextExpressions.lineDupStats(lines, chunkWidth)
+    val n = st.getField("n_lines")
+    val nd = st.getField("n_distinct")
+    val sumAll = st.getField("sum_chars")
+    val sumDist = st.getField("sum_chars_distinct")
     struct(
-      n.cast(LongType).as("n_lines"),
+      n.as("n_lines"),
       when(n > 0, round((n - nd).cast(DoubleType) / n.cast(DoubleType), 6))
         .otherwise(lit(0.0)).as("dup_line_frac"),
       when(sumAll > 0,

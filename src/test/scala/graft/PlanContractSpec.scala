@@ -389,6 +389,23 @@ class PlanContractSpec extends SparkSpec {
     assert(p.contains("xxhash64"))
   }
 
+  test("dedup_suffix_contained: inherits the prefix shape over reversed text") {
+    val p = plan("dedup_suffix_contained")
+    assert(p.contains("InMemoryRelation"), "range partitioning must be persisted once")
+    assert(p.contains("rangepartitioning("), "reversed texts must be range-partitioned")
+    assert(!p.contains("Exchange SinglePartition"), p.take(600))
+    assert(p.contains("StartsWith"), "adjacency probe missing")
+    assert("HashJoin \\[_h#\\d+L?, _hl#".r.findFirstIn(p).isDefined,
+      s"corpus re-join is not keyed on the fingerprint:\n${p.take(800)}")
+  }
+
+  test("text_dup_lines: scan-side only — no exchange, no window, no explode") {
+    val p = plan("text_dup_lines")
+    assert(!p.contains("Exchange"), s"dup-line stats must not shuffle:\n${p.take(600)}")
+    assert(!p.contains("Generate"), "no explode — per-row array HOFs only")
+    assert(!p.contains("Window"), "no window — per-row computation only")
+  }
+
   test("text_bm25_topk: query-term filter under tf agg, df/qterms/stats broadcast, " +
     "WindowGroupLimit top-k") {
     val p = plan("text_bm25_topk")

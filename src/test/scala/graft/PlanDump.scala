@@ -51,7 +51,9 @@ object PlanDump {
       "incremental_heavy_hitters" -> "incremental HH resolve: broadcast semi-join of the folded state's candidates, pre-resolved count threshold (no total re-attach)",
       "sim_ivf_kmeans" -> "learned-cell IVF: graft_nearest_centroid assignment is ONE scan-side kernel call (the composed form fell out of codegen), probes broadcast",
       "text_bm25_topk" -> "BM25: tf shuffle filtered to query terms before aggregation; df + stats broadcast; term-ordered score fold",
-      "dedup_prefix_contained" -> "persisted range partitioning read by boundary map AND final query; per-range successor window; (xxhash64,len)-keyed corpus re-join")
+      "dedup_prefix_contained" -> "ONE full-text shuffle (duplicate runs collapse inside the range sort — no distinct exchange); per-range successor window; (xxhash64,len)-keyed corpus re-join",
+      "dedup_suffix_contained" -> "suffix containment = the prefix shape over reverse(text): same single range shuffle, run-collapsing window, narrow-key re-join",
+      "text_dup_lines" -> "dup-line repetition signals: scan-side array HOFs only, zero exchanges")
     val keep = Seq("Exchange", "Scan", "Join", "Aggregate", "Window", "Expand",
       "TakeOrdered", "Broadcast", "Sort", "Filter", "Project", "WholeStageCodegen")
     val sb = new StringBuilder

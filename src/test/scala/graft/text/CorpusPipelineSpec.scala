@@ -7,6 +7,50 @@ import graft.ops.Profile
 class CorpusPipelineSpec extends SparkSpec {
   import spark.implicits._
 
+  test("dupLineStats: newline corpus — dup and char fractions, blanks ignored") {
+    // 4 non-blank lines, "aa bb" duplicated (1 duplicate beyond first =
+    // frac 1/4; chars: 5+5+2+7=19, distinct 5+2+7=14 -> dup_char_frac
+    // 5/19 = 0.263158 after the 6-place round).
+    val docs = Seq(
+      (1L, "aa bb\ncc\n\naa bb\nlonger1"),
+      (2L, ""), // blank -> zero lines, fractions 0.0
+      (3L, "solo")
+    ).toDF("doc_id", "text")
+    val got = docs.select(col("doc_id"),
+        TextAnalysis.dupLineStats(split(col("text"), "\n")).as("st"))
+      .select(col("doc_id"), col("st.n_lines"), col("st.dup_line_frac"),
+        col("st.dup_char_frac"))
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getDouble(2), r.getDouble(3))))
+      .toMap
+    assert(got(1L) == ((4L, 0.25, 0.263158)))
+    assert(got(2L) == ((0L, 0.0, 0.0)))
+    assert(got(3L) == ((1L, 0.0, 0.0)))
+  }
+
+  test("dupLineStatsFromTokens: fused kernel == composed chunk-then-stats, incl null tokens") {
+    val docs = Seq(
+      (1L, Seq("a", "b", "a", "b", "c")),
+      (2L, Seq("a", null, "a", null)), // concatWs skips nulls, like array_join
+      (3L, Seq.empty[String])
+    ).toDF("doc_id", "toks")
+    def rows(c: org.apache.spark.sql.Column) =
+      docs.select(col("doc_id"), c.as("st")).orderBy("doc_id")
+        .collect().map(_.toString).toSeq
+    val fused = rows(TextAnalysis.dupLineStatsFromTokens(col("toks"), 2))
+    val composed = rows(TextAnalysis.dupLineStats(
+      TextAnalysis.tokenChunkLines(col("toks"), 2)))
+    assert(fused == composed)
+  }
+
+  test("tokenChunkLines: fixed-width chunks, ragged tail, blank text -> empty") {
+    val docs = Seq((1L, "a b c d e"), (2L, "  ")).toDF("doc_id", "text")
+    val got = docs.select(col("doc_id"),
+        TextAnalysis.tokenChunkLines(TextAnalysis.tokens(col("text")), 2).as("l"))
+      .collect().map(r => (r.getLong(0), r.getSeq[String](1))).toMap
+    assert(got(1L) == Seq("a b", "c d", "e"))
+    assert(got(2L) == Seq.empty)
+  }
+
   test("clean: filters language/quality, drops exact and near dups deterministically") {
     val docs = Seq(
       (0L, "the quick brown fox jumps over the lazy dog near the river bank today and then it runs off to the hills"),

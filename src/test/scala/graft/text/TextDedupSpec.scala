@@ -327,4 +327,18 @@ class TextDedupSpec extends SparkSpec {
       assert(run(docs.repartition(5)) == expected)
     } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
   }
+
+  test("suffixContainedDocs: proper suffixes via reversed-prefix, n_chars is original length") {
+    import spark.implicits._
+    // "cd" is a suffix of "abcd"; "d" is a suffix of both (reported
+    // once per doc); "ab" is a PREFIX, not a suffix; equal texts alone
+    // are not proper suffixes.
+    val docs = Seq(
+      (1L, "abcd"), (2L, "cd"), (3L, "d"), (4L, "ab"),
+      (5L, "xy"), (6L, "xy")
+    ).toDF("doc_id", "text")
+    val got = Dedup.suffixContainedDocs(docs, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == Set((2L, 2L), (3L, 1L)))
+  }
 }
