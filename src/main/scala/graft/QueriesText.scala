@@ -604,6 +604,15 @@ private[graft] object QueriesText {
             .otherwise(lit(0.0)).as("top_bigram_frac"))
     }),
 
+    // Corpus-relative statistical quality: average token surprisal under
+    // the corpus' own add-one unigram LM (the order-0 CCNet filter) —
+    // catches vocabulary-foreign / token-salad docs the per-doc
+    // heuristics can't see. Deterministic via the BM25 sorted-fold
+    // trick; exact-integer probabilities.
+    "text_lm_surprisal" -> ((s, dir) =>
+      graft.text.LanguageModel.unigramSurprisal(
+        t(s, dir, "documents"), "doc_id", "text")),
+
     // Gopher-style within-doc duplicate-LINE signals: fraction of lines
     // duplicated and fraction of characters inside duplicated lines.
     // The fixture is single-line (no '\n' at any SF), so the gate
@@ -1030,6 +1039,32 @@ private[graft] object QueriesText {
         |           g -> len(list_filter(bi, x -> x = g)))) AS DOUBLE) / len(bi), 6)
         |    ELSE 0.0 END AS top_bigram_frac
         |FROM s""".stripMargin,
+
+    // Twin of the corpus unigram LM: P(t) = (cnt+1)/(total+V) in exact
+    // integers, per-doc fold of tf*ln(P) in term order (list ORDER BY),
+    // empty docs 0.0 via the left join.
+    "text_lm_surprisal" ->
+      """WITH toks AS (SELECT doc_id,
+        |    CASE WHEN trim(text) = '' THEN []
+        |         ELSE regexp_split_to_array(trim(text), '\s+') END AS t
+        |  FROM documents),
+        |tf AS (SELECT doc_id, tok AS term, count(*) AS tf FROM (
+        |         SELECT doc_id, unnest(t) AS tok FROM toks) u
+        |       GROUP BY 1, 2),
+        |counts AS (SELECT term, CAST(sum(tf) AS BIGINT) AS cnt FROM tf GROUP BY 1),
+        |vt AS (SELECT CAST(count(*) AS BIGINT) AS v,
+        |         CAST(coalesce(sum(cnt), 0) AS BIGINT) AS total FROM counts),
+        |contrib AS (SELECT tf.doc_id, tf.term, tf.tf,
+        |    CAST(tf.tf AS DOUBLE) * ln((CAST(counts.cnt AS DOUBLE) + 1.0)
+        |      / (CAST(vt.total AS DOUBLE) + CAST(vt.v AS DOUBLE))) AS lp
+        |  FROM tf JOIN counts USING (term) CROSS JOIN vt),
+        |pd AS (SELECT doc_id, list_sum(list(lp ORDER BY term)) AS s,
+        |         CAST(sum(tf) AS BIGINT) AS n
+        |       FROM contrib GROUP BY 1)
+        |SELECT d.doc_id, coalesce(pd.n, 0) AS n_tokens,
+        |  CASE WHEN coalesce(pd.n, 0) > 0
+        |    THEN round(-pd.s / CAST(pd.n AS DOUBLE), 6) ELSE 0.0 END AS avg_neg_logprob
+        |FROM documents d LEFT JOIN pd USING (doc_id)""".stripMargin,
 
     // Twin of the 2-token chunk segmentation + duplicate-line stats.
     // DuckDB list slicing toks[a:b] is 1-based inclusive and clamps,

@@ -399,6 +399,19 @@ class PlanContractSpec extends SparkSpec {
       s"corpus re-join is not keyed on the fingerprint:\n${p.take(800)}")
   }
 
+  test("text_lm_surprisal: broadcast stats attach, no single-partition exchange") {
+    val p = plan("text_lm_surprisal")
+    // The vocabulary/total row attaches as a broadcast, never a shuffle.
+    assert(p.contains("IdentityBroadcastMode") || p.contains("BroadcastNestedLoopJoin"),
+      s"LM stats row must broadcast:\n${p.take(600)}")
+    // The per-doc fold happens in an aggregate keyed by doc_id (the only
+    // single-partition collapse is the bounded one-row vocab/total agg,
+    // which partial-aggregates map-side before the final row).
+    assert(p.contains("ObjectHashAggregate") || p.contains("SortAggregate") ||
+      p.contains("HashAggregate"), "per-doc fold must be an aggregate")
+    assert(!p.contains("CartesianProduct"), "stats attach must not be a cartesian")
+  }
+
   test("text_dup_lines: scan-side only — no exchange, no window, no explode") {
     val p = plan("text_dup_lines")
     assert(!p.contains("Exchange"), s"dup-line stats must not shuffle:\n${p.take(600)}")
