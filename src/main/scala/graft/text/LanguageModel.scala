@@ -31,12 +31,23 @@ object LanguageModel {
     * surprisal under the corpus' own add-one-smoothed unigram LM.
     * Empty/blank documents score 0.0 (no evidence, not infinite
     * surprise) with n_tokens 0.
+    *
+    * `cache` governs the (doc, term) tf table — it feeds THREE
+    * consumers (the term-count aggregation, the one-row vocab/total
+    * attach through it, and the contrib join's probe side). Without a
+    * persist the explode+groupBy re-executes per consumer AND the
+    * term-count side loses its small-relation estimate (the join
+    * degrades from broadcast to a 25 M-row sort-merge at sf10):
+    * measured 229 s end-to-end vs ~21 s with the persist at 500 k docs
+    * (`LmFoldProbe` splits the stages).
     */
-  def unigramSurprisal(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+  def unigramSurprisal(docs: DataFrame, idCol: String, textCol: String,
+                       cache: DataFrame => DataFrame =
+                         graft.util.CacheScope.untracked): DataFrame = {
     val toks = docs.select(col(idCol).as("doc_id"),
       TextAnalysis.tokens(col(textCol)).as("toks"))
-    val tf = toks.select(col("doc_id"), explode(col("toks")).as("term"))
-      .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    val tf = cache(toks.select(col("doc_id"), explode(col("toks")).as("term"))
+      .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf")))
     val counts = tf.groupBy(col("term")).agg(sum(col("tf")).as("cnt"))
     val vt = counts.agg(count(lit(1)).as("v"), coalesce(sum(col("cnt")), lit(0L)).as("total"))
     val lnP = log((col("cnt").cast(DoubleType) + lit(1.0)) /
