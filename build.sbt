@@ -11,6 +11,22 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The driver parses a bounded stdout TAIL of `sbt runMain graft.Bench`
+// for the artifact's trailing compact JSON line. sbt's default
+// LoggedOutput strategy re-logs every forked stdout line behind an
+// "[info] " prefix (and stderr behind "[error] ", ONTO stdout), which is
+// exactly why BENCH_r12 recorded "parsed": null despite the line being
+// present in the tail. StdoutOutput hands the forked JVM the real
+// stdout/stderr descriptors: the artifact lines reach stdout raw, and
+// Spark's log noise (log4j console appender targets stderr) stays off
+// the artifact channel entirely.
+outputStrategy := Some(StdoutOutput)
+// ... and keep sbt's own "[success] Total time" epilogue off stdout so
+// the compact artifact line stays the LAST stdout line of the run.
+Global / showSuccess := false
+// showSuccess is consumed by sbt's command engine, not by a task, which
+// trips the unused-key lint; exclude it rather than lose the suppression.
+Global / excludeLintKeys += showSuccess
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -253,9 +253,15 @@ object Bench {
     // gates leave a StateStore maintenance pool whose shutdown can log a
     // stack trace asynchronously, and rounds 9-11 showed that any noise
     // printed AFTER the artifact line pushes it out of a bounded stdout
-    // tail capture. Stop order: state stores, session, then a short
-    // quiesce so straggler log lines land before (not between) the
-    // artifact lines below.
+    // tail capture. Two layers of defense: Spark's log4j console appender
+    // targets STDERR and build.sbt's StdoutOutput strategy keeps the two
+    // descriptors separate (sbt's default re-logged forked stderr onto
+    // stdout behind "[error] "), so straggler log lines cannot land on
+    // the artifact channel at all; the stop-then-quiesce below remains as
+    // belt-and-braces for anything that prints to stdout directly. The
+    // StateStore call is an internal API — the catch-all (Throwable, so
+    // NoSuchMethodError too) makes a Spark upgrade degrade to the
+    // pre-stop behavior instead of failing the artifact.
     try org.apache.spark.sql.execution.streaming.state.StateStore.stop()
     catch { case _: Throwable => () }
     try spark.stop() catch { case _: Throwable => () }
@@ -273,24 +279,35 @@ object Bench {
   /** The trailing compact artifact line: headline fields plus as many of
     * the most expensive queries as fit `budget` characters. Always valid
     * JSON regardless of how many entries fit (including zero).
+    *
+    * The failed map is budget-bound too — the line exists for a bounded
+    * stdout tail, and a failed RUN is exactly when it must parse: each
+    * error message is cut to its first 60 chars (the full text lives in
+    * the durable artifact and on stderr), and if enough queries fail
+    * that even the truncated map blows the head past the budget, the map
+    * degrades to `{}` with `failed_count` still carried.
     */
   private[graft] def compactLine(total: Double, ok: Seq[(String, Double)],
                                  failed: Seq[(String, String)], flakyJson: String,
                                  seedState: Boolean, sfDir: String, out: String,
                                  budget: Int = 1500): String = {
-    val failedJson = failed.map { case (k, e) => jsonStr(k) + ":" + jsonStr(e) }
-      .mkString("{", ",", "}")
-    val head = s"""{"metric":"total","value":${fmt3(total)},"unit":"sec",""" +
-      s""""queries_total":${ok.size},"failed_count":${failed.size},""" +
-      s""""failed":$failedJson,"flaky":$flakyJson,"seeded_state":$seedState,""" +
-      s""""sf":${jsonStr(sfDir)},"full_artifact":${jsonStr(out)},""" +
-      s""""queries_truncated_to_top":true,"queries":{"""
     val tailFixed = "}}"
+    def head(failedJson: String): String =
+      s"""{"metric":"total","value":${fmt3(total)},"unit":"sec",""" +
+        s""""queries_total":${ok.size},"failed_count":${failed.size},""" +
+        s""""failed":$failedJson,"flaky":$flakyJson,"seeded_state":$seedState,""" +
+        s""""sf":${jsonStr(sfDir)},"full_artifact":${jsonStr(out)},""" +
+        s""""queries_truncated_to_top":true,"queries":{"""
+    val failedJson = failed
+      .map { case (k, e) => jsonStr(k) + ":" + jsonStr(e.take(60)) }
+      .mkString("{", ",", "}")
+    val h0 = head(failedJson)
+    val h = if (h0.length + tailFixed.length <= budget) h0 else head("{}")
     val entries = ok.sortBy(-_._2).iterator
       .map { case (k, v) => jsonStr(k) + ":" + fmt3(v) }
       .scanLeft(("", 0)) { case ((_, len), e) => (e, len + e.length + 1) }
-      .drop(1).takeWhile(_._2 <= budget - head.length - tailFixed.length)
+      .drop(1).takeWhile(_._2 <= budget - h.length - tailFixed.length)
       .map(_._1).toSeq
-    head + entries.mkString(",") + tailFixed
+    h + entries.mkString(",") + tailFixed
   }
 }

@@ -51,6 +51,32 @@ class BenchSpec extends AnyFunSuite {
     assert(Bench.parseArtifactEntry(line, "some_quite_long_query_name_200").contains(20.0))
   }
 
+  // A failed RUN is exactly when the compact line must parse — but each
+  // failed query used to embed its FULL error message in the fixed head,
+  // so a handful of verbose Spark exceptions pushed the line past the
+  // tail window and reproduced the "parsed": null failure on the runs
+  // that matter most.
+  test("failed error messages are truncated to 60 chars in the compact head") {
+    val boom = "org.apache.spark.SparkException: " + ("x" * 500)
+    val line = Bench.compactLine(total = 1.0, ok = Seq(("q1_agg", 1.0)),
+      failed = Seq(("bad_query", boom)), flakyJson = "{}",
+      seedState = false, sfDir = "sf", out = "o", budget = 1500)
+    assert(line.length <= 1500)
+    assert(line.contains("\"failed_count\":1"))
+    assert(line.contains("\"bad_query\":\"" + boom.take(60) + "\""))
+    assert(!line.contains(boom.take(61)))
+  }
+
+  test("a mass failure degrades the failed map to {} but keeps failed_count") {
+    val failed = (1 to 100).map(i => (f"query_that_failed_$i%03d", "e" * 60))
+    val line = Bench.compactLine(total = 0.0, ok = Seq.empty, failed = failed,
+      flakyJson = "{}", seedState = false, sfDir = "sf", out = "o", budget = 1500)
+    assert(line.length <= 1500)
+    assert(line.contains("\"failed\":{}"))
+    assert(line.contains("\"failed_count\":100"))
+    assert(line.endsWith("\"queries\":{}}"))
+  }
+
   test("compact line stays valid JSON when nothing fits the budget") {
     val ok = Seq(("x" * 400, 1.0))
     val line = Bench.compactLine(total = 1.0, ok = ok,
