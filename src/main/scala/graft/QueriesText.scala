@@ -66,6 +66,49 @@ private[graft] object QueriesText {
       |      FROM sc)
       |SELECT query_id, rank, doc_id, round(score, 6) AS score FROM r WHERE rank <= 10""".stripMargin
 
+  /** CTE chain replicating [[graft.text.LanguageModel.unigramSurprisal]]:
+    * terminal CTE `lmscore(doc_id, lm_n, lm_anl)` carries every
+    * document's token count and ROUNDED average-negative-logprob over
+    * its first `maxTokens` tokens (0 = uncapped) under the corpus' own
+    * add-one unigram LM. Shared by the raw operator gate and the two
+    * corpus-cleaning oracles that compose the LM tier.
+    */
+  private[graft] def lmScoreCte(maxTokens: Int): String = {
+    val cap = if (maxTokens > 0) s"[1:$maxTokens]" else ""
+    s"""lmtoks AS (SELECT doc_id,
+       |    (CASE WHEN trim(text) = '' THEN []
+       |          ELSE regexp_split_to_array(trim(text), '\\s+') END)$cap AS lt
+       |  FROM documents),
+       |lmtf AS (SELECT doc_id, tok AS term, count(*) AS tf FROM (
+       |         SELECT doc_id, unnest(lt) AS tok FROM lmtoks) u
+       |       GROUP BY 1, 2),
+       |lmcounts AS (SELECT term, CAST(sum(tf) AS BIGINT) AS cnt FROM lmtf GROUP BY 1),
+       |lmvt AS (SELECT CAST(count(*) AS BIGINT) AS v,
+       |         CAST(coalesce(sum(cnt), 0) AS BIGINT) AS total FROM lmcounts),
+       |lmcontrib AS (SELECT lmtf.doc_id, lmtf.term, lmtf.tf,
+       |    CAST(lmtf.tf AS DOUBLE) * ln((CAST(lmcounts.cnt AS DOUBLE) + 1.0)
+       |      / (CAST(lmvt.total AS DOUBLE) + CAST(lmvt.v AS DOUBLE))) AS lp
+       |  FROM lmtf JOIN lmcounts USING (term) CROSS JOIN lmvt),
+       |lmpd AS (SELECT doc_id, list_sum(list(lp ORDER BY term)) AS s,
+       |         CAST(sum(tf) AS BIGINT) AS n
+       |       FROM lmcontrib GROUP BY 1),
+       |lmscore AS (SELECT d.doc_id, coalesce(lmpd.n, 0) AS lm_n,
+       |    CASE WHEN coalesce(lmpd.n, 0) > 0
+       |      THEN round(-lmpd.s / CAST(lmpd.n AS DOUBLE), 6) ELSE 0.0 END AS lm_anl
+       |  FROM documents d LEFT JOIN lmpd USING (doc_id))""".stripMargin
+  }
+
+  /** The corpus-LM surprisal threshold the cleaning gates arm
+    * ([[graft.text.CorpusPipeline.clean]]'s `maxSurprisal`): the fixture
+    * corpus concentrates at ~3.40 avg-neg-logprob with a >=3.5 tail of
+    * ~1-2% at every SF (measured via the oracle CTE), so 3.5 exercises
+    * the tier without gutting the corpus. Doc-token cap 5000 is the
+    * length tier bounding the LM fold's per-group buffer — it never
+    * binds on the fixtures (docs are far shorter), which the capped and
+    * uncapped gate hashes agreeing confirms. */
+  private[graft] val LmMaxSurprisal = 3.5
+  private[graft] val LmDocTokenCap = 5000
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_normalize" -> ((s, dir) =>
       t(s, dir, "documents").select(col("doc_id"),
@@ -181,9 +224,14 @@ private[graft] object QueriesText {
     // exactly those (plus any natural ones, of which there are none).
     "dedup_suffix_contained" -> ((s, dir) => {
       val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      // Synthetic-tail id offset far above any fixture's id range (sf10
+      // replicas reach ~1e10): a collision with a real doc_id would give
+      // the augmented corpus duplicate keys — the gate would still
+      // hash-match its oracle (both sides agree), but its semantics
+      // would silently muddy.
       val tails = docs
         .where(pmod(col("doc_id"), lit(7)) === 0 && length(col("text")) > 25)
-        .select((col("doc_id") + 1000000L).as("doc_id"),
+        .select((col("doc_id") + 1000000000000L).as("doc_id"),
           expr("substring(text, 26)").as("text"))
       Dedup.suffixContainedDocs(docs.unionByName(tails), "doc_id", "text")
     }),
@@ -265,7 +313,8 @@ private[graft] object QueriesText {
     // — next to the exact count; the oracle's twin row is literal TRUE.
     "corpus_clean" -> ((s, dir) =>
       graft.text.CorpusPipeline.clean(t(s, dir, "documents"), "doc_id", "text",
-        lang = "en", minQuality = 0.45, jaccardThreshold = 0.5, maxDocFreq = 100L)),
+        lang = "en", minQuality = 0.45, jaccardThreshold = 0.5, maxDocFreq = 100L,
+        maxSurprisal = LmMaxSurprisal, lmMaxDocTokens = LmDocTokenCap)),
 
     // ---- dedup ------------------------------------------------------------
     "dedup_exact" -> ((s, dir) =>
@@ -641,6 +690,13 @@ private[graft] object QueriesText {
       // text (Dedup.prefixContainedDocs; narrow 12-byte-key join).
       val truncated = Dedup.prefixContainedDocs(docs, "doc_id", "text")
         .select(col("doc_id"), lit(true).as("_trunc"))
+      // Corpus-LM tier (the other corpus-relative column): average token
+      // surprisal under the corpus' own unigram LM, thresholded at the
+      // same 3.5 the cleaning pipeline arms.
+      val lm = graft.text.LanguageModel.unigramSurprisal(
+          docs, "doc_id", "text", maxDocTokens = LmDocTokenCap)
+        .select(col("doc_id"),
+          (col("avg_neg_logprob") <= LmMaxSurprisal).as("pass_lm"))
       docs
         .select(col("doc_id"), col("text"), TextAnalysis.tokens(col("text")).as("toks"))
         .select(col("doc_id"), col("text"),
@@ -658,10 +714,11 @@ private[graft] object QueriesText {
         .join(truncated, Seq("doc_id"), "left")
         .withColumn("pass_not_truncated", col("_trunc").isNull)
         .drop("_trunc")
+        .join(lm, Seq("doc_id"))
         .withColumn("keep",
           col("pass_lang") && col("pass_quality") &&
             col("pass_repetition") && col("pass_no_digit_runs") &&
-            col("pass_not_truncated"))
+            col("pass_not_truncated") && col("pass_lm"))
     }),
 
     // ---- sequence packing -------------------------------------------------
@@ -743,7 +800,8 @@ private[graft] object QueriesText {
       val langs = TextAnalysis.StopwordLists.map(_._1)
       val best = s"greatest(${langs.map(l => s"h_$l").mkString(", ")})"
       val cases = langs.map(l => s"WHEN h_$l = $best THEN '$l'").mkString(" ")
-      s"""WITH h AS (
+      s"""WITH ${lmScoreCte(LmDocTokenCap)},
+         |h AS (
          |  SELECT doc_id, text,
          |    CAST(length(text) AS DOUBLE) AS n_char,
          |    CAST(len($toks) AS DOUBLE) AS n_tok,
@@ -759,7 +817,10 @@ private[graft] object QueriesText {
          |      + (CASE WHEN n_tok > 0 THEN en_hits / n_tok ELSE 0.0 END) * 0.3
          |      + least(n_tok / 100.0, 1.0) * 0.3, 6) AS quality
          |  FROM h),
-         |kept AS (SELECT * FROM scored WHERE lang_guess = 'en' AND quality >= 0.45),
+         |kept AS (SELECT scored.doc_id, scored.text, scored.lang_guess, scored.quality
+         |         FROM scored JOIN lmscore USING (doc_id)
+         |         WHERE lang_guess = 'en' AND quality >= 0.45
+         |           AND lm_anl <= $LmMaxSurprisal),
          |fp AS (SELECT doc_id, text, lang_guess, quality,
          |         md5(array_to_string($toks, ' ')) AS fp FROM kept),
          |keepers AS (SELECT fp, min(doc_id) AS keeper FROM fp GROUP BY 1),
@@ -830,7 +891,7 @@ private[graft] object QueriesText {
       """WITH aug AS (
         |  SELECT doc_id, text FROM documents
         |  UNION ALL
-        |  SELECT doc_id + 1000000, substr(text, 26) FROM documents
+        |  SELECT doc_id + 1000000000000, substr(text, 26) FROM documents
         |  WHERE doc_id % 7 = 0 AND len(text) > 25),
         |u AS (SELECT DISTINCT reverse(text) AS t FROM aug),
         |s AS (SELECT t, lead(t) OVER (ORDER BY t) AS nxt FROM u),
@@ -1042,29 +1103,13 @@ private[graft] object QueriesText {
 
     // Twin of the corpus unigram LM: P(t) = (cnt+1)/(total+V) in exact
     // integers, per-doc fold of tf*ln(P) in term order (list ORDER BY),
-    // empty docs 0.0 via the left join.
+    // empty docs 0.0 via the left join. The raw operator gate is
+    // UNCAPPED; the corpus-cleaning oracles reuse the same CTE with the
+    // 5000-token length tier.
     "text_lm_surprisal" ->
-      """WITH toks AS (SELECT doc_id,
-        |    CASE WHEN trim(text) = '' THEN []
-        |         ELSE regexp_split_to_array(trim(text), '\s+') END AS t
-        |  FROM documents),
-        |tf AS (SELECT doc_id, tok AS term, count(*) AS tf FROM (
-        |         SELECT doc_id, unnest(t) AS tok FROM toks) u
-        |       GROUP BY 1, 2),
-        |counts AS (SELECT term, CAST(sum(tf) AS BIGINT) AS cnt FROM tf GROUP BY 1),
-        |vt AS (SELECT CAST(count(*) AS BIGINT) AS v,
-        |         CAST(coalesce(sum(cnt), 0) AS BIGINT) AS total FROM counts),
-        |contrib AS (SELECT tf.doc_id, tf.term, tf.tf,
-        |    CAST(tf.tf AS DOUBLE) * ln((CAST(counts.cnt AS DOUBLE) + 1.0)
-        |      / (CAST(vt.total AS DOUBLE) + CAST(vt.v AS DOUBLE))) AS lp
-        |  FROM tf JOIN counts USING (term) CROSS JOIN vt),
-        |pd AS (SELECT doc_id, list_sum(list(lp ORDER BY term)) AS s,
-        |         CAST(sum(tf) AS BIGINT) AS n
-        |       FROM contrib GROUP BY 1)
-        |SELECT d.doc_id, coalesce(pd.n, 0) AS n_tokens,
-        |  CASE WHEN coalesce(pd.n, 0) > 0
-        |    THEN round(-pd.s / CAST(pd.n AS DOUBLE), 6) ELSE 0.0 END AS avg_neg_logprob
-        |FROM documents d LEFT JOIN pd USING (doc_id)""".stripMargin,
+      s"""WITH ${lmScoreCte(0)}
+         |SELECT doc_id, lm_n AS n_tokens, lm_anl AS avg_neg_logprob
+         |FROM lmscore""".stripMargin,
 
     // Twin of the 2-token chunk segmentation + duplicate-line stats.
     // DuckDB list slicing toks[a:b] is 1-based inclusive and clamps,
@@ -1101,7 +1146,8 @@ private[graft] object QueriesText {
         s"${hitsSql(toks, words)} AS h_$lang"
       }.mkString(",\n    ")
       val best = s"greatest(${TextAnalysis.StopwordLists.map(l => s"h_${l._1}").mkString(", ")})"
-      s"""WITH b AS (
+      s"""WITH ${lmScoreCte(LmDocTokenCap)},
+         |b AS (
          |  SELECT doc_id, text,
          |    CAST(length(text) AS DOUBLE) AS n_char,
          |    CAST(len($toks) AS DOUBLE) AS n_tok,
@@ -1126,10 +1172,12 @@ private[graft] object QueriesText {
          |  rep < 0.6 AS pass_repetition,
          |  len(regexp_extract_all(text, '[0-9]{6,}')) = 0 AS pass_no_digit_runs,
          |  COALESCE(text NOT IN (SELECT t FROM tc), TRUE) AS pass_not_truncated,
+         |  lm_anl <= $LmMaxSurprisal AS pass_lm,
          |  (h_en = best AND best > 0) AND quality >= 0.45 AND rep < 0.6
          |    AND len(regexp_extract_all(text, '[0-9]{6,}')) = 0
-         |    AND COALESCE(text NOT IN (SELECT t FROM tc), TRUE) AS keep
-         |FROM m""".stripMargin
+         |    AND COALESCE(text NOT IN (SELECT t FROM tc), TRUE)
+         |    AND lm_anl <= $LmMaxSurprisal AS keep
+         |FROM m JOIN lmscore USING (doc_id)""".stripMargin
     },
 
     // Shard-local running sums replicated with the md5-derived shard hash.

@@ -4,9 +4,10 @@ import org.apache.spark.sql.{DataFrame}
 import org.apache.spark.sql.functions._
 
 /** The composed training-data cleaning flow — the flagship beyond-reference
-  * pipeline: language filter -> quality filter -> exact-dedup keeper ->
-  * truncation-duplicate drop -> near-dup keeper. Every stage is one of
-  * the library's scan-side expressions or index joins.
+  * pipeline: language filter -> quality filter -> corpus-LM surprisal
+  * filter -> exact-dedup keeper -> truncation-duplicate drop -> near-dup
+  * keeper. Every stage is one of the library's scan-side expressions or
+  * index joins.
   *
   * Keeper policy (deterministic): within an exact-duplicate group the
   * smallest doc_id survives; a surviving doc whose text is a PROPER
@@ -20,6 +21,18 @@ object CorpusPipeline {
 
   /** Returns the surviving documents (doc_id + diagnostics).
     *
+    * `maxSurprisal` is the corpus-LM tier ([[LanguageModel]]): documents
+    * whose average token surprisal under the corpus' OWN add-one unigram
+    * LM (fit on the raw input, rounded to 6) exceeds the threshold are
+    * dropped alongside the lang/quality tiers — the CCNet-style
+    * statistical filter that catches vocabulary-foreign / token-salad
+    * text the per-doc heuristics pass. Infinity (the default) skips the
+    * tier entirely — no tf shuffle is planned. `lmMaxDocTokens` bounds
+    * the per-doc evidence window (and thereby the LM fold's per-group
+    * buffer — see [[LanguageModel.unigramSurprisal]]): each doc is
+    * scored over its first N tokens, the length tier a web corpus needs
+    * against pathological multi-GB documents.
+    *
     * `cache` governs the post-exact-dedup frame: it is read by three
     * downstream branches (the two sides of the shingle self-join and the
     * final anti-join) and carries the regex-heavy scoring expressions —
@@ -31,12 +44,25 @@ object CorpusPipeline {
   def clean(docs: DataFrame, idCol: String, textCol: String,
             lang: String = "en", minQuality: Double = 0.3,
             jaccardThreshold: Double = 0.5, maxDocFreq: Long = 100L,
+            maxSurprisal: Double = Double.PositiveInfinity,
+            lmMaxDocTokens: Int = 5000,
             cache: DataFrame => DataFrame = graft.util.CacheScope.untracked): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val scored = docs.select(col(idCol).as("doc_id"), col(textCol).as("text"),
+    val scored0 = docs.select(col(idCol).as("doc_id"), col(textCol).as("text"),
       TextAnalysis.langId(col(textCol)).as("lang_guess"),
       round(TextAnalysis.qualityScore(col(textCol)), 6).as("quality"))
-    val kept = scored.where(col("lang_guess") === lang && col("quality") >= minQuality)
+    // The LM tier joins on doc_id only when armed: an infinite threshold
+    // must not cost the (doc, term) tf shuffle.
+    val scored =
+      if (maxSurprisal.isPosInfinity) scored0
+      else scored0.join(
+        LanguageModel.unigramSurprisal(docs, idCol, textCol, cache, lmMaxDocTokens)
+          .select(col("doc_id"), col("avg_neg_logprob").as("_anl")),
+        Seq("doc_id"))
+    val kept0 = scored.where(col("lang_guess") === lang && col("quality") >= minQuality)
+    val kept =
+      if (maxSurprisal.isPosInfinity) kept0
+      else kept0.where(col("_anl") <= maxSurprisal).drop("_anl")
 
     // Exact-dup keeper via one window pass (no self-join): the smallest
     // doc_id per fingerprint survives.

@@ -920,6 +920,16 @@ object Dedup {
     // RangePartitioner's contract, so duplicate texts form contiguous
     // runs under the per-partition sort and collapse inside the same
     // window pass that finds successors.
+    // Skew trade-off of collapsing duplicates IN the range pass: every
+    // row of a hot exact-duplicate text lands in one range partition
+    // (equal keys cannot split), where the old distinct-first shape had
+    // collapsed it under a hash shuffle before ranging. At the fixture's
+    // density the run-collapse is strictly cheaper (one shuffle, not
+    // two); a corpus where one text dominates — a crawl BEFORE exact
+    // dedup — should pre-collapse to (text, count) upstream when a cheap
+    // duplicate-ratio probe (count vs approx_count_distinct on a sample)
+    // shows heavy duplication, and re-expand through the narrow-key
+    // re-join below, which reports duplicates either way.
     val rows = docs.select(col(textCol).as("t")).where(col("t").isNotNull)
     val ranged0 = cache(rows.repartitionByRange(n, col("t"))
       .withColumn("_part", org.apache.spark.sql.functions.spark_partition_id()))
@@ -994,6 +1004,15 @@ object Dedup {
     * whole prefix scale shape (ONE range shuffle, run-collapsing sort,
     * driver boundary map, narrow-key corpus re-join) is inherited
     * unchanged; `n_chars` reports the original text length.
+    *
+    * Unicode contract: reversal is by CODE POINT (Spark's `reverse`),
+    * so a "suffix" boundary may split a grapheme cluster — text using
+    * combining sequences (e + U+0301) or ZWJ emoji can disagree with a
+    * grapheme-aware engine (DuckDB's `reverse`) about which strings are
+    * suffixes. NFC-normalize upstream
+    * ([[graft.functions.TextExpressions.unicodeNormalize]]) when
+    * combining sequences are in play; the contract is exact as-is for
+    * NFC-normalized and ASCII corpora.
     */
   def suffixContainedDocs(docs: DataFrame, idCol: String, textCol: String,
                           cache: DataFrame => DataFrame =

@@ -40,12 +40,27 @@ object LanguageModel {
     * degrades from broadcast to a 25 M-row sort-merge at sf10):
     * measured 229 s end-to-end vs ~21 s with the persist at 500 k docs
     * (`LmFoldProbe` splits the stages).
+    *
+    * Memory bound of the per-doc fold: `collect_list(struct(term, lp))`
+    * buffers ONE document's DISTINCT-term list on the task that owns
+    * its group — bounded by per-document vocabulary, the same contract
+    * as [[Bm25.scoreIndex]]'s fold (there the buffer is query terms,
+    * here it is doc vocabulary). Fine for web-document corpora (vocab
+    * ≪ heap); a single pathological multi-GB document would
+    * concentrate one group's buffer on one task, so `maxDocTokens > 0`
+    * caps the evidence window: each document is scored over its FIRST
+    * `maxDocTokens` tokens (and contributes only those to the LM fit),
+    * bounding the buffer by min(doc vocab, maxDocTokens). 0 = uncapped.
+    * [[CorpusPipeline.clean]] passes its length-tier cap through here.
     */
   def unigramSurprisal(docs: DataFrame, idCol: String, textCol: String,
                        cache: DataFrame => DataFrame =
-                         graft.util.CacheScope.untracked): DataFrame = {
-    val toks = docs.select(col(idCol).as("doc_id"),
-      TextAnalysis.tokens(col(textCol)).as("toks"))
+                         graft.util.CacheScope.untracked,
+                       maxDocTokens: Int = 0): DataFrame = {
+    val allToks = TextAnalysis.tokens(col(textCol))
+    val capped =
+      if (maxDocTokens > 0) slice(allToks, 1, maxDocTokens) else allToks
+    val toks = docs.select(col(idCol).as("doc_id"), capped.as("toks"))
     val tf = cache(toks.select(col("doc_id"), explode(col("toks")).as("term"))
       .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf")))
     val counts = tf.groupBy(col("term")).agg(sum(col("tf")).as("cnt"))

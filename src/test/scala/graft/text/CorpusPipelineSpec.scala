@@ -101,6 +101,48 @@ class CorpusPipelineSpec extends SparkSpec {
     assert(got == Set(0L, 2L), s"truncated doc 1 must be dropped, got $got")
   }
 
+  // The fold buffer bound: maxDocTokens caps the evidence window, so a
+  // capped score over a long doc IS the uncapped score over its first N
+  // tokens — the pathological multi-GB document contributes (and
+  // buffers) at most N tokens on the task that owns its group.
+  test("unigramSurprisal: maxDocTokens scores each doc over its first N tokens only") {
+    val docs = Seq(
+      (1L, "a b c d e f g h i j"), // 10 tokens, cap binds
+      (2L, "a b c")                // under the cap, untouched
+    ).toDF("doc_id", "text")
+    val capped = graft.text.LanguageModel
+      .unigramSurprisal(docs, "doc_id", "text", maxDocTokens = 3)
+      .orderBy("doc_id").collect().toSeq
+    val truncatedByHand = graft.text.LanguageModel.unigramSurprisal(
+        Seq((1L, "a b c"), (2L, "a b c")).toDF("doc_id", "text"), "doc_id", "text")
+      .orderBy("doc_id").collect().toSeq
+    assert(capped == truncatedByHand)
+    assert(capped.head.getLong(1) == 3L) // n_tokens reports the capped window
+  }
+
+  test("clean: the LM surprisal tier drops token salad the heuristics pass") {
+    // Salad passes lang (3 English stopwords beat every other list) and
+    // any low quality floor, but its singleton tokens are vocabulary-
+    // foreign to the rest of the corpus -> highest surprisal.
+    val salad = "the of and zzqq9 xxkk8 wwff7 qqpp6 rrtt5"
+    val docs = Seq(
+      (0L, "the quick brown fox jumps over the lazy dog and the cat"),
+      (1L, "the quick brown fox walks under the lazy dog and the cat"),
+      (2L, salad)).toDF("doc_id", "text")
+    val scores = graft.text.LanguageModel.unigramSurprisal(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(scores(2L) > scores(0L) && scores(2L) > scores(1L))
+    val cut = (scores(2L) + math.max(scores(0L), scores(1L))) / 2
+    def keptIds(maxSurprisal: Double) =
+      CorpusPipeline.clean(docs, "doc_id", "text", lang = "en",
+          minQuality = 0.0, jaccardThreshold = 0.9, maxDocFreq = 100L,
+          maxSurprisal = maxSurprisal)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(keptIds(Double.PositiveInfinity).contains(2L)) // tier off -> salad survives
+    assert(!keptIds(cut).contains(2L))                    // tier armed -> salad dropped
+    assert(keptIds(cut).contains(0L))                     // fluent docs untouched
+  }
+
   test("quantiles: exact interpolated per-group percentiles, one row per prob") {
     val df = Seq(("a", 1.0), ("a", 2.0), ("a", 3.0), ("a", 4.0), ("b", 10.0))
       .toDF("g", "v")
