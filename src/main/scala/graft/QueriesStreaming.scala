@@ -118,9 +118,14 @@ private[graft] object QueriesStreaming {
     // flow through bm25IndexSink — each micro-batch appends its (tf,
     // stats) slice to the persisted index (O(batch) per wave, history
     // never re-tokenized, waves replay-safe via dynamic partition
-    // overwrite). Scoring the FOLDED index must reproduce the
-    // full-corpus rebuild ranking bit-for-bit: same oracle as
-    // text_bm25_topk.
+    // overwrite) — with the sink's COMPACTION CADENCE armed: wave 1's
+    // tick consolidates wave 0's slice files into the reserved wave=-1
+    // partition (size-tiered Compact.consolidateWaves; the current wave
+    // is never touched, it may still replay), so an unattended stream
+    // stays bounded in file count. Scoring the consolidated index must
+    // STILL reproduce the full-corpus rebuild ranking bit-for-bit: same
+    // oracle as text_bm25_topk — the result-transparency proof for the
+    // cadence.
     "streaming_bm25_live" -> ((s, dir) => {
       import graft.text.Bm25
       val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
@@ -137,8 +142,13 @@ private[graft] object QueriesStreaming {
       val ckpt = graft.util.Scratch.dir("graft_bm25w_ck")
       withShufflePartitions(s, 8) {
         graft.streaming.EventStreams.bm25IndexSink(stream, "doc_id", "text",
-          terms, statePath, ckpt).awaitTermination()
+          terms, statePath, ckpt, compactEvery = 2, compactMaxFiles = 4)
+          .awaitTermination()
       }
+      // The tick really merged: wave 0's slices were re-homed.
+      require(new java.io.File(statePath + "/tf/wave=-1").isDirectory &&
+        !new java.io.File(statePath + "/tf/wave=0").exists(),
+        "compaction cadence did not consolidate wave 0")
       Bm25.scoreIndex(
         s.read.parquet(statePath + "/tf").drop("wave"),
         Bm25.foldStats(s.read.parquet(statePath + "/stats").drop("wave")),

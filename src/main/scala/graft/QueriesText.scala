@@ -273,10 +273,15 @@ private[graft] object QueriesText {
     // APPENDS tf/stats parquet files, so a long-lived index accumulates
     // files without bound — the same small-file failure
     // dedup_incremental_compacted already solves for the shingle index.
-    // Here two history folds (doc_id%4 ∈ {0,2}) land in one state dir
-    // fanned wide, ops/Compact rewrites both dirs to a bounded file
-    // count (slices are doc-disjoint, so a file-level rewrite IS the
-    // semantic compaction — no (doc,term) rows to re-sum), and the
+    // Two history folds (doc_id%4 ∈ {0,2}) land in the state dir fanned
+    // wide, with a SIZE-TIERED compaction tick after each
+    // (ops/Compact.compactTiered, the LSM move): the first tick's flat
+    // tier major-merges slice 0; the second tick merges ONLY slice 2's
+    // newly-appended span and keeps the previously compacted file by
+    // metadata rename — asserted below, because that bound is the whole
+    // point: a periodic tick costs O(new slices), never O(index
+    // history). Slices are doc-disjoint, so the file-level rewrite IS
+    // the semantic compaction (no (doc,term) rows to re-sum), and the
     // compacted state folded with the odd-id batch must score EXACTLY
     // like the full rebuild: the oracle is text_bm25_topk's.
     "text_bm25_compacted" -> ((s, dir) => {
@@ -284,19 +289,29 @@ private[graft] object QueriesText {
       val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
       val terms = Bm25.queryTerms(Bm25Queries)
       val root = graft.util.StateSeed.root("graft_bm25_c", dir) { root =>
+        def tick(): Seq[graft.ops.Compact.TieredStats] =
+          Seq("/tf", "/stats").map { sub =>
+            graft.ops.Compact.compactTiered(s, root + sub)
+          }
         val (tf0, st0) = Bm25.buildIndex(
           docs.where(pmod(col("doc_id"), lit(4)) === 0), "doc_id", "text", terms)
         tf0.repartition(24).write.parquet(root + "/tf")
         st0.write.parquet(root + "/stats")
+        val first = tick()
+        require(first.head.filesAfter < first.head.filesBefore,
+          s"major merge did not reduce /tf: ${first.head}")
         val (tf2, st2) = Bm25.buildIndex(
           docs.where(pmod(col("doc_id"), lit(4)) === 2), "doc_id", "text", terms)
         tf2.repartition(24).write.mode("append").parquet(root + "/tf")
         st2.write.mode("append").parquet(root + "/stats")
-        Seq("/tf", "/stats").foreach { sub =>
-          val stats = graft.ops.Compact.compactParquet(s, root + sub)
-          require(stats.filesAfter < stats.filesBefore,
-            s"compaction did not reduce $sub: $stats")
-        }
+        val second = tick()
+        // The LSM bound: the second tick must KEEP the first tick's
+        // compacted file (rename, zero bytes read) and rewrite only the
+        // 24 freshly-appended slice files.
+        require(second.head.keptFiles >= 1 && second.head.rewrittenFiles >= 1,
+          s"second tick was not tiered: ${second.head}")
+        require(second.head.filesAfter <= first.head.filesAfter + 1,
+          s"file count not bounded across ticks: ${second.head}")
       }
       val (tfO, stO) = Bm25.buildIndex(
         docs.where(pmod(col("doc_id"), lit(2)) =!= 0), "doc_id", "text", terms)

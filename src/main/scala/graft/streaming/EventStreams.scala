@@ -417,18 +417,32 @@ object EventStreams {
     * stats row per wave ([[graft.text.Bm25]]'s fold contract: slices
     * over disjoint doc sets fold by tf append + stats sum, so the folded
     * index scores EXACTLY like a full rebuild, O(batch) per wave,
-    * history never re-tokenized). Compaction of the accumulating slice
-    * files is the reader's periodic concern (`ops/Compact`, as the
-    * `text_bm25_compacted` gate proves result-transparent).
+    * history never re-tokenized).
+    *
+    * The sink OWNS its compaction cadence: every `compactEvery` waves
+    * (0 disables) the committed waves' small slice files consolidate
+    * into the reserved `wave=-1` partition via the size-tiered
+    * [[graft.ops.Compact.consolidateWaves]] — rewrite cost bounded by
+    * the newly-appended span (top-tier files move by metadata rename),
+    * so an unattended stream stays bounded in file count without anyone
+    * remembering to run maintenance, and without the per-tick
+    * O(history) rewrite a full compaction would cost. The current wave
+    * is never consolidated (it may still replay — see below);
+    * result-transparency is the fold contract the `text_bm25_compacted`
+    * gate proves and `streaming_bm25_live`'s full-rebuild oracle
+    * re-proves with the cadence armed.
     *
     * Replay safety matches [[corpusDedupSink]]: both outputs are
     * wave-partitioned (wave = batchId) and written with dynamic
     * partition overwrite, so an at-least-once retry REPLACES its own
-    * wave instead of double-counting its documents in df and avgdl.
+    * wave instead of double-counting its documents in df and avgdl —
+    * and consolidation only touches waves whose batch has committed,
+    * which can never re-fire.
     */
   def bm25IndexSink(docs: DataFrame, idCol: String, textCol: String,
                     terms: Seq[String], statePath: String,
-                    checkpoint: String): StreamingQuery =
+                    checkpoint: String, compactEvery: Int = 0,
+                    compactMaxFiles: Int = 8): StreamingQuery =
     docs.writeStream
       .outputMode(OutputMode.Update())
       .option("checkpointLocation", checkpoint)
@@ -442,6 +456,12 @@ object EventStreams {
             .partitionBy("wave").parquet(path)
         writeWave(tf, statePath + "/tf")
         writeWave(stats, statePath + "/stats")
+        if (compactEvery > 0 && batchId % compactEvery == compactEvery - 1)
+          Seq("/tf", "/stats").foreach { sub =>
+            graft.ops.Compact.consolidateWaves(
+              batch.sparkSession, statePath + sub, currentWave = batchId,
+              maxFiles = compactMaxFiles)
+          }
       }
       .trigger(Trigger.AvailableNow())
       .start()

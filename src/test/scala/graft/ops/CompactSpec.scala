@@ -52,6 +52,64 @@ class CompactSpec extends SparkSpec {
     assert(spark.read.parquet(path).where(col("wave") === 1).count() === 1000L)
   }
 
+  test("compactTiered: second tick merges only the new span, keeps the big file") {
+    val path = graft.util.Scratch.dir("compact_tiered") + "/t"
+    spark.range(0, 20000).repartition(20).write.parquet(path)
+    // First tick: flat tier of 20 equal files -> major merge to one.
+    val first = Compact.compactTiered(spark, path)
+    assert(first.filesAfter === 1 && first.rowsRewritten === 20000L)
+    val content1 = spark.read.parquet(path).orderBy("id").collect()
+    // Append a small slice; the tick must rewrite ONLY it.
+    spark.range(20000, 21000).repartition(5).write.mode("append").parquet(path)
+    val second = Compact.compactTiered(spark, path)
+    assert(second.keptFiles === 1, s"big file was rewritten: $second")
+    assert(second.rewrittenFiles === 1 && second.rowsRewritten === 1000L)
+    assert(second.filesAfter === 2)
+    val after = spark.read.parquet(path).orderBy("id").collect()
+    assert(after.length === 21000)
+    assert(after.take(20000) === content1)
+  }
+
+  test("compactTiered: a handful of flat-tier files is a no-op tick") {
+    val path = graft.util.Scratch.dir("compact_tiered_noop") + "/t"
+    spark.range(0, 3000).repartition(3).write.parquet(path)
+    val stats = Compact.compactTiered(spark, path)
+    assert(stats.rowsRewritten === 0L && stats.filesBefore === stats.filesAfter)
+  }
+
+  test("consolidateWaves: committed waves fold into wave=-1, current wave untouched") {
+    val path = graft.util.Scratch.dir("compact_waves") + "/t"
+    (0 until 4).foreach { w =>
+      spark.range(w * 1000, (w + 1) * 1000)
+        .withColumn("wave", lit(w)).repartition(6)
+        .write.mode("append").partitionBy("wave").parquet(path)
+    }
+    val before = spark.read.parquet(path).drop("wave").orderBy("id").collect()
+    val stats = Compact.consolidateWaves(spark, path, currentWave = 3, maxFiles = 4)
+    assert(stats.rowsRewritten === 3000L) // waves 0-2; wave 3 never read
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.exists(new org.apache.hadoop.fs.Path(path, "wave=-1")))
+    (0 until 3).foreach { w =>
+      assert(!fs.exists(new org.apache.hadoop.fs.Path(path, s"wave=$w")),
+        s"committed wave=$w was not consolidated")
+    }
+    assert(fs.exists(new org.apache.hadoop.fs.Path(path, "wave=3")),
+      "current wave dir must survive consolidation byte-identical")
+    // Result-transparent for wave-dropping readers...
+    val after = spark.read.parquet(path).drop("wave").orderBy("id").collect()
+    assert(after === before)
+    // ...and a replay of the CURRENT wave still dynamic-overwrites its
+    // own partition (the rows sit under wave=3, not wave=-1).
+    assert(spark.read.parquet(path).where(col("wave") === 3).count() === 1000L)
+    // A follow-up tick with a fresh committed wave keeps the merged file.
+    spark.range(4000, 5000).withColumn("wave", lit(4)).repartition(6)
+      .write.mode("append").partitionBy("wave").parquet(path)
+    val next = Compact.consolidateWaves(spark, path, currentWave = 5, maxFiles = 4)
+    assert(next.keptFiles >= 1, s"merged file was rewritten: $next")
+    assert(next.rowsRewritten === 2000L) // waves 3 and 4 only
+  }
+
   test("compactParquet: refuses a missing table") {
     val missing = graft.util.Scratch.dir("compact_missing") + "/nope"
     val e = intercept[IllegalArgumentException] {

@@ -211,6 +211,52 @@ class EventStreamsSpec extends SparkSpec {
     assert(deltas200 == 1L)
   }
 
+  test("bm25IndexSink: compaction cadence bounds state files; consolidated index scores like a rebuild") {
+    import org.apache.spark.sql.functions.col
+    implicit val sqlCtx = spark.sqlContext
+    // Four waves of 12 docs; every doc carries query terms so every wave
+    // contributes tf slices. Cadence 2: the batch-1 tick consolidates
+    // wave 0 into wave=-1; the batch-3 tick folds {-1, 1, 2}, leaving
+    // exactly {wave=-1, wave=3} — the steady-state shape of an
+    // unattended stream.
+    val docsByWave = (0 until 4).map { w =>
+      (0 until 12).map(i =>
+        ((w * 12 + i).toLong, s"hash join doc w$w i$i scan filter u${w * 12 + i}"))
+    }
+    val input = MemoryStream[(Long, String)]
+    val statePath = Files.createTempDirectory("graft_bm25spec_state").toString
+    val ckpt = Files.createTempDirectory("graft_bm25spec_ck").toString
+    val queries = Seq("q1" -> "hash join", "q2" -> "scan filter")
+    val terms = graft.text.Bm25.queryTerms(queries)
+    docsByWave.foreach { docs =>
+      input.addData(docs: _*)
+      EventStreams.bm25IndexSink(input.toDF().toDF("doc_id", "text"),
+        "doc_id", "text", terms, statePath, ckpt,
+        compactEvery = 2, compactMaxFiles = 4).awaitTermination(120000)
+    }
+    val tfDir = new java.io.File(statePath + "/tf")
+    val waveDirs = tfDir.listFiles().filter(_.isDirectory).map(_.getName).toSet
+    assert(waveDirs == Set("wave=-1", "wave=3"),
+      s"committed waves not consolidated: $waveDirs")
+    def dataFiles(d: java.io.File): Int =
+      if (d.isDirectory) d.listFiles().map(dataFiles).sum
+      else if (!d.getName.startsWith("_") && !d.getName.startsWith(".")) 1 else 0
+    // Bounded: the merged wave=-1 file(s) plus the live wave's slices
+    // (<= 4 shuffle partitions in this spec session).
+    assert(dataFiles(tfDir) <= 5, s"tf file count unbounded: ${dataFiles(tfDir)}")
+    // Result-transparency: the consolidated index scores EXACTLY like a
+    // one-shot rebuild over all 48 docs.
+    val streamed = graft.text.Bm25.scoreIndex(
+        spark.read.parquet(statePath + "/tf").drop("wave"),
+        graft.text.Bm25.foldStats(spark.read.parquet(statePath + "/stats").drop("wave")),
+        queries, k = 5)
+      .orderBy("query_id", "rank").collect().toSeq
+    val rebuilt = graft.text.Bm25.bm25TopK(
+        docsByWave.flatten.toDF("doc_id", "text"), "doc_id", "text", queries, k = 5)
+      .orderBy("query_id", "rank").collect().toSeq
+    assert(streamed == rebuilt)
+  }
+
   test("tumbling late semantics: drop keys on window END vs watermark, emit closed windows") {
     // Pins the drop/fold/emit boundary rules the streaming_tumbling_late
     // oracle encodes: a late row is dropped iff its WINDOW END is at or
