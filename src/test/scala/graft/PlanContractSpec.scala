@@ -399,6 +399,18 @@ class PlanContractSpec extends SparkSpec {
       s"corpus re-join is not keyed on the fingerprint:\n${p.take(800)}")
   }
 
+  test("corpus_clean: the LM tier composes without a cartesian or text-keyed shuffle join") {
+    val p = plan("corpus_clean")
+    // Multiply-read frames (post-exact corpus, LM tf) are persisted, not
+    // re-derived per consumer (the round-12 lesson: the un-persisted tf
+    // composition degraded 10x at sf10).
+    assert(p.contains("InMemoryRelation"), "multiply-read frames must persist")
+    // The LM vocabulary/total row attaches as a broadcast.
+    assert(p.contains("IdentityBroadcastMode") || p.contains("BroadcastNestedLoopJoin"),
+      s"LM vocab/total row must broadcast:\n${p.take(600)}")
+    assert(!p.contains("CartesianProduct"), "no unbounded cross anywhere in the flow")
+  }
+
   test("text_lm_surprisal: broadcast stats attach, no single-partition exchange") {
     val p = plan("text_lm_surprisal")
     // The vocabulary/total row attaches as a broadcast, never a shuffle.

@@ -54,7 +54,8 @@ object PlanDump {
       "dedup_prefix_contained" -> "ONE full-text shuffle (duplicate runs collapse inside the range sort — no distinct exchange); per-range successor window; (xxhash64,len)-keyed corpus re-join",
       "dedup_suffix_contained" -> "suffix containment = the prefix shape over reverse(text): same single range shuffle, run-collapsing window, narrow-key re-join",
       "text_dup_lines" -> "dup-line repetition signals: one codegen'd graft_line_dup_stats kernel call per row, zero exchanges",
-      "text_lm_surprisal" -> "unigram-LM surprisal: tf + term-count shuffles (narrow rows), one-row vocab/total broadcast, per-doc term-ordered fold in a hash aggregate")
+      "text_lm_surprisal" -> "unigram-LM surprisal: tf + term-count shuffles (narrow rows), one-row vocab/total broadcast, per-doc term-ordered fold in a hash aggregate",
+      "corpus_clean" -> "composed cleaning flow incl. the LM tier: surprisal joins on doc_id (vocab/total row broadcast), multiply-read frames persisted once (InMemoryRelation), no cartesian anywhere")
     val keep = Seq("Exchange", "Scan", "Join", "Aggregate", "Window", "Expand",
       "TakeOrdered", "Broadcast", "Sort", "Filter", "Project", "WholeStageCodegen")
     val sb = new StringBuilder
