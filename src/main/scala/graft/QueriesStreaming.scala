@@ -155,6 +155,35 @@ private[graft] object QueriesStreaming {
         QueriesText.Bm25Queries, k = 10)
     }),
 
+    // Streaming corpus-LM maintenance: the LIVE twin of
+    // text_lm_surprisal. Two document waves flow through lmIndexSink —
+    // each micro-batch appends its (doc, term, tf) slice (O(batch) per
+    // wave, history never re-tokenized, replay-safe, cadence armed so
+    // wave 0 consolidates into wave=-1). Scoring the FOLDED index must
+    // reproduce the one-shot corpus surprisal bit-for-bit: same oracle
+    // as text_lm_surprisal.
+    "streaming_lm_live" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val waveDir = Tables.stageWaves(s, docs, pmod(col("doc_id"), lit(2)), 2,
+        "graft_lmw", filesPerWave = Tables.WaveStageFiles)
+      val stream = s.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", Tables.WaveStageFiles.toString).parquet(waveDir)
+      val statePath = graft.util.Scratch.dir("graft_lmw_state")
+      val ckpt = graft.util.Scratch.dir("graft_lmw_ck")
+      withShufflePartitions(s, 8) {
+        graft.streaming.EventStreams.lmIndexSink(stream, "doc_id", "text",
+          statePath, ckpt, compactEvery = 2, compactMaxFiles = 4)
+          .awaitTermination()
+      }
+      require(new java.io.File(statePath + "/tf/wave=-1").isDirectory &&
+        !new java.io.File(statePath + "/tf/wave=0").exists(),
+        "compaction cadence did not consolidate wave 0")
+      graft.text.LanguageModel.surprisalFromTf(
+        graft.util.CacheScope.untracked(
+          s.read.parquet(statePath + "/tf").drop("wave")),
+        docs.select(col("doc_id")))
+    }),
+
     "streaming_dedup_incremental_live" -> ((s, dir) => {
       val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
       val waveDir = Tables.stageWaves(s, docs, pmod(col("doc_id"), lit(2)), 2, "graft_incw")
@@ -588,6 +617,13 @@ private[graft] object QueriesStreaming {
     "streaming_dedup_incremental_live" -> incrementalLiveOracleSql,
     // The streaming fold must score exactly like the full rebuild.
     "streaming_bm25_live" -> QueriesText.bm25TopKOracleSql,
+
+    // The streamed LM fold must score exactly like the one-shot corpus
+    // surprisal — the oracle IS text_lm_surprisal's full replica.
+    "streaming_lm_live" ->
+      s"""WITH ${QueriesText.lmScoreCte(0)}
+         |SELECT doc_id, lm_n AS n_tokens, lm_anl AS avg_neg_logprob
+         |FROM lmscore""".stripMargin,
     // Crash + replay must converge to the UNINTERRUPTED run's result —
     // the whole point of the replay-safe sink. Same oracle by
     // construction.

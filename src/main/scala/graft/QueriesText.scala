@@ -677,6 +677,15 @@ private[graft] object QueriesText {
       graft.text.LanguageModel.unigramSurprisal(
         t(s, dir, "documents"), "doc_id", "text")),
 
+    // Order-1 form: average BIGRAM surprisal under the corpus' own
+    // add-one conditional model P(w2|w1) — catches locally-incoherent
+    // text (shuffled fluent words) the order-0 filter passes, one step
+    // toward CCNet's 5-gram. Same determinism contract (exact integer
+    // counts, (w1,w2)-ordered fold, round 6).
+    "text_lm_bigram" -> ((s, dir) =>
+      graft.text.LanguageModel.bigramSurprisal(
+        t(s, dir, "documents"), "doc_id", "text")),
+
     // Gopher-style within-doc duplicate-LINE signals: fraction of lines
     // duplicated and fraction of characters inside duplicated lines.
     // The fixture is single-line (no '\n' at any SF), so the gate
@@ -1125,6 +1134,35 @@ private[graft] object QueriesText {
       s"""WITH ${lmScoreCte(0)}
          |SELECT doc_id, lm_n AS n_tokens, lm_anl AS avg_neg_logprob
          |FROM lmscore""".stripMargin,
+
+    // Bigram twin: P(w2|w1) = (c(w1 w2)+1)/(c(w1 .)+V) with V the corpus
+    // UNIGRAM vocabulary; per-doc fold in (w1, w2) order (each pair
+    // appears once per doc after the tf group, so the order is total);
+    // <2-token docs score 0.0 via the left join.
+    "text_lm_bigram" ->
+      """WITH t AS (SELECT doc_id,
+        |    CASE WHEN trim(text) = '' THEN []
+        |         ELSE regexp_split_to_array(trim(text), '\s+') END AS toks
+        |  FROM documents),
+        |bi AS (SELECT doc_id, toks[i] AS w1, toks[i + 1] AS w2
+        |       FROM (SELECT doc_id, toks, unnest(range(1, len(toks))) AS i
+        |             FROM t WHERE len(toks) >= 2)),
+        |btf AS (SELECT doc_id, w1, w2, count(*) AS tf FROM bi GROUP BY 1, 2, 3),
+        |cbi AS (SELECT w1, w2, CAST(sum(tf) AS BIGINT) AS cnt FROM btf GROUP BY 1, 2),
+        |cctx AS (SELECT w1, CAST(sum(cnt) AS BIGINT) AS ctx FROM cbi GROUP BY 1),
+        |v AS (SELECT CAST(count(DISTINCT tok) AS BIGINT) AS v
+        |      FROM (SELECT unnest(toks) AS tok FROM t) u),
+        |contrib AS (SELECT btf.doc_id, btf.w1, btf.w2, btf.tf,
+        |    CAST(btf.tf AS DOUBLE) * ln((CAST(cbi.cnt AS DOUBLE) + 1.0)
+        |      / (CAST(cctx.ctx AS DOUBLE) + CAST(v.v AS DOUBLE))) AS lp
+        |  FROM btf JOIN cbi USING (w1, w2) JOIN cctx USING (w1) CROSS JOIN v),
+        |pd AS (SELECT doc_id, list_sum(list(lp ORDER BY w1, w2)) AS s,
+        |         CAST(sum(tf) AS BIGINT) AS n
+        |       FROM contrib GROUP BY 1)
+        |SELECT d.doc_id, coalesce(pd.n, 0) AS n_bigrams,
+        |  CASE WHEN coalesce(pd.n, 0) > 0
+        |    THEN round(-pd.s / CAST(pd.n AS DOUBLE), 6) ELSE 0.0 END AS avg_neg_logprob
+        |FROM documents d LEFT JOIN pd USING (doc_id)""".stripMargin,
 
     // Twin of the 2-token chunk segmentation + duplicate-line stats.
     // DuckDB list slicing toks[a:b] is 1-based inclusive and clamps,

@@ -466,6 +466,44 @@ object EventStreams {
       .trigger(Trigger.AvailableNow())
       .start()
 
+  /** Streaming corpus-LM maintenance: each micro-batch of documents is
+    * tokenized once and its (doc_id, term, tf) slice appended to the
+    * persisted LM index ([[graft.text.LanguageModel.tfSlice]] — slices
+    * over disjoint doc sets fold by plain append, term counts /
+    * vocabulary / totals all derive from the folded table, so scoring
+    * the fold equals the one-shot rebuild EXACTLY). The deployment
+    * shape of the quality filter in an ingest stream: O(batch) per
+    * wave, history never re-tokenized. Unlike BM25 there is no stats
+    * sidecar; the full-vocabulary tf wire cost is the operator's
+    * inherent cost (the LM must count everything once).
+    *
+    * Replay safety and compaction cadence are [[bm25IndexSink]]'s:
+    * wave-partitioned dynamic overwrite (a retry replaces its own
+    * wave), committed waves consolidated size-tiered into wave=-1
+    * every `compactEvery` waves.
+    */
+  def lmIndexSink(docs: DataFrame, idCol: String, textCol: String,
+                  statePath: String, checkpoint: String,
+                  maxDocTokens: Int = 0, compactEvery: Int = 0,
+                  compactMaxFiles: Int = 8): StreamingQuery =
+    docs.writeStream
+      .outputMode(OutputMode.Update())
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.text.LanguageModel.tfSlice(batch, idCol, textCol, maxDocTokens)
+          .withColumn("wave", lit(batchId.toInt))
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("wave").parquet(statePath + "/tf")
+        if (compactEvery > 0 && batchId % compactEvery == compactEvery - 1)
+          graft.ops.Compact.consolidateWaves(
+            batch.sparkSession, statePath + "/tf", currentWave = batchId,
+            maxFiles = compactMaxFiles)
+        ()
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+
   def mergeSinkPartitioned(stream: DataFrame, statePath: String,
                            keys: Seq[String], precedence: Seq[Column],
                            partitionCol: String,

@@ -56,13 +56,36 @@ object LanguageModel {
   def unigramSurprisal(docs: DataFrame, idCol: String, textCol: String,
                        cache: DataFrame => DataFrame =
                          graft.util.CacheScope.untracked,
-                       maxDocTokens: Int = 0): DataFrame = {
+                       maxDocTokens: Int = 0): DataFrame =
+    surprisalFromTf(cache(tfSlice(docs, idCol, textCol, maxDocTokens)),
+      docs.select(col(idCol).as("doc_id")))
+
+  /** The unigram LM's index unit: (doc_id, term, tf) for one corpus
+    * slice. Slices over DISJOINT doc sets fold by plain append — term
+    * counts, vocabulary, and totals all derive from the folded table —
+    * so [[surprisalFromTf]] over a fold scores EXACTLY like the
+    * one-shot [[unigramSurprisal]] over the union (no stats sidecar
+    * needed, unlike BM25's dl norms). This is what a streaming
+    * maintainer persists per wave
+    * ([[graft.streaming.EventStreams.lmIndexSink]]): O(batch) per
+    * fold, history never re-tokenized.
+    */
+  def tfSlice(docs: DataFrame, idCol: String, textCol: String,
+              maxDocTokens: Int = 0): DataFrame = {
     val allToks = TextAnalysis.tokens(col(textCol))
     val capped =
       if (maxDocTokens > 0) slice(allToks, 1, maxDocTokens) else allToks
-    val toks = docs.select(col(idCol).as("doc_id"), capped.as("toks"))
-    val tf = cache(toks.select(col("doc_id"), explode(col("toks")).as("term"))
-      .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf")))
+    docs.select(col(idCol).as("doc_id"), capped.as("toks"))
+      .select(col("doc_id"), explode(col("toks")).as("term"))
+      .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+  }
+
+  /** Scores every doc_id in `docIds` against a (possibly folded) tf
+    * table. `tf` should arrive persisted (it feeds three consumers —
+    * see [[unigramSurprisal]]'s cache contract). Docs absent from `tf`
+    * (zero tokens) score 0.0 with n_tokens 0 via the left join.
+    */
+  def surprisalFromTf(tf: DataFrame, docIds: DataFrame): DataFrame = {
     val counts = tf.groupBy(col("term")).agg(sum(col("tf")).as("cnt"))
     val vt = counts.agg(count(lit(1)).as("v"), coalesce(sum(col("cnt")), lit(0L)).as("total"))
     val lnP = log((col("cnt").cast(DoubleType) + lit(1.0)) /
@@ -76,10 +99,81 @@ object LanguageModel {
           lit(0.0d),
           (acc, x) => acc + x.getField("lp")).as("s"),
         sum(col("tf")).as("n"))
-    docs.select(col(idCol).as("doc_id"))
+    docIds
       .join(perDoc, Seq("doc_id"), "left")
       .select(col("doc_id"),
         coalesce(col("n"), lit(0L)).as("n_tokens"),
+        when(coalesce(col("n"), lit(0L)) > 0,
+          round(-col("s") / col("n").cast(DoubleType), 6))
+          .otherwise(lit(0.0)).as("avg_neg_logprob"))
+  }
+
+  /** Order-1 form of the corpus LM filter (one step toward CCNet's
+    * 5-gram): score each document by the average negative
+    * log-likelihood of its BIGRAMS under the corpus' own add-one
+    * conditional model, P(w2 | w1) = (c(w1 w2) + 1) / (c(w1 ·) + V)
+    * with V the corpus UNIGRAM vocabulary. Catches locally-incoherent
+    * text (shuffled or spliced fluent words) that the order-0 filter
+    * scores as fluent — each token is common, each PAIR is novel.
+    *
+    * Output: (doc_id, n_bigrams, avg_neg_logprob); documents with
+    * fewer than two tokens score 0.0 (no bigram evidence) with
+    * n_bigrams 0.
+    *
+    * Scale shape mirrors [[unigramSurprisal]]: one (doc, w1, w2) tf
+    * shuffle (map-side combined), a bigram-count and a context-count
+    * aggregation over the tf rows (both narrow), two equi-joins back,
+    * and a one-row broadcast vocabulary attach. Determinism: exact
+    * integer counts divided in double; the per-doc fold lists
+    * contributions in (w1, w2) order (each pair appears once per doc,
+    * so the order is total); the average rounds to 6. The same
+    * `maxDocTokens` cap bounds the fold buffer (distinct bigrams of
+    * one doc ≤ capped token count).
+    */
+  def bigramSurprisal(docs: DataFrame, idCol: String, textCol: String,
+                      cache: DataFrame => DataFrame =
+                        graft.util.CacheScope.untracked,
+                      maxDocTokens: Int = 0): DataFrame = {
+    val allToks = TextAnalysis.tokens(col(textCol))
+    val capped =
+      if (maxDocTokens > 0) slice(allToks, 1, maxDocTokens) else allToks
+    val toks = docs.select(col(idCol).as("doc_id"), capped.as("toks"))
+    val nt = size(col("toks"))
+    // Adjacent pairs by zipping the array against its own tail; guarded
+    // so 0/1-token docs contribute an empty pair list, not a negative
+    // slice length.
+    val pairs = when(nt >= 2,
+      zip_with(
+        slice(col("toks"), lit(1), nt - 1),
+        slice(col("toks"), lit(2), nt - 1),
+        (a, b) => struct(a.as("w1"), b.as("w2"))))
+      .otherwise(array().cast(ArrayType(
+        StructType(Seq(StructField("w1", StringType), StructField("w2", StringType))))))
+    val tf = cache(toks.select(col("doc_id"), explode(pairs).as("bg"))
+      .select(col("doc_id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+      .groupBy(col("doc_id"), col("w1"), col("w2")).agg(count(lit(1)).as("tf")))
+    val cbi = cache(tf.groupBy(col("w1"), col("w2")).agg(sum(col("tf")).as("cnt")))
+    val cctx = cbi.groupBy(col("w1")).agg(sum(col("cnt")).as("ctx"))
+    // Vocabulary = corpus UNIGRAM vocab (the standard smoothing base for
+    // a conditional bigram model), a one-row broadcast.
+    val vocab = toks.select(explode(col("toks")).as("term"))
+      .agg(count_distinct(col("term")).as("v"))
+    val lnP = log((col("cnt").cast(DoubleType) + lit(1.0)) /
+      (col("ctx").cast(DoubleType) + col("v").cast(DoubleType)))
+    val contrib = tf.join(cbi, Seq("w1", "w2")).join(cctx, Seq("w1"))
+      .crossJoin(broadcast(vocab))
+      .withColumn("lp", col("tf").cast(DoubleType) * lnP)
+    val perDoc = contrib.groupBy(col("doc_id"))
+      .agg(
+        aggregate(
+          array_sort(collect_list(struct(col("w1"), col("w2"), col("lp")))),
+          lit(0.0d),
+          (acc, x) => acc + x.getField("lp")).as("s"),
+        sum(col("tf")).as("n"))
+    docs.select(col(idCol).as("doc_id"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n"), lit(0L)).as("n_bigrams"),
         when(coalesce(col("n"), lit(0L)) > 0,
           round(-col("s") / col("n").cast(DoubleType), 6))
           .otherwise(lit(0.0)).as("avg_neg_logprob"))

@@ -120,6 +120,38 @@ class CorpusPipelineSpec extends SparkSpec {
     assert(capped.head.getLong(1) == 3L) // n_tokens reports the capped window
   }
 
+  test("bigramSurprisal: exact analytic replay; <2-token docs score 0") {
+    // Corpus bigram counts: (a,b)=2, (b,a)=1; contexts: a.=2, b.=1;
+    // unigram vocab V = {a, b, x} = 3.
+    val docs = Seq((1L, "a b a b"), (2L, "x"), (3L, " "))
+      .toDF("doc_id", "text")
+    val got = graft.text.LanguageModel.bigramSurprisal(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(got(2L) == ((0L, 0.0)) && got(3L) == ((0L, 0.0)))
+    // doc 1: 2*ln((2+1)/(2+3)) + 1*ln((1+1)/(1+3)) over n=3 bigrams.
+    val expected = -(2 * math.log(3.0 / 5.0) + math.log(2.0 / 4.0)) / 3
+    assert(got(1L)._1 == 3L)
+    assert(math.abs(got(1L)._2 - expected) < 5e-7)
+  }
+
+  test("bigramSurprisal: shuffled fluent words score higher than the fluent original") {
+    // Every token is corpus-common (the order-0 filter sees identical
+    // unigram stats for docs 2 and 3 — same multiset), but doc 3's PAIRS
+    // are novel: the order-1 model must separate them.
+    val fluent = "the cat sat on the mat and the dog sat on the rug"
+    val docs = Seq(
+      (1L, fluent), (2L, fluent),
+      (3L, "mat the on sat cat the rug the dog and on sat the")) // shuffled doc-2 multiset
+      .toDF("doc_id", "text")
+    val got = graft.text.LanguageModel.bigramSurprisal(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(got(3L) > got(2L),
+      s"shuffled ${got(3L)} must out-surprise fluent ${got(2L)}")
+    val uni = graft.text.LanguageModel.unigramSurprisal(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(uni(3L) == uni(2L), "order-0 cannot see the shuffle (same multiset)")
+  }
+
   test("clean: the LM surprisal tier drops token salad the heuristics pass") {
     // Salad passes lang (3 English stopwords beat every other list) and
     // any low quality floor, but its singleton tokens are vocabulary-
