@@ -160,9 +160,16 @@ object LanguageModel {
       .agg(count_distinct(col("term")).as("v"))
     val lnP = log((col("cnt").cast(DoubleType) + lit(1.0)) /
       (col("ctx").cast(DoubleType) + col("v").cast(DoubleType)))
-    val contrib = tf.join(cbi, Seq("w1", "w2")).join(cctx, Seq("w1"))
-      .crossJoin(broadcast(vocab))
-      .withColumn("lp", col("tf").cast(DoubleType) * lnP)
+    // Fold the model INTO the (small) count table first — cbi ⋈ cctx is
+    // vocabulary-sized — so the big (doc, w1, w2) tf table crosses ONE
+    // join, not two: the two-join form paid a second full tf
+    // shuffle+sort at 100× data (bigram vocabulary outgrows the
+    // broadcast threshold by Heaps' law, so these are sort-merge joins
+    // at scale — the per-pair model fold must happen on the small side).
+    val model = cbi.join(cctx, Seq("w1")).crossJoin(broadcast(vocab))
+      .select(col("w1"), col("w2"), lnP.as("lnp"))
+    val contrib = tf.join(model, Seq("w1", "w2"))
+      .withColumn("lp", col("tf").cast(DoubleType) * col("lnp"))
     val perDoc = contrib.groupBy(col("doc_id"))
       .agg(
         aggregate(

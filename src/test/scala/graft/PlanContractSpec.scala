@@ -424,6 +424,19 @@ class PlanContractSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), "stats attach must not be a cartesian")
   }
 
+  test("text_lm_bigram: model folded into the small side — the big tf crosses ONE join") {
+    val p = plan("text_lm_bigram")
+    // The vocabulary row attaches as a broadcast; the per-(w1,w2) model
+    // (counts + context totals + lnP) is assembled on the
+    // vocabulary-sized side BEFORE meeting the (doc, w1, w2) tf table,
+    // so tf pays one join, not two (the two-join form cost a second
+    // full tf shuffle+sort at 100x data).
+    assert(p.contains("IdentityBroadcastMode") || p.contains("BroadcastNestedLoopJoin"),
+      s"vocab row must broadcast:\n${p.take(600)}")
+    assert(p.contains("lnp"), "model fold (lnp) must be computed pre-join on the count side")
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("text_dup_lines: scan-side only — no exchange, no window, no explode") {
     val p = plan("text_dup_lines")
     assert(!p.contains("Exchange"), s"dup-line stats must not shuffle:\n${p.take(600)}")
