@@ -321,11 +321,9 @@ private[graft] object QueriesText {
         Bm25Queries, k = 10)
     }),
 
-    // Approximate distinct (the 100 TB variant of agg_distinct_users).
-    // HLL sketches are engine-specific, so the gate emits the
-    // DETERMINISTIC check — Spark's fixed HLL++ estimate (rsd 2%,
-    // measured <=0.7% across the test SFs) within a 5% envelope of exact
-    // — next to the exact count; the oracle's twin row is literal TRUE.
+    // The composed cleaning flow (CorpusPipeline.clean): language ->
+    // quality -> corpus-LM surprisal -> exact-dup keeper -> truncation
+    // drop -> near-dup keeper, all thresholds the gate constants above.
     "corpus_clean" -> ((s, dir) =>
       graft.text.CorpusPipeline.clean(t(s, dir, "documents"), "doc_id", "text",
         lang = "en", minQuality = 0.45, jaccardThreshold = 0.5, maxDocFreq = 100L,
