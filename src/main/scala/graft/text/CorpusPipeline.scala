@@ -26,8 +26,11 @@ object CorpusPipeline {
     * LM (fit on the raw input, rounded to 6) exceeds the threshold are
     * dropped alongside the lang/quality tiers — the CCNet-style
     * statistical filter that catches vocabulary-foreign / token-salad
-    * text the per-doc heuristics pass. Infinity (the default) skips the
-    * tier entirely — no tf shuffle is planned. `lmMaxDocTokens` bounds
+    * text the per-doc heuristics pass. `maxBigramSurprisal` arms the
+    * order-1 twin ([[LanguageModel.bigramSurprisal]]) for
+    * locally-incoherent text whose unigram stats look fluent. Infinity
+    * (both defaults) skips a tier entirely — no tf shuffle is planned
+    * for an unarmed tier. `lmMaxDocTokens` bounds
     * the per-doc evidence window (and thereby the LM fold's per-group
     * buffer — see [[LanguageModel.unigramSurprisal]]): each doc is
     * scored over its first N tokens, the length tier a web corpus needs
@@ -45,24 +48,33 @@ object CorpusPipeline {
             lang: String = "en", minQuality: Double = 0.3,
             jaccardThreshold: Double = 0.5, maxDocFreq: Long = 100L,
             maxSurprisal: Double = Double.PositiveInfinity,
+            maxBigramSurprisal: Double = Double.PositiveInfinity,
             lmMaxDocTokens: Int = 5000,
             cache: DataFrame => DataFrame = graft.util.CacheScope.untracked): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val scored0 = docs.select(col(idCol).as("doc_id"), col(textCol).as("text"),
       TextAnalysis.langId(col(textCol)).as("lang_guess"),
       round(TextAnalysis.qualityScore(col(textCol)), 6).as("quality"))
-    // The LM tier joins on doc_id only when armed: an infinite threshold
-    // must not cost the (doc, term) tf shuffle.
-    val scored =
-      if (maxSurprisal.isPosInfinity) scored0
-      else scored0.join(
-        LanguageModel.unigramSurprisal(docs, idCol, textCol, cache, lmMaxDocTokens)
-          .select(col("doc_id"), col("avg_neg_logprob").as("_anl")),
-        Seq("doc_id"))
-    val kept0 = scored.where(col("lang_guess") === lang && col("quality") >= minQuality)
-    val kept =
-      if (maxSurprisal.isPosInfinity) kept0
-      else kept0.where(col("_anl") <= maxSurprisal).drop("_anl")
+    // Each LM tier joins on doc_id only when armed: an infinite
+    // threshold must not cost its tf shuffle. The order-1 tier
+    // (maxBigramSurprisal) catches locally-incoherent shuffles of
+    // corpus-common words the order-0 tier scores as fluent.
+    val lmTiers: Seq[(Double, DataFrame)] = Seq(
+      maxSurprisal ->
+        (if (maxSurprisal.isPosInfinity) null
+         else LanguageModel.unigramSurprisal(docs, idCol, textCol, cache, lmMaxDocTokens)),
+      maxBigramSurprisal ->
+        (if (maxBigramSurprisal.isPosInfinity) null
+         else LanguageModel.bigramSurprisal(docs, idCol, textCol, cache, lmMaxDocTokens)))
+    val kept = lmTiers.zipWithIndex.foldLeft(
+      scored0.where(col("lang_guess") === lang && col("quality") >= minQuality)) {
+      case (acc, ((threshold, scores), i)) =>
+        if (threshold.isPosInfinity) acc
+        else acc
+          .join(scores.select(col("doc_id"), col("avg_neg_logprob").as(s"_anl$i")),
+            Seq("doc_id"))
+          .where(col(s"_anl$i") <= threshold).drop(s"_anl$i")
+    }
 
     // Exact-dup keeper via one window pass (no self-join): the smallest
     // doc_id per fingerprint survives.

@@ -175,6 +175,25 @@ class CorpusPipelineSpec extends SparkSpec {
     assert(keptIds(cut).contains(0L))                     // fluent docs untouched
   }
 
+  test("clean: the order-1 tier drops a shuffle the order-0 tier cannot see") {
+    val fluent = "the cat sat on the mat and the dog sat on the rug"
+    val docs = Seq(
+      (0L, fluent), (1L, fluent),
+      (2L, "mat the on sat cat the rug the dog and on sat the")) // same multiset, shuffled
+      .toDF("doc_id", "text")
+    val bg = graft.text.LanguageModel.bigramSurprisal(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    val cut = (bg(2L) + bg(1L)) / 2
+    def keptIds(maxBigram: Double) =
+      CorpusPipeline.clean(docs, "doc_id", "text", lang = "en",
+          minQuality = 0.0, jaccardThreshold = 0.9, maxDocFreq = 100L,
+          maxSurprisal = Double.PositiveInfinity, maxBigramSurprisal = maxBigram)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(keptIds(Double.PositiveInfinity).contains(2L))
+    assert(!keptIds(cut).contains(2L))
+    assert(keptIds(cut).contains(0L)) // fluent keeper survives
+  }
+
   test("quantiles: exact interpolated per-group percentiles, one row per prob") {
     val df = Seq(("a", 1.0), ("a", 2.0), ("a", 3.0), ("a", 4.0), ("b", 10.0))
       .toDF("g", "v")
