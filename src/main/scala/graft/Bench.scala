@@ -298,8 +298,16 @@ object Bench {
         s""""failed":$failedJson,"flaky":$flakyJson,"seeded_state":$seedState,""" +
         s""""sf":${jsonStr(sfDir)},"full_artifact":${jsonStr(out)},""" +
         s""""queries_truncated_to_top":true,"queries":{"""
+    // Truncate on a code-point boundary: take(60) can split a UTF-16
+    // surrogate pair, and jsonStr passes non-control chars through raw,
+    // so a lone high surrogate would make the line invalid UTF-8 exactly
+    // on the failed-run path it exists to protect.
+    def cut60(e: String): String = {
+      val t = e.take(60)
+      if (t.nonEmpty && Character.isHighSurrogate(t.last)) t.dropRight(1) else t
+    }
     val failedJson = failed
-      .map { case (k, e) => jsonStr(k) + ":" + jsonStr(e.take(60)) }
+      .map { case (k, e) => jsonStr(k) + ":" + jsonStr(cut60(e)) }
       .mkString("{", ",", "}")
     val h0 = head(failedJson)
     val h = if (h0.length + tailFixed.length <= budget) h0 else head("{}")

@@ -110,6 +110,77 @@ class CompactSpec extends SparkSpec {
     assert(next.rowsRewritten === 2000L) // waves 3 and 4 only
   }
 
+  // --- crash-recovery protocol (the stageAndSwap/recover contract) ---
+
+  private def hfs(path: String) = new org.apache.hadoop.fs.Path(path)
+    .getFileSystem(spark.sparkContext.hadoopConfiguration)
+  private def hp(s: String) = new org.apache.hadoop.fs.Path(s)
+
+  test("recover: crash between the two swap renames restores the original") {
+    val path = graft.util.Scratch.dir("compact_crash_mid") + "/t"
+    spark.range(0, 5000).repartition(10).write.parquet(path)
+    val before = spark.read.parquet(path).orderBy("id").collect()
+    val fs = hfs(path)
+    // Simulate: rewrite staged in tmp (a copy), then p renamed aside and
+    // the process died before tmp -> p.
+    spark.read.parquet(path).repartition(1)
+      .write.parquet(path + "__compact_tmp")
+    assert(fs.rename(hp(path), hp(path + "__compact_old")))
+    // The next tick must restore the complete original, then proceed.
+    val stats = Compact.compactTiered(spark, path)
+    assert(stats.rowsRewritten === 5000L)
+    assert(spark.read.parquet(path).orderBy("id").collect() === before)
+    assert(!fs.exists(hp(path + "__compact_old")))
+    assert(!fs.exists(hp(path + "__compact_tmp")))
+  }
+
+  test("recover: crash after swap-in finishes the kept-file carry-over") {
+    val dir = graft.util.Scratch.dir("compact_crash_keep")
+    val path = dir + "/t"
+    val fs = hfs(path)
+    // Original = one big file B + small slice A. Simulate a crash right
+    // after tmp -> p: p holds the rewrite-of-A plus a manifest naming B;
+    // old holds the complete original (A-files + B).
+    spark.range(0, 20000).repartition(1).write.parquet(dir + "/big")
+    val bigFile = fs.listStatus(hp(dir + "/big"))
+      .map(_.getPath).filter(_.getName.startsWith("part-")).head
+    spark.range(20000, 21000).repartition(4).write.parquet(path)
+    assert(fs.rename(bigFile, hp(path + "/" + bigFile.getName)))
+    assert(fs.rename(hp(path), hp(path + "__compact_old")))
+    spark.range(20000, 21000).repartition(1).write.parquet(path)
+    val out = fs.create(hp(path + "/_GRAFT_KEEP"), true)
+    out.write(s"${bigFile.getName}\t${bigFile.getName}\n".getBytes("UTF-8"))
+    out.close()
+    // Recovery must move B back in; then the tick sees big+small tiers.
+    val stats = Compact.compactTiered(spark, path)
+    assert(spark.read.parquet(path).count() === 21000L)
+    assert(!fs.exists(hp(path + "__compact_old")))
+    assert(!fs.exists(hp(path + "/_GRAFT_KEEP")))
+    assert(stats.filesAfter >= 1)
+  }
+
+  test("recover: replay-recreated table dir merges history back, replayed wave wins") {
+    val path = graft.util.Scratch.dir("compact_crash_replay") + "/t"
+    val fs = hfs(path)
+    (0 until 3).foreach { w =>
+      spark.range(w * 1000, (w + 1) * 1000)
+        .withColumn("wave", lit(w)).repartition(4)
+        .write.mode("append").partitionBy("wave").parquet(path)
+    }
+    // Crash between the renames, THEN the streaming sink's batch replay
+    // recreates p with a fresh (complete) copy of the current wave=2.
+    assert(fs.rename(hp(path), hp(path + "__compact_old")))
+    spark.range(2000, 3000).withColumn("wave", lit(2)).repartition(2)
+      .write.mode("append").partitionBy("wave").parquet(path)
+    val stats = Compact.consolidateWaves(spark, path, currentWave = 2, maxFiles = 4)
+    // All 3000 rows survive, exactly once (wave=2 from the replay copy).
+    val got = spark.read.parquet(path).drop("wave").orderBy("id")
+      .collect().map(_.getLong(0))
+    assert(got === (0L until 3000L).toArray)
+    assert(stats.rowsRewritten === 2000L) // waves 0-1 merged; wave 2 current
+    assert(!fs.exists(hp(path + "__compact_old")))
+  }
+
   test("compactParquet: refuses a missing table") {
     val missing = graft.util.Scratch.dir("compact_missing") + "/nope"
     val e = intercept[IllegalArgumentException] {
