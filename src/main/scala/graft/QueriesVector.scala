@@ -190,6 +190,38 @@ private[graft] object QueriesVector {
         floor = 0.3)
     }),
 
+    // The PRODUCTION configuration of the LSH audit, standing-gated: the
+    // fixed-nbits audits above pin the oracle's geometry, but a real
+    // deployment sizes buckets to the corpus (Similarity.autoNbits — the
+    // knob the sf10 realistic probe measured at 61x the pinned-nbits
+    // wall with 100% planted recall). The gate data has no high-sim
+    // pairs, so the near-dup scenario is PLANTED: every vector is
+    // unioned with a deterministically perturbed twin (+-0.01
+    // alternating by position — cosine ~0.9968 on these unit-norm
+    // embeddings, the only pairs above the 0.99 threshold), and the
+    // audit asserts the count-derived-nbits LSH tier recovers them.
+    // nbits is derived from count(*) on BOTH sides (the oracle computes
+    // it in SQL), so a regression in autoNbits or in recall at the
+    // derived width flips meets_floor red. maxBits=16 matches the
+    // oracle's embedded plane coefficients (16 bits covers ~1M vectors;
+    // the test SFs derive the 8-bit floor clamp).
+    "recall_embedding_lsh_auto" -> ((s, dir) => {
+      val base = t(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
+      val planted = base.select(
+        (col("vec_id") + lit(1000000L)).as("vec_id"),
+        transform(col("embedding"), (x, i) =>
+          x + lit(0.01d) * when(pmod(i, lit(2)) === 0, lit(1.0d))
+            .otherwise(lit(-1.0d))).as("embedding"))
+      val all = base.unionByName(planted)
+      val nbits = Similarity.autoNbits(all.count(), maxBits = 16)
+      Recall.pairRecall(
+        Similarity.lshNearDupPairs(all, "vec_id", "embedding", dim = 64,
+          threshold = 0.99, nbits = nbits, seeds = lshSeeds),
+        Similarity.nearDupPairs(all, "vec_id", "embedding", 0.99),
+        floor = 0.9)
+    }),
+
     "sql_graft_dot" -> ((s, dir) => {
       graft.functions.GraftFunctions.register(s)
       t(s, dir, "embeddings").createOrReplaceTempView("embeddings_v")
@@ -323,7 +355,61 @@ private[graft] object QueriesVector {
       |      FROM sc)
       |SELECT query_id, rank, neighbor_id, round(sim, 6) AS sim FROM r WHERE rank <= 5""".stripMargin
 
+  /** DuckDB replica of the planted-pair autoNbits recall audit: the
+    * perturbed-twin union, nbits = clamp(8, 16, ceil(log2(n/16)))
+    * computed FROM count(*) (exactly [[Similarity.autoNbits]] at
+    * maxBits=16), per-seed bucket ids whose bits above nbits mask to
+    * zero (plane coefficients embedded for all 16 bits), any-table
+    * candidate join, exact cosine verify at 0.99, then the pairRecall
+    * arithmetic with meets_floor replicated as literal TRUE (the
+    * tripwire: a Spark-side recall below the floor flips the row red).
+    */
+  private val embeddingLshAutoOracleSql: String = {
+    val bucketExprs = lshSeeds.zipWithIndex.map { case (seed, i) =>
+      val planes = (0 until 16).map { b =>
+        val arr = (0 until 64)
+          .map(p => java.lang.Double.toString(Similarity.hyperplaneCoef(seed, b, p)))
+          .mkString(", ")
+        s"(CASE WHEN $b < nbits AND list_dot_product(v, [$arr]) > 0 " +
+          s"THEN (1::BIGINT << $b) ELSE 0::BIGINT END)"
+      }.mkString(" | ")
+      s"$planes AS b$i"
+    }
+    val anyTable = lshSeeds.indices.map(i => s"a.b$i = b.b$i").mkString(" OR ")
+    s"""WITH base AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |             FROM embeddings),
+       |planted AS (SELECT vec_id + 1000000 AS vec_id,
+       |              list_transform(v, (x, i) -> x + 0.01 *
+       |                (CASE WHEN (i - 1) % 2 = 0 THEN 1.0 ELSE -1.0 END)) AS v
+       |            FROM base),
+       |allv AS (SELECT * FROM base UNION ALL SELECT * FROM planted),
+       |nb AS (SELECT GREATEST(8, LEAST(16,
+       |         CAST(ceil(log2(CAST(count(*) AS DOUBLE) / 16.0)) AS INTEGER))) AS nbits
+       |       FROM allv),
+       |bkt AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm,
+       |          ${bucketExprs.mkString(", ")}
+       |        FROM allv CROSS JOIN nb),
+       |cand AS (SELECT DISTINCT a.vec_id AS doc_a, b.vec_id AS doc_b
+       |         FROM bkt a JOIN bkt b ON a.vec_id < b.vec_id AND ($anyTable)),
+       |approx AS (SELECT c.doc_a, c.doc_b
+       |           FROM cand c JOIN bkt x ON x.vec_id = c.doc_a
+       |                       JOIN bkt y ON y.vec_id = c.doc_b
+       |           WHERE list_dot_product(x.v, y.v) / (x.nrm * y.nrm) >= 0.99),
+       |ex AS (SELECT a.vec_id AS doc_a, b.vec_id AS doc_b
+       |       FROM bkt a JOIN bkt b ON a.vec_id < b.vec_id
+       |       WHERE list_dot_product(a.v, b.v) / (a.nrm * b.nrm) >= 0.99),
+       |h AS (SELECT count(*) AS n_hits FROM approx a JOIN ex e
+       |        ON a.doc_a = e.doc_a AND a.doc_b = e.doc_b),
+       |na AS (SELECT count(*) AS n_approx FROM approx),
+       |ne AS (SELECT count(*) AS n_exact FROM ex)
+       |SELECT ne.n_exact, na.n_approx,
+       |  round(CAST(h.n_hits AS DOUBLE) / ne.n_exact, 6) AS recall,
+       |  TRUE AS meets_floor
+       |FROM ne, na, h""".stripMargin
+  }
+
   val oracleSql: Map[String, String] = Map(
+    "recall_embedding_lsh_auto" -> embeddingLshAutoOracleSql,
     "sim_brute_topk" -> bruteTopKOracleSql,
 
     // Quantization replicated per vec_quantize_int8; the int-code dot is

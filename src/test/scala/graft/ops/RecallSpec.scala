@@ -38,4 +38,32 @@ class RecallSpec extends SparkSpec {
     assert(r.getAs[Double]("recall") == 0.5) // 2 of 4 exact pairs found
     assert(!r.getAs[Boolean]("meets_floor"))
   }
+
+  test("planted near-dup twins are recovered by autoNbits LSH (the production audit)") {
+    // The recall_embedding_lsh_auto gate's scenario at miniature scale:
+    // deterministic unit-ish vectors, each unioned with a +-0.01
+    // perturbed twin; count-derived nbits (min clamp 8 here) must
+    // recover the planted pairs at threshold 0.99.
+    import graft.vector.Similarity
+    import org.apache.spark.sql.functions._
+    val n = 200
+    val base = spark.range(0, n).select(col("id").as("vec_id"),
+      transform(sequence(lit(0), lit(63)), p =>
+        sin(col("id") * lit(0.7d) + p.cast("double") * lit(0.31d))).as("embedding"))
+    val planted = base.select((col("vec_id") + lit(1000000L)).as("vec_id"),
+      transform(col("embedding"), (x, i) =>
+        x + lit(0.01d) * when(pmod(i, lit(2)) === 0, lit(1.0d))
+          .otherwise(lit(-1.0d))).as("embedding"))
+    val all = base.unionByName(planted)
+    val nbits = Similarity.autoNbits(all.count(), maxBits = 16)
+    assert(nbits == 8) // 400 vectors -> floor clamp
+    val r = Recall.pairRecall(
+      Similarity.lshNearDupPairs(all, "vec_id", "embedding", dim = 64,
+        threshold = 0.99, nbits = nbits, seeds = Seq(42L, 43L, 44L)),
+      Similarity.nearDupPairs(all, "vec_id", "embedding", 0.99),
+      floor = 0.9).collect().head
+    assert(r.getAs[Long]("n_exact") >= n.toLong, "planted pairs missing from exact tier")
+    assert(r.getAs[Boolean]("meets_floor"),
+      s"autoNbits LSH lost planted near-dups: $r")
+  }
 }
