@@ -184,6 +184,40 @@ private[graft] object QueriesStreaming {
         docs.select(col("doc_id")))
     }),
 
+    // Streaming ORDER-1 LM maintenance: the LIVE twin of text_lm_bigram.
+    // The same two document waves flow through lmBigramIndexSink — each
+    // micro-batch appends its (doc, w1, w2, tf) bigram slice plus the
+    // unigram slice the smoothing vocabulary derives from (O(batch) per
+    // wave, history never re-tokenized, replay-safe, cadence armed so
+    // wave 0 consolidates into wave=-1 on BOTH slices). Scoring the
+    // folded index must reproduce the one-shot corpus bigram surprisal
+    // bit-for-bit: same oracle as text_lm_bigram.
+    "streaming_lm_bigram_live" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val waveDir = Tables.stageWaves(s, docs, pmod(col("doc_id"), lit(2)), 2,
+        "graft_lmbw", filesPerWave = Tables.WaveStageFiles)
+      val stream = s.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", Tables.WaveStageFiles.toString).parquet(waveDir)
+      val statePath = graft.util.Scratch.dir("graft_lmbw_state")
+      val ckpt = graft.util.Scratch.dir("graft_lmbw_ck")
+      withShufflePartitions(s, 8) {
+        graft.streaming.EventStreams.lmBigramIndexSink(stream, "doc_id", "text",
+          statePath, ckpt, compactEvery = 2, compactMaxFiles = 4)
+          .awaitTermination()
+      }
+      Seq("/bitf", "/tf").foreach { sub =>
+        require(new java.io.File(statePath + sub + "/wave=-1").isDirectory &&
+          !new java.io.File(statePath + sub + "/wave=0").exists(),
+          s"compaction cadence did not consolidate $sub wave 0")
+      }
+      val utf = s.read.parquet(statePath + "/tf").drop("wave")
+      graft.text.LanguageModel.bigramSurprisalFromTf(
+        graft.util.CacheScope.untracked(
+          s.read.parquet(statePath + "/bitf").drop("wave")),
+        utf.agg(count_distinct(col("term")).as("v")),
+        docs.select(col("doc_id")))
+    }),
+
     "streaming_dedup_incremental_live" -> ((s, dir) => {
       val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
       val waveDir = Tables.stageWaves(s, docs, pmod(col("doc_id"), lit(2)), 2, "graft_incw")
@@ -624,6 +658,11 @@ private[graft] object QueriesStreaming {
       s"""WITH ${QueriesText.lmScoreCte(0)}
          |SELECT doc_id, lm_n AS n_tokens, lm_anl AS avg_neg_logprob
          |FROM lmscore""".stripMargin,
+
+    // The streamed bigram fold (with the smoothing vocabulary derived
+    // from the maintained unigram slice) must score exactly like the
+    // one-shot corpus model.
+    "streaming_lm_bigram_live" -> QueriesText.bigramLmOracleSql,
     // Crash + replay must converge to the UNINTERRUPTED run's result —
     // the whole point of the replay-safe sink. Same oracle by
     // construction.

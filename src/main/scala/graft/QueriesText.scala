@@ -73,6 +73,38 @@ private[graft] object QueriesText {
     * add-one unigram LM. Shared by the raw operator gate and the two
     * corpus-cleaning oracles that compose the LM tier.
     */
+  /** DuckDB replica of the order-1 corpus bigram LM (shared by
+    * `text_lm_bigram` and its streamed fold twin
+    * `streaming_lm_bigram_live`): P(w2|w1) = (c(w1 w2)+1)/(c(w1 .)+V)
+    * with V the corpus UNIGRAM vocabulary; per-doc fold in (w1, w2)
+    * order (each pair appears once per doc after the tf group, so the
+    * order is total); <2-token docs score 0.0 via the left join.
+    */
+  private[graft] val bigramLmOracleSql: String =
+      """WITH t AS (SELECT doc_id,
+        |    CASE WHEN trim(text) = '' THEN []
+        |         ELSE regexp_split_to_array(trim(text), '\s+') END AS toks
+        |  FROM documents),
+        |bi AS (SELECT doc_id, toks[i] AS w1, toks[i + 1] AS w2
+        |       FROM (SELECT doc_id, toks, unnest(range(1, len(toks))) AS i
+        |             FROM t WHERE len(toks) >= 2)),
+        |btf AS (SELECT doc_id, w1, w2, count(*) AS tf FROM bi GROUP BY 1, 2, 3),
+        |cbi AS (SELECT w1, w2, CAST(sum(tf) AS BIGINT) AS cnt FROM btf GROUP BY 1, 2),
+        |cctx AS (SELECT w1, CAST(sum(cnt) AS BIGINT) AS ctx FROM cbi GROUP BY 1),
+        |v AS (SELECT CAST(count(DISTINCT tok) AS BIGINT) AS v
+        |      FROM (SELECT unnest(toks) AS tok FROM t) u),
+        |contrib AS (SELECT btf.doc_id, btf.w1, btf.w2, btf.tf,
+        |    CAST(btf.tf AS DOUBLE) * ln((CAST(cbi.cnt AS DOUBLE) + 1.0)
+        |      / (CAST(cctx.ctx AS DOUBLE) + CAST(v.v AS DOUBLE))) AS lp
+        |  FROM btf JOIN cbi USING (w1, w2) JOIN cctx USING (w1) CROSS JOIN v),
+        |pd AS (SELECT doc_id, list_sum(list(lp ORDER BY w1, w2)) AS s,
+        |         CAST(sum(tf) AS BIGINT) AS n
+        |       FROM contrib GROUP BY 1)
+        |SELECT d.doc_id, coalesce(pd.n, 0) AS n_bigrams,
+        |  CASE WHEN coalesce(pd.n, 0) > 0
+        |    THEN round(-pd.s / CAST(pd.n AS DOUBLE), 6) ELSE 0.0 END AS avg_neg_logprob
+        |FROM documents d LEFT JOIN pd USING (doc_id)""".stripMargin
+
   private[graft] def lmScoreCte(maxTokens: Int): String = {
     val cap = if (maxTokens > 0) s"[1:$maxTokens]" else ""
     s"""lmtoks AS (SELECT doc_id,
@@ -1137,30 +1169,7 @@ private[graft] object QueriesText {
     // UNIGRAM vocabulary; per-doc fold in (w1, w2) order (each pair
     // appears once per doc after the tf group, so the order is total);
     // <2-token docs score 0.0 via the left join.
-    "text_lm_bigram" ->
-      """WITH t AS (SELECT doc_id,
-        |    CASE WHEN trim(text) = '' THEN []
-        |         ELSE regexp_split_to_array(trim(text), '\s+') END AS toks
-        |  FROM documents),
-        |bi AS (SELECT doc_id, toks[i] AS w1, toks[i + 1] AS w2
-        |       FROM (SELECT doc_id, toks, unnest(range(1, len(toks))) AS i
-        |             FROM t WHERE len(toks) >= 2)),
-        |btf AS (SELECT doc_id, w1, w2, count(*) AS tf FROM bi GROUP BY 1, 2, 3),
-        |cbi AS (SELECT w1, w2, CAST(sum(tf) AS BIGINT) AS cnt FROM btf GROUP BY 1, 2),
-        |cctx AS (SELECT w1, CAST(sum(cnt) AS BIGINT) AS ctx FROM cbi GROUP BY 1),
-        |v AS (SELECT CAST(count(DISTINCT tok) AS BIGINT) AS v
-        |      FROM (SELECT unnest(toks) AS tok FROM t) u),
-        |contrib AS (SELECT btf.doc_id, btf.w1, btf.w2, btf.tf,
-        |    CAST(btf.tf AS DOUBLE) * ln((CAST(cbi.cnt AS DOUBLE) + 1.0)
-        |      / (CAST(cctx.ctx AS DOUBLE) + CAST(v.v AS DOUBLE))) AS lp
-        |  FROM btf JOIN cbi USING (w1, w2) JOIN cctx USING (w1) CROSS JOIN v),
-        |pd AS (SELECT doc_id, list_sum(list(lp ORDER BY w1, w2)) AS s,
-        |         CAST(sum(tf) AS BIGINT) AS n
-        |       FROM contrib GROUP BY 1)
-        |SELECT d.doc_id, coalesce(pd.n, 0) AS n_bigrams,
-        |  CASE WHEN coalesce(pd.n, 0) > 0
-        |    THEN round(-pd.s / CAST(pd.n AS DOUBLE), 6) ELSE 0.0 END AS avg_neg_logprob
-        |FROM documents d LEFT JOIN pd USING (doc_id)""".stripMargin,
+    "text_lm_bigram" -> bigramLmOracleSql,
 
     // Twin of the 2-token chunk segmentation + duplicate-line stats.
     // DuckDB list slicing toks[a:b] is 1-based inclusive and clamps,

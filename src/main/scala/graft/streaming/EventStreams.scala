@@ -504,6 +504,52 @@ object EventStreams {
       .trigger(Trigger.AvailableNow())
       .start()
 
+  /** Streaming ORDER-1 corpus-LM maintenance: each micro-batch is
+    * tokenized once and appends TWO slices — the (doc_id, w1, w2, tf)
+    * bigram slice ([[graft.text.LanguageModel.bigramTfSlice]]) to
+    * `/bitf` and the unigram (doc_id, term, tf) slice to `/tf`. Both
+    * fold by the disjoint-doc append argument; the unigram slice rides
+    * along because the conditional model's smoothing base is the corpus
+    * UNIGRAM vocabulary (distinct terms of the folded slice — including
+    * 1-token docs that contribute no bigrams), which the bigram table
+    * alone cannot reconstruct. As a bonus the `/tf` slice IS
+    * [[lmIndexSink]]'s index, so one maintainer arms both LM tiers.
+    * Scoring the fold ([[graft.text.LanguageModel.bigramSurprisalFromTf]]
+    * with the vocab derived from `/tf`) equals the one-shot
+    * [[graft.text.LanguageModel.bigramSurprisal]] exactly.
+    *
+    * Replay safety and compaction cadence are [[bm25IndexSink]]'s:
+    * wave-partitioned dynamic overwrite (a retry replaces its own
+    * wave), committed waves consolidated size-tiered into wave=-1
+    * every `compactEvery` waves, both slices on the same tick.
+    */
+  def lmBigramIndexSink(docs: DataFrame, idCol: String, textCol: String,
+                        statePath: String, checkpoint: String,
+                        maxDocTokens: Int = 0, compactEvery: Int = 0,
+                        compactMaxFiles: Int = 8): StreamingQuery =
+    docs.writeStream
+      .outputMode(OutputMode.Update())
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        def writeWave(df: DataFrame, path: String): Unit =
+          df.withColumn("wave", lit(batchId.toInt))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("wave").parquet(path)
+        writeWave(graft.text.LanguageModel
+          .bigramTfSlice(batch, idCol, textCol, maxDocTokens), statePath + "/bitf")
+        writeWave(graft.text.LanguageModel
+          .tfSlice(batch, idCol, textCol, maxDocTokens), statePath + "/tf")
+        if (compactEvery > 0 && batchId % compactEvery == compactEvery - 1)
+          Seq("/bitf", "/tf").foreach { sub =>
+            graft.ops.Compact.consolidateWaves(
+              batch.sparkSession, statePath + sub, currentWave = batchId,
+              maxFiles = compactMaxFiles)
+          }
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+
   def mergeSinkPartitioned(stream: DataFrame, statePath: String,
                            keys: Seq[String], precedence: Seq[Column],
                            partitionCol: String,

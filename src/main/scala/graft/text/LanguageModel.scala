@@ -134,10 +134,24 @@ object LanguageModel {
                       cache: DataFrame => DataFrame =
                         graft.util.CacheScope.untracked,
                       maxDocTokens: Int = 0): DataFrame = {
+    val toks = cappedToks(docs, idCol, textCol, maxDocTokens)
+    // Vocabulary = corpus UNIGRAM vocab (the standard smoothing base for
+    // a conditional bigram model), a one-row broadcast.
+    val vocab = toks.select(explode(col("toks")).as("term"))
+      .agg(count_distinct(col("term")).as("v"))
+    bigramSurprisalFromTf(cache(bigramTfFromToks(toks)), vocab,
+      docs.select(col(idCol).as("doc_id")), cache)
+  }
+
+  private def cappedToks(docs: DataFrame, idCol: String, textCol: String,
+                         maxDocTokens: Int): DataFrame = {
     val allToks = TextAnalysis.tokens(col(textCol))
     val capped =
       if (maxDocTokens > 0) slice(allToks, 1, maxDocTokens) else allToks
-    val toks = docs.select(col(idCol).as("doc_id"), capped.as("toks"))
+    docs.select(col(idCol).as("doc_id"), capped.as("toks"))
+  }
+
+  private def bigramTfFromToks(toks: DataFrame): DataFrame = {
     val nt = size(col("toks"))
     // Adjacent pairs by zipping the array against its own tail; guarded
     // so 0/1-token docs contribute an empty pair list, not a negative
@@ -149,15 +163,38 @@ object LanguageModel {
         (a, b) => struct(a.as("w1"), b.as("w2"))))
       .otherwise(array().cast(ArrayType(
         StructType(Seq(StructField("w1", StringType), StructField("w2", StringType))))))
-    val tf = cache(toks.select(col("doc_id"), explode(pairs).as("bg"))
+    toks.select(col("doc_id"), explode(pairs).as("bg"))
       .select(col("doc_id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
-      .groupBy(col("doc_id"), col("w1"), col("w2")).agg(count(lit(1)).as("tf")))
+      .groupBy(col("doc_id"), col("w1"), col("w2")).agg(count(lit(1)).as("tf"))
+  }
+
+  /** The bigram LM's index unit: (doc_id, w1, w2, tf) for one corpus
+    * slice — the order-1 twin of [[tfSlice]], folding by the same
+    * disjoint-doc append argument (bigram counts, context counts and
+    * per-doc evidence all derive from the folded table). The one model
+    * input it does NOT carry is the unigram smoothing vocabulary, which
+    * a maintainer gets from the unigram [[tfSlice]] kept alongside
+    * ([[graft.streaming.EventStreams.lmBigramIndexSink]] persists both;
+    * distinct terms of the folded unigram slice = corpus vocabulary,
+    * including the 1-token docs that contribute no bigrams).
+    */
+  def bigramTfSlice(docs: DataFrame, idCol: String, textCol: String,
+                    maxDocTokens: Int = 0): DataFrame =
+    bigramTfFromToks(cappedToks(docs, idCol, textCol, maxDocTokens))
+
+  /** Scores every doc_id in `docIds` against a (possibly folded) bigram
+    * tf table. `vocab` is a ONE-ROW frame with the corpus unigram
+    * vocabulary size as `v` (broadcast onto the model); derive it from
+    * the folded unigram [[tfSlice]] via `count_distinct(term)` when
+    * scoring a maintained index. Docs absent from `tf` (fewer than two
+    * tokens) score 0.0 with n_bigrams 0 via the left join.
+    */
+  def bigramSurprisalFromTf(tf: DataFrame, vocab: DataFrame,
+                            docIds: DataFrame,
+                            cache: DataFrame => DataFrame =
+                              graft.util.CacheScope.untracked): DataFrame = {
     val cbi = cache(tf.groupBy(col("w1"), col("w2")).agg(sum(col("tf")).as("cnt")))
     val cctx = cbi.groupBy(col("w1")).agg(sum(col("cnt")).as("ctx"))
-    // Vocabulary = corpus UNIGRAM vocab (the standard smoothing base for
-    // a conditional bigram model), a one-row broadcast.
-    val vocab = toks.select(explode(col("toks")).as("term"))
-      .agg(count_distinct(col("term")).as("v"))
     val lnP = log((col("cnt").cast(DoubleType) + lit(1.0)) /
       (col("ctx").cast(DoubleType) + col("v").cast(DoubleType)))
     // Fold the model INTO the (small) count table first — cbi ⋈ cctx is
@@ -177,7 +214,7 @@ object LanguageModel {
           lit(0.0d),
           (acc, x) => acc + x.getField("lp")).as("s"),
         sum(col("tf")).as("n"))
-    docs.select(col(idCol).as("doc_id"))
+    docIds
       .join(perDoc, Seq("doc_id"), "left")
       .select(col("doc_id"),
         coalesce(col("n"), lit(0L)).as("n_bigrams"),

@@ -257,6 +257,56 @@ class EventStreamsSpec extends SparkSpec {
     assert(streamed == rebuilt)
   }
 
+  test("lmBigramIndexSink: both slices consolidate on cadence; folded index scores like a rebuild") {
+    import org.apache.spark.sql.functions.{col, count_distinct}
+    implicit val sqlCtx = spark.sqlContext
+    // Four waves; wave contents include a 1-token doc (contributes to
+    // the unigram vocabulary but no bigrams — exactly the case the
+    // bigram slice alone cannot reconstruct).
+    val docsByWave = (0 until 4).map { w =>
+      (0 until 8).map { i =>
+        val id = (w * 8 + i).toLong
+        val text = if (i == 0) s"solo$w"
+                   else s"the quick fox w$w jumps over dog u$id the quick"
+        (id, text)
+      }
+    }
+    val input = MemoryStream[(Long, String)]
+    val statePath = Files.createTempDirectory("graft_lmbspec_state").toString
+    val ckpt = Files.createTempDirectory("graft_lmbspec_ck").toString
+    docsByWave.foreach { docs =>
+      input.addData(docs: _*)
+      EventStreams.lmBigramIndexSink(input.toDF().toDF("doc_id", "text"),
+        "doc_id", "text", statePath, ckpt,
+        compactEvery = 2, compactMaxFiles = 4).awaitTermination(120000)
+    }
+    // Steady-state wave shape on BOTH slices: {wave=-1, wave=3}.
+    Seq("/bitf", "/tf").foreach { sub =>
+      val waveDirs = new java.io.File(statePath + sub).listFiles()
+        .filter(_.isDirectory).map(_.getName).toSet
+      assert(waveDirs == Set("wave=-1", "wave=3"),
+        s"$sub committed waves not consolidated: $waveDirs")
+    }
+    val all = docsByWave.flatten.toDF("doc_id", "text")
+    val utf = spark.read.parquet(statePath + "/tf").drop("wave")
+    val streamed = graft.text.LanguageModel.bigramSurprisalFromTf(
+        spark.read.parquet(statePath + "/bitf").drop("wave"),
+        utf.agg(count_distinct(col("term")).as("v")),
+        all.select(col("doc_id")))
+      .orderBy("doc_id").collect().toSeq
+    val rebuilt = graft.text.LanguageModel.bigramSurprisal(all, "doc_id", "text")
+      .orderBy("doc_id").collect().toSeq
+    assert(streamed == rebuilt)
+    // The solo docs really carried vocabulary: dropping the unigram
+    // slice's vocab for a bigram-derived one would change the model.
+    val vFull = utf.agg(count_distinct(col("term"))).collect().head.getLong(0)
+    val vBigramOnly = spark.read.parquet(statePath + "/bitf")
+      .select(col("w1").as("t")).union(
+        spark.read.parquet(statePath + "/bitf").select(col("w2").as("t")))
+      .agg(count_distinct(col("t"))).collect().head.getLong(0)
+    assert(vFull == vBigramOnly + 4, "solo tokens missing from the unigram vocabulary")
+  }
+
   test("tumbling late semantics: drop keys on window END vs watermark, emit closed windows") {
     // Pins the drop/fold/emit boundary rules the streaming_tumbling_late
     // oracle encodes: a late row is dropped iff its WINDOW END is at or
