@@ -105,6 +105,40 @@ private[graft] object QueriesText {
         |    THEN round(-pd.s / CAST(pd.n AS DOUBLE), 6) ELSE 0.0 END AS avg_neg_logprob
         |FROM documents d LEFT JOIN pd USING (doc_id)""".stripMargin
 
+  /** The order-1 twin of [[lmScoreCte]]: CTE fragment scoring every
+    * document's average BIGRAM surprisal as `bgscore(doc_id, bg_n,
+    * bg_anl)` — the same model as [[bigramLmOracleSql]] with the
+    * `maxTokens` evidence cap, names prefixed `bg` so it composes with
+    * the unigram fragment in one WITH (the corpus_clean oracle arms
+    * both tiers).
+    */
+  private[graft] def bigramLmScoreCte(maxTokens: Int): String = {
+    val cap = if (maxTokens > 0) s"[1:$maxTokens]" else ""
+    s"""bgtoks AS (SELECT doc_id,
+       |    (CASE WHEN trim(text) = '' THEN []
+       |          ELSE regexp_split_to_array(trim(text), '\\s+') END)$cap AS bt
+       |  FROM documents),
+       |bgbi AS (SELECT doc_id, bt[i] AS w1, bt[i + 1] AS w2
+       |         FROM (SELECT doc_id, bt, unnest(range(1, len(bt))) AS i
+       |               FROM bgtoks WHERE len(bt) >= 2)),
+       |bgtf AS (SELECT doc_id, w1, w2, count(*) AS tf FROM bgbi GROUP BY 1, 2, 3),
+       |bgcbi AS (SELECT w1, w2, CAST(sum(tf) AS BIGINT) AS cnt FROM bgtf GROUP BY 1, 2),
+       |bgcctx AS (SELECT w1, CAST(sum(cnt) AS BIGINT) AS ctx FROM bgcbi GROUP BY 1),
+       |bgv AS (SELECT CAST(count(DISTINCT tok) AS BIGINT) AS v
+       |        FROM (SELECT unnest(bt) AS tok FROM bgtoks) u),
+       |bgcontrib AS (SELECT bgtf.doc_id, bgtf.w1, bgtf.w2, bgtf.tf,
+       |    CAST(bgtf.tf AS DOUBLE) * ln((CAST(bgcbi.cnt AS DOUBLE) + 1.0)
+       |      / (CAST(bgcctx.ctx AS DOUBLE) + CAST(bgv.v AS DOUBLE))) AS lp
+       |  FROM bgtf JOIN bgcbi USING (w1, w2) JOIN bgcctx USING (w1) CROSS JOIN bgv),
+       |bgpd AS (SELECT doc_id, list_sum(list(lp ORDER BY w1, w2)) AS s,
+       |         CAST(sum(tf) AS BIGINT) AS n
+       |       FROM bgcontrib GROUP BY 1),
+       |bgscore AS (SELECT d.doc_id, coalesce(bgpd.n, 0) AS bg_n,
+       |    CASE WHEN coalesce(bgpd.n, 0) > 0
+       |      THEN round(-bgpd.s / CAST(bgpd.n AS DOUBLE), 6) ELSE 0.0 END AS bg_anl
+       |  FROM documents d LEFT JOIN bgpd USING (doc_id))""".stripMargin
+  }
+
   private[graft] def lmScoreCte(maxTokens: Int): String = {
     val cap = if (maxTokens > 0) s"[1:$maxTokens]" else ""
     s"""lmtoks AS (SELECT doc_id,
@@ -140,6 +174,14 @@ private[graft] object QueriesText {
     * uncapped gate hashes agreeing confirms. */
   private[graft] val LmMaxSurprisal = 3.5
   private[graft] val LmDocTokenCap = 5000
+
+  /** The order-1 threshold corpus_clean arms (`maxBigramSurprisal`):
+    * bigram surprisal concentrates at ~3.39-3.40 with 0.98-quantiles
+    * 3.455/3.468/3.477 across the three SFs (measured via the oracle
+    * CTE), so 3.47 drops the ~2-3% locally-incoherent tail at every SF
+    * without gutting the corpus — the same calibration policy as
+    * [[LmMaxSurprisal]]. */
+  private[graft] val LmMaxBigramSurprisal = 3.47
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_normalize" -> ((s, dir) =>
@@ -354,12 +396,15 @@ private[graft] object QueriesText {
     }),
 
     // The composed cleaning flow (CorpusPipeline.clean): language ->
-    // quality -> corpus-LM surprisal -> exact-dup keeper -> truncation
-    // drop -> near-dup keeper, all thresholds the gate constants above.
+    // quality -> corpus-LM surprisal (BOTH tiers armed: order-0 unigram
+    // + order-1 bigram) -> exact-dup keeper -> truncation drop ->
+    // near-dup keeper, all thresholds the gate constants above.
     "corpus_clean" -> ((s, dir) =>
       graft.text.CorpusPipeline.clean(t(s, dir, "documents"), "doc_id", "text",
         lang = "en", minQuality = 0.45, jaccardThreshold = 0.5, maxDocFreq = 100L,
-        maxSurprisal = LmMaxSurprisal, lmMaxDocTokens = LmDocTokenCap)),
+        maxSurprisal = LmMaxSurprisal,
+        maxBigramSurprisal = LmMaxBigramSurprisal,
+        lmMaxDocTokens = LmDocTokenCap)),
 
     // ---- dedup ------------------------------------------------------------
     "dedup_exact" -> ((s, dir) =>
@@ -855,6 +900,7 @@ private[graft] object QueriesText {
       val best = s"greatest(${langs.map(l => s"h_$l").mkString(", ")})"
       val cases = langs.map(l => s"WHEN h_$l = $best THEN '$l'").mkString(" ")
       s"""WITH ${lmScoreCte(LmDocTokenCap)},
+         |${bigramLmScoreCte(LmDocTokenCap)},
          |h AS (
          |  SELECT doc_id, text,
          |    CAST(length(text) AS DOUBLE) AS n_char,
@@ -873,8 +919,10 @@ private[graft] object QueriesText {
          |  FROM h),
          |kept AS (SELECT scored.doc_id, scored.text, scored.lang_guess, scored.quality
          |         FROM scored JOIN lmscore USING (doc_id)
+         |                     JOIN bgscore USING (doc_id)
          |         WHERE lang_guess = 'en' AND quality >= 0.45
-         |           AND lm_anl <= $LmMaxSurprisal),
+         |           AND lm_anl <= $LmMaxSurprisal
+         |           AND bg_anl <= $LmMaxBigramSurprisal),
          |fp AS (SELECT doc_id, text, lang_guess, quality,
          |         md5(array_to_string($toks, ' ')) AS fp FROM kept),
          |keepers AS (SELECT fp, min(doc_id) AS keeper FROM fp GROUP BY 1),
