@@ -200,11 +200,17 @@ private[graft] object QueriesVector {
     // alternating by position — cosine ~0.9968 on these unit-norm
     // embeddings, the only pairs above the 0.99 threshold), and the
     // audit asserts the count-derived-nbits LSH tier recovers them.
-    // nbits is derived from count(*) on BOTH sides (the oracle computes
-    // it in SQL), so a regression in autoNbits or in recall at the
-    // derived width flips meets_floor red. maxBits=16 matches the
-    // oracle's embedded plane coefficients (16 bits covers ~1M vectors;
-    // the test SFs derive the 8-bit floor clamp).
+    // The truth set is the PLANTED pairs themselves (an id equi-join,
+    // O(n)) — not the O(n²) exact tier the fixed-nbits audits pay —
+    // because this is the audit shape that actually RUNS at corpus
+    // scale (the sf10 realistic probe's tripwire): the full-tier
+    // denominator twin already exists as recall_embedding_lsh, and at
+    // 10x data the planted form costs the LSH job alone. nbits is
+    // derived from count(*) on BOTH sides (the oracle computes it in
+    // SQL), so a regression in autoNbits or in recall at the derived
+    // width flips meets_floor red. maxBits=16 matches the oracle's
+    // embedded plane coefficients (16 bits covers ~1M vectors; the
+    // test SFs derive the 8-bit floor clamp).
     "recall_embedding_lsh_auto" -> ((s, dir) => {
       val base = t(s, dir, "embeddings")
         .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
@@ -215,11 +221,17 @@ private[graft] object QueriesVector {
             .otherwise(lit(-1.0d))).as("embedding"))
       val all = base.unionByName(planted)
       val nbits = Similarity.autoNbits(all.count(), maxBits = 16)
+      val truth = base.select(col("vec_id"), col("embedding").as("va"))
+        .join(planted.select((col("vec_id") - lit(1000000L)).as("vec_id"),
+          col("embedding").as("vb")), Seq("vec_id"))
+        .select(col("vec_id").as("doc_a"),
+          (col("vec_id") + lit(1000000L)).as("doc_b"),
+          Similarity.cosine(col("va"), col("vb")).as("sim"))
+        .where(col("sim") >= 0.99)
       Recall.pairRecall(
         Similarity.lshNearDupPairs(all, "vec_id", "embedding", dim = 64,
           threshold = 0.99, nbits = nbits, seeds = lshSeeds),
-        Similarity.nearDupPairs(all, "vec_id", "embedding", 0.99),
-        floor = 0.9)
+        truth, floor = 0.9)
     }),
 
     "sql_graft_dot" -> ((s, dir) => {
@@ -360,9 +372,11 @@ private[graft] object QueriesVector {
     * computed FROM count(*) (exactly [[Similarity.autoNbits]] at
     * maxBits=16), per-seed bucket ids whose bits above nbits mask to
     * zero (plane coefficients embedded for all 16 bits), any-table
-    * candidate join, exact cosine verify at 0.99, then the pairRecall
-    * arithmetic with meets_floor replicated as literal TRUE (the
-    * tripwire: a Spark-side recall below the floor flips the row red).
+    * candidate join with exact cosine verify at 0.99, a PLANTED-pair
+    * truth set (base ⋈ twin on id — the O(n) denominator that runs at
+    * corpus scale), then the pairRecall arithmetic with meets_floor
+    * replicated as literal TRUE (the tripwire: a Spark-side recall
+    * below the floor flips the row red).
     */
   private val embeddingLshAutoOracleSql: String = {
     val bucketExprs = lshSeeds.zipWithIndex.map { case (seed, i) =>
@@ -395,9 +409,11 @@ private[graft] object QueriesVector {
        |           FROM cand c JOIN bkt x ON x.vec_id = c.doc_a
        |                       JOIN bkt y ON y.vec_id = c.doc_b
        |           WHERE list_dot_product(x.v, y.v) / (x.nrm * y.nrm) >= 0.99),
-       |ex AS (SELECT a.vec_id AS doc_a, b.vec_id AS doc_b
-       |       FROM bkt a JOIN bkt b ON a.vec_id < b.vec_id
-       |       WHERE list_dot_product(a.v, b.v) / (a.nrm * b.nrm) >= 0.99),
+       |ex AS (SELECT b.vec_id AS doc_a, b.vec_id + 1000000 AS doc_b
+       |       FROM base b JOIN planted p ON p.vec_id = b.vec_id + 1000000
+       |       WHERE list_dot_product(b.v, p.v)
+       |         / (sqrt(list_dot_product(b.v, b.v)) * sqrt(list_dot_product(p.v, p.v)))
+       |         >= 0.99),
        |h AS (SELECT count(*) AS n_hits FROM approx a JOIN ex e
        |        ON a.doc_a = e.doc_a AND a.doc_b = e.doc_b),
        |na AS (SELECT count(*) AS n_approx FROM approx),
