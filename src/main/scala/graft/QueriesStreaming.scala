@@ -218,6 +218,38 @@ private[graft] object QueriesStreaming {
         docs.select(col("doc_id")))
     }),
 
+    // Streaming exact-substring maintenance: the LIVE twin of
+    // dedup_ngram_spans. The same two document waves flow through
+    // spanIndexSink — each micro-batch appends its 20-byte
+    // window-fingerprint slice (O(batch) per wave; history never
+    // re-tokenized; replay-safe wave overwrite; cadence armed so wave 0
+    // consolidates into wave=-1). Scoring the folded index must
+    // reproduce the one-shot span stats bit-for-bit — this is what
+    // makes ExactSubstr dedup deployable on an ingest stream: a new
+    // doc's spans are checked against the WHOLE standing corpus at
+    // append cost.
+    "streaming_span_dedup_live" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val waveDir = Tables.stageWaves(s, docs, pmod(col("doc_id"), lit(2)), 2,
+        "graft_spanw", filesPerWave = Tables.WaveStageFiles)
+      val stream = s.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", Tables.WaveStageFiles.toString).parquet(waveDir)
+      val statePath = graft.util.Scratch.dir("graft_spanw_state")
+      val ckpt = graft.util.Scratch.dir("graft_spanw_ck")
+      withShufflePartitions(s, 8) {
+        graft.streaming.EventStreams.spanIndexSink(stream, "doc_id", "text",
+          w = 8, statePath, ckpt, compactEvery = 2, compactMaxFiles = 4)
+          .awaitTermination()
+      }
+      require(new java.io.File(statePath + "/win/wave=-1").isDirectory &&
+        !new java.io.File(statePath + "/win/wave=0").exists(),
+        "compaction cadence did not consolidate wave 0")
+      graft.text.SpanDedup.ngramSpanStatsFromSlice(
+        graft.util.CacheScope.untracked(
+          s.read.parquet(statePath + "/win").drop("wave")),
+        docs, "doc_id", "text", w = 8)
+    }),
+
     "streaming_dedup_incremental_live" -> ((s, dir) => {
       val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
       val waveDir = Tables.stageWaves(s, docs, pmod(col("doc_id"), lit(2)), 2, "graft_incw")
@@ -663,6 +695,10 @@ private[graft] object QueriesStreaming {
     // from the maintained unigram slice) must score exactly like the
     // one-shot corpus model.
     "streaming_lm_bigram_live" -> QueriesText.bigramLmOracleSql,
+
+    // The streamed window-fingerprint fold must reproduce the one-shot
+    // exact-substring span stats — the oracle IS dedup_ngram_spans'.
+    "streaming_span_dedup_live" -> QueriesText.ngramSpanOracleSql,
     // Crash + replay must converge to the UNINTERRUPTED run's result —
     // the whole point of the replay-safe sink. Same oracle by
     // construction.

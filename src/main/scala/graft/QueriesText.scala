@@ -26,6 +26,36 @@ private[graft] object QueriesText {
     "q2" -> "scan filter column",
     "q3" -> "merge batch order")
 
+  /** Shared DuckDB replica of the exact-substring span stats: windows
+    * BY STRING (the Spark side's two-hash+length fingerprints are
+    * thereby verified against collision-free ground truth); coverage as
+    * count(DISTINCT pos + j) over the duplicated windows' index
+    * expansion — the same interval union the Spark side folds. Shared
+    * by `dedup_ngram_spans` and the streaming maintainer gate (the
+    * streamed fold must reproduce the one-shot stats exactly).
+    */
+  private[graft] val ngramSpanOracleSql: String =
+    """WITH t AS (SELECT doc_id,
+      |    CASE WHEN trim(text) = '' THEN []
+      |         ELSE regexp_split_to_array(trim(text), '\s+') END AS toks
+      |  FROM documents),
+      |w AS (SELECT doc_id, CAST(i AS BIGINT) AS pos,
+      |    array_to_string(toks[i + 1 : i + 8], ' ') AS wtext
+      |  FROM t, unnest(range(0, greatest(len(toks) - 7, 0))) AS u(i)),
+      |c AS (SELECT wtext FROM w GROUP BY wtext HAVING count(*) > 1),
+      |d AS (SELECT doc_id, pos FROM w WHERE wtext IN (SELECT wtext FROM c)),
+      |s AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dup_windows FROM d GROUP BY doc_id),
+      |cov AS (SELECT doc_id, CAST(count(DISTINCT pos + j) AS BIGINT) AS covered
+      |  FROM d, unnest(range(0, 8)) AS r(j) GROUP BY doc_id)
+      |SELECT t.doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+      |  CAST(greatest(len(toks) - 7, 0) AS BIGINT) AS n_windows,
+      |  coalesce(dup_windows, 0) AS dup_windows,
+      |  coalesce(covered, 0) AS covered_tokens,
+      |  CASE WHEN len(toks) > 0
+      |    THEN round(coalesce(covered, 0) / CAST(len(toks) AS DOUBLE), 6)
+      |    ELSE 0.0 END AS dup_token_frac
+      |FROM t LEFT JOIN s USING (doc_id) LEFT JOIN cov USING (doc_id)""".stripMargin
+
   /** Shared DuckDB replica of the BM25 top-k ranking. Constants are
     * written as the same double ASTs the Spark side folds ((1.2 + 1.0),
     * (1.0 - 0.75)) so both engines evaluate identical IEEE operations;
@@ -308,6 +338,45 @@ private[graft] object QueriesText {
         .select((col("doc_id") + 1000000000000L).as("doc_id"),
           expr("substring(text, 26)").as("text"))
       Dedup.suffixContainedDocs(docs.unionByName(tails), "doc_id", "text")
+    }),
+
+    // Exact-substring span dedup (Lee et al. 2021, sliding-window
+    // form): per-doc stats on 8-token windows whose text occurs >1
+    // time ANYWHERE in the corpus — the partial-overlap tier the
+    // document-level dedups can't see (the fixture has ~1.1k
+    // duplicated 8-gram keys even at sf0.001). Window fingerprints are
+    // 20 bytes on every wire; coverage is a per-doc sorted interval
+    // fold. The oracle groups by the exact window STRING, so the
+    // hash-fingerprint path is verified, not assumed.
+    "dedup_ngram_spans" -> ((s, dir) =>
+      graft.text.SpanDedup.ngramSpanStats(
+        t(s, dir, "documents"), "doc_id", "text", w = 8)),
+
+    // The actionable form: excise every duplicated-window token span
+    // and rejoin the remainder — what ExactSubstr dedup actually DOES
+    // to a training corpus (keep the novel remainder, not drop the doc).
+    "dedup_ngram_spans_clean" -> ((s, dir) =>
+      graft.text.SpanDedup.removeDupSpans(
+        t(s, dir, "documents"), "doc_id", "text", w = 8)),
+
+    // Gopher rejection-rule vector (Rae et al. 2021 table A1): the
+    // per-doc rule columns plus the composed pass flag — the REJECTION
+    // rule set production filters apply verbatim, exposed per-rule so a
+    // pipeline can audit which rule fired. Scan-side HOF arithmetic
+    // only: no shuffle, no UDF.
+    "text_gopher_rules" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), col("text"),
+          TextAnalysis.tokens(col("text")).as("toks"))
+      docs.select(col("doc_id"),
+          TextAnalysis.gopherRules(col("toks"), col("text")).as("g"))
+        .select(col("doc_id"), col("g.n_words").as("n_words"),
+          col("g.mean_word_len").as("mean_word_len"),
+          col("g.frac_alpha_words").as("frac_alpha_words"),
+          col("g.hash_word_ratio").as("hash_word_ratio"),
+          col("g.ellipsis_word_ratio").as("ellipsis_word_ratio"),
+          col("g.stop_hits").as("stop_hits"),
+          col("g.pass_gopher").as("pass_gopher"))
     }),
 
     // Okapi BM25 top-10 per query over a fixed query set — retrieval
@@ -974,6 +1043,74 @@ private[graft] object QueriesText {
         |SELECT token, df,
         |  round(ln((SELECT CAST(count(*) AS DOUBLE) FROM documents) / df), 6) AS idf
         |FROM g""".stripMargin,
+
+    // Exact-substring span twin: windows BY STRING (the gate's
+    // fingerprints are thereby verified against the collision-free
+    // ground truth); coverage as count(DISTINCT pos + j) over the
+    // duplicated windows' index expansion — the same interval union the
+    // Spark side folds.
+    "dedup_ngram_spans" -> ngramSpanOracleSql,
+
+    // Span-removal twin: kept tokens are indices outside every
+    // duplicated window's [pos, pos+8) expansion, rejoined in index
+    // order; docs with nothing kept (or no tokens) yield ''.
+    "dedup_ngram_spans_clean" ->
+      """WITH t AS (SELECT doc_id,
+        |    CASE WHEN trim(text) = '' THEN []
+        |         ELSE regexp_split_to_array(trim(text), '\s+') END AS toks
+        |  FROM documents),
+        |w AS (SELECT doc_id, CAST(i AS BIGINT) AS pos,
+        |    array_to_string(toks[i + 1 : i + 8], ' ') AS wtext
+        |  FROM t, unnest(range(0, greatest(len(toks) - 7, 0))) AS u(i)),
+        |c AS (SELECT wtext FROM w GROUP BY wtext HAVING count(*) > 1),
+        |d AS (SELECT doc_id, pos FROM w WHERE wtext IN (SELECT wtext FROM c)),
+        |cix AS (SELECT DISTINCT doc_id, pos + j AS idx
+        |  FROM d, unnest(range(0, 8)) AS r(j)),
+        |k AS (SELECT t.doc_id, CAST(i AS BIGINT) AS idx, toks[i + 1] AS tok
+        |  FROM t, unnest(range(0, len(toks))) AS u(i)),
+        |kept AS (SELECT k.doc_id, k.idx, k.tok FROM k
+        |  LEFT JOIN cix ON k.doc_id = cix.doc_id AND k.idx = cix.idx
+        |  WHERE cix.idx IS NULL)
+        |SELECT t.doc_id,
+        |  coalesce(string_agg(tok, ' ' ORDER BY idx), '') AS clean_text
+        |FROM t LEFT JOIN kept ON t.doc_id = kept.doc_id
+        |GROUP BY t.doc_id""".stripMargin,
+
+    // Gopher rule-vector twin: per-word HOFs over the same token
+    // array; '#'/'...' counts via non-overlapping replace (identical
+    // left-to-right semantics in both engines; the '...' delta is
+    // always a multiple of 3).
+    "text_gopher_rules" ->
+      """WITH t AS (SELECT doc_id, text,
+        |    CASE WHEN trim(text) = '' THEN []
+        |         ELSE regexp_split_to_array(trim(text), '\s+') END AS toks
+        |  FROM documents),
+        |s AS (SELECT doc_id, len(toks) AS n,
+        |    coalesce(list_sum(list_transform(toks, t -> CAST(len(t) AS BIGINT))), 0) AS sumlen,
+        |    len(list_filter(toks, t -> regexp_matches(t, '[A-Za-z]'))) AS nalpha,
+        |    CAST(len(text) - len(replace(text, '#', '')) AS BIGINT) AS hashes,
+        |    CAST((len(text) - len(replace(text, '...', ''))) // 3 AS BIGINT) AS ellipses,
+        |    CAST(len(list_filter(toks, t -> list_contains(
+        |      ['the','be','to','of','and','that','have','with'], lower(t)))) AS BIGINT)
+        |      AS stop_hits
+        |  FROM t),
+        |m AS (SELECT doc_id, CAST(n AS BIGINT) AS n_words,
+        |    CASE WHEN n > 0 THEN round(sumlen / CAST(n AS DOUBLE), 6) ELSE 0.0 END
+        |      AS mean_word_len,
+        |    CASE WHEN n > 0 THEN round(nalpha / CAST(n AS DOUBLE), 6) ELSE 0.0 END
+        |      AS frac_alpha_words,
+        |    CASE WHEN n > 0 THEN round(hashes / CAST(n AS DOUBLE), 6) ELSE 0.0 END
+        |      AS hash_word_ratio,
+        |    CASE WHEN n > 0 THEN round(ellipses / CAST(n AS DOUBLE), 6) ELSE 0.0 END
+        |      AS ellipsis_word_ratio,
+        |    stop_hits
+        |  FROM s)
+        |SELECT doc_id, n_words, mean_word_len, frac_alpha_words,
+        |  hash_word_ratio, ellipsis_word_ratio, stop_hits,
+        |  (n_words BETWEEN 50 AND 100000 AND mean_word_len BETWEEN 3.0 AND 10.0
+        |   AND hash_word_ratio <= 0.1 AND ellipsis_word_ratio <= 0.1
+        |   AND frac_alpha_words >= 0.8 AND stop_hits >= 2) AS pass_gopher
+        |FROM m""".stripMargin,
 
     // Sorted-adjacency prefix containment replicated as one global lead
     // (the oracle can afford the single-partition form; binary string

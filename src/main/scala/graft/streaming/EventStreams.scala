@@ -550,6 +550,47 @@ object EventStreams {
       .trigger(Trigger.AvailableNow())
       .start()
 
+  /** Streaming exact-substring window-index maintenance: each
+    * micro-batch appends its [[graft.text.SpanDedup.windowSlice]]
+    * (`(doc_id, pos, h1, h2, hl)` — 20-byte fingerprints, never window
+    * text) to `/win`. The slice IS the whole index: the duplicate
+    * multiset and per-doc span positions derive from the fold, so like
+    * the LM sinks (and unlike BM25) there is no stats sidecar and
+    * history is never re-tokenized — O(batch) per wave. Scoring the
+    * fold ([[graft.text.SpanDedup.ngramSpanStatsFromSlice]]) equals the
+    * one-shot stats exactly (window rows are a per-doc function of the
+    * text; waves partition the docs). Replay safety and compaction
+    * cadence are [[bm25IndexSink]]'s: wave-partitioned dynamic
+    * overwrite, committed waves consolidated size-tiered into `wave=-1`
+    * every `compactEvery` waves.
+    *
+    * The live form is what makes ExactSubstr dedup deployable on an
+    * ingest stream: a new document's spans are checked against the
+    * WHOLE standing corpus (the folded multiset), not just its own
+    * batch, at append cost.
+    */
+  def spanIndexSink(docs: DataFrame, idCol: String, textCol: String, w: Int,
+                    statePath: String, checkpoint: String,
+                    compactEvery: Int = 0,
+                    compactMaxFiles: Int = 8): StreamingQuery =
+    docs.writeStream
+      .outputMode(OutputMode.Update())
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.text.SpanDedup.windowSlice(batch, idCol, textCol, w)
+          .withColumn("wave", lit(batchId.toInt))
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("wave").parquet(statePath + "/win")
+        if (compactEvery > 0 && batchId % compactEvery == compactEvery - 1)
+          graft.ops.Compact.consolidateWaves(
+            batch.sparkSession, statePath + "/win", currentWave = batchId,
+            maxFiles = compactMaxFiles)
+        ()
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+
   def mergeSinkPartitioned(stream: DataFrame, statePath: String,
                            keys: Seq[String], precedence: Seq[Column],
                            partitionCol: String,

@@ -1,0 +1,187 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Exact-substring span deduplication — the sliding-window form of
+  * Lee et al. 2021 ("Deduplicating Training Data Makes Language Models
+  * Better", ExactSubstr): any token window of width `w` whose text
+  * occurs MORE THAN ONCE anywhere in the corpus (another document, or
+  * the same document again) marks its token span as duplicated. Unlike
+  * the document-level tiers in [[Dedup]] (exact / Jaccard / MinHash /
+  * SimHash), this catches partial overlap — boilerplate headers, quoted
+  * paragraphs, licence blocks — inside documents that are NOT
+  * near-duplicates of each other, and its remove form excises only the
+  * repeated span, keeping the novel remainder.
+  *
+  * Scale shape (the reference-free design, chosen for a 100 TB corpus):
+  *
+  *  - The suffix array the paper builds is a single-machine structure;
+  *    the distributed equivalent is the window fingerprint multiset,
+  *    which is ONE scan plus ONE narrow shuffle. Each document emits
+  *    its `n - w + 1` windows as 20-byte fingerprints
+  *    `(xxhash64(win), xxhash64(win, 1), length(win))` — no window
+  *    TEXT ever crosses an exchange (a window is ~`w` words, so a
+  *    text-keyed shuffle would carry ~`w`× the corpus bytes).
+  *  - Duplicate fingerprints come from one hash-aggregate
+  *    (`count > 1`); duplicated positions from the equi-join back.
+  *    Both shuffles carry the 20-byte key only. AQE broadcasts the
+  *    duplicate side when it is small (the realistic-corpus case).
+  *  - Collision honesty: distinct window texts agreeing on BOTH
+  *    64-bit hashes AND length is ~`n²/2^129` — at 10^12 windows
+  *    (≈100 TB) P(any) ≈ 10^-15, below hardware corruption rates.
+  *    The DuckDB oracle twin groups by the exact window STRING, so
+  *    the gates verify the no-collision regime bit-for-bit rather
+  *    than assuming it.
+  *  - Per-document work (coverage merge, span removal) is a fold over
+  *    that document's own sorted duplicate positions — bounded by the
+  *    document's token count, never by the corpus (the same per-doc
+  *    boundedness contract as tokenization itself; cap inputs with
+  *    [[LanguageModel]]-style `maxDocTokens` upstream if a pathological
+  *    doc can exceed memory).
+  *
+  * Reference scope anchor: the reference pipeline dedups at row
+  * granularity only (load.py upsert keys); span-level dedup is part of
+  * the training-data extension surface (SURVEY §7.6).
+  */
+object SpanDedup {
+
+  /** Sliding windows of `w` tokens as narrow fingerprints: array of
+    * `(pos, h1, h2, hl)` structs, empty when the doc has fewer than `w`
+    * tokens. `h2` salts the tuple with a constant so the pair of 64-bit
+    * hashes is independent; `hl` pins the window text length.
+    */
+  private def windowFps(toks: Column, w: Int): Column = {
+    val fp = transform(sequence(lit(0), size(toks) - w), p => {
+      val win = concat_ws(" ", slice(toks, p + 1, lit(w)))
+      struct(p.as("pos"), xxhash64(win).as("h1"),
+        xxhash64(win, lit(1)).as("h2"), length(win).as("hl"))
+    })
+    when(size(toks) >= w, fp)
+      .otherwise(array().cast(ArrayType(StructType(Seq(
+        StructField("pos", IntegerType, nullable = false),
+        StructField("h1", LongType), StructField("h2", LongType),
+        StructField("hl", IntegerType))))))
+  }
+
+  /** The exploded window-fingerprint table
+    * `(doc_id, pos, h1, h2, hl)` — one row per window position. This is
+    * also the INCREMENTAL INDEX UNIT: window rows are a pure per-doc
+    * function of the text, so slices over disjoint document sets fold
+    * by plain append (the same argument as [[LanguageModel.tfSlice]]),
+    * which is what [[graft.streaming.EventStreams.spanIndexSink]]
+    * maintains per micro-batch.
+    */
+  def windowSlice(docs: DataFrame, idCol: String, textCol: String,
+                  w: Int): DataFrame =
+    docs.select(col(idCol).as("doc_id"),
+        TextAnalysis.tokens(col(textCol)).as("toks"))
+      .select(col("doc_id"), explode(windowFps(col("toks"), w)).as("f"))
+      .select(col("doc_id"), col("f.pos").as("pos"),
+        col("f.h1").as("h1"), col("f.h2").as("h2"), col("f.hl").as("hl"))
+
+  /** Per-document duplicate positions: `(doc_id, dup_windows, ps)` with
+    * `ps` the sorted array of window start offsets whose fingerprint
+    * occurs more than once corpus-wide. Only documents with at least
+    * one duplicated window appear (callers left-join).
+    *
+    * When `wins` is the inline [[windowSlice]], the corpus is
+    * deliberately scanned TWICE (the fingerprint multiset, then the
+    * positions that join against it) instead of persisting the exploded
+    * table once: that table is ~28 bytes × one row per token — ~1.4×
+    * the corpus itself at 100 TB — so recomputing scan-side
+    * fingerprints is cheaper than caching it, and column pruning gives
+    * the multiset branch a text-only scan (no ids, no positions). When
+    * `wins` is a PERSISTED fold (the streaming index), both consumers
+    * are cheap narrow-column scans of the stored slice.
+    */
+  private def dupPositions(wins: DataFrame): DataFrame = {
+    // The multiset count and the re-join both key on the 20-byte
+    // fingerprint; window text stays inside the scan stage.
+    val dup = wins.groupBy(col("h1"), col("h2"), col("hl"))
+      .agg(count(lit(1)).as("_c")).where(col("_c") > 1)
+      .select(col("h1"), col("h2"), col("hl"))
+    wins.join(dup, Seq("h1", "h2", "hl"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("dup_windows"),
+        array_sort(collect_list(col("pos"))).as("ps"))
+  }
+
+  /** Covered-token count: length of the union of intervals
+    * `[p, p + w)` over the sorted duplicate positions — a single
+    * left fold (positions ascend, so one running exclusive end
+    * suffices; no interval list is materialized).
+    */
+  private def coveredTokens(ps: Column, w: Int): Column =
+    aggregate(ps,
+      struct(lit(0L).as("tot"), lit(0L).as("e")),
+      (acc, p) => {
+        val pl = p.cast(LongType)
+        val end = pl + lit(w.toLong)
+        struct(
+          (acc("tot") + greatest(lit(0L), end - greatest(pl, acc("e")))).as("tot"),
+          greatest(acc("e"), end).as("e"))
+      },
+      acc => acc("tot"))
+
+  /** Per-document duplicated-span statistics:
+    * `(doc_id, n_tokens, n_windows, dup_windows, covered_tokens,
+    * dup_token_frac)`. `dup_windows` counts window POSITIONS whose
+    * `w`-token text occurs >1 time corpus-wide; `covered_tokens` is the
+    * merged-interval union of those windows; the fraction is
+    * `covered / n_tokens` (0.0 for empty docs). Every input document
+    * appears (zeros when nothing is duplicated).
+    */
+  def ngramSpanStats(docs: DataFrame, idCol: String, textCol: String,
+                     w: Int): DataFrame =
+    ngramSpanStatsFromSlice(windowSlice(docs, idCol, textCol, w),
+      docs, idCol, textCol, w)
+
+  /** [[ngramSpanStats]] over a PREBUILT (possibly incrementally folded)
+    * [[windowSlice]] — the read side of the streaming index: scoring the
+    * fold equals the one-shot stats exactly (the slice rows are
+    * identical by the disjoint-doc append argument). `docs` supplies
+    * `n_tokens` for every document, including those contributing no
+    * windows.
+    */
+  def ngramSpanStatsFromSlice(wins: DataFrame, docs: DataFrame,
+                              idCol: String, textCol: String,
+                              w: Int): DataFrame = {
+    require(w >= 1, s"window width must be >= 1, got $w")
+    val perDoc = dupPositions(wins)
+    docs.select(col(idCol).as("doc_id"),
+        size(TextAnalysis.tokens(col(textCol))).cast(LongType).as("n_tokens"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        greatest(col("n_tokens") - lit((w - 1).toLong), lit(0L)).as("n_windows"),
+        coalesce(col("dup_windows"), lit(0L)).as("dup_windows"),
+        coalesce(coveredTokens(col("ps"), w), lit(0L)).as("covered_tokens"),
+        when(col("n_tokens") > 0,
+          round(coalesce(coveredTokens(col("ps"), w), lit(0L))
+            .cast(DoubleType) / col("n_tokens").cast(DoubleType), 6))
+          .otherwise(lit(0.0)).as("dup_token_frac"))
+  }
+
+  /** Span REMOVAL (the paper's actionable form): drop every token lying
+    * inside any duplicated window and rejoin the remainder with single
+    * spaces — `(doc_id, clean_text)`, the empty string when everything
+    * (or the whole doc) is duplicated. The keep test is
+    * `¬∃ p ∈ ps: p ≤ i < p + w` per token — O(tokens × |ps|) per
+    * document, bounded by the document alone (see scale notes above).
+    */
+  def removeDupSpans(docs: DataFrame, idCol: String, textCol: String,
+                     w: Int): DataFrame = {
+    require(w >= 1, s"window width must be >= 1, got $w")
+    val perDoc = dupPositions(windowSlice(docs, idCol, textCol, w))
+      .select(col("doc_id"), col("ps"))
+    val emptyPs = array().cast(ArrayType(IntegerType))
+    docs.select(col(idCol).as("doc_id"),
+        TextAnalysis.tokens(col(textCol)).as("toks"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        concat_ws(" ", filter(col("toks"), (_, i) =>
+          !exists(coalesce(col("ps"), emptyPs), p =>
+            p <= i && i < p + lit(w)))).as("clean_text"))
+  }
+}

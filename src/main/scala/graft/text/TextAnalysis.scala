@@ -105,6 +105,62 @@ object TextAnalysis {
     alphaRatio * 0.4 + stopRatio * 0.3 + lenFactor * 0.3
   }
 
+  /** Gopher quality rules (Rae et al. 2021, "Scaling Language Models:
+    * Methods, Analysis & Insights from Training Gopher", table A1) —
+    * the per-document rule VECTOR plus the composed pass flag, over a
+    * pre-tokenized array column:
+    *
+    *  - `n_words`, `mean_word_len` (chars per word; 0.0 when empty)
+    *  - `frac_alpha_words` — fraction of words containing at least one
+    *    ASCII letter (rule: ≥ 0.8)
+    *  - `hash_word_ratio` / `ellipsis_word_ratio` — '#' and '...'
+    *    occurrences per word (rules: ≤ 0.1 each)
+    *  - `stop_hits` — count of words in Gopher's 8-stopword set
+    *    (rule: ≥ 2)
+    *  - `pass_gopher` — all of the above plus
+    *    `minWords ≤ n_words ≤ maxWords` and `3 ≤ mean_word_len ≤ 10`
+    *
+    * All columns are scan-side arithmetic/HOFs over the token array —
+    * no shuffle, no UDF; per-word work is bounded by the document.
+    * Unlike the blended [[qualityScore]] (a ranking signal), this is
+    * the REJECTION rule set production corpus filters apply verbatim,
+    * exposed as columns so a pipeline can audit WHICH rule fired.
+    */
+  def gopherRules(toks: Column, text: Column,
+                  minWords: Int = 50, maxWords: Int = 100000): Column = {
+    val n = size(toks)
+    val nD = n.cast(DoubleType)
+    val meanLen = when(n > 0,
+      round(aggregate(toks, lit(0L), (acc, t) => acc + length(t).cast(LongType))
+        .cast(DoubleType) / nD, 6)).otherwise(lit(0.0))
+    val alphaFrac = when(n > 0,
+      round(size(filter(toks, t => t.rlike("[A-Za-z]"))).cast(DoubleType) / nD, 6))
+      .otherwise(lit(0.0))
+    val hashes = (length(text) - length(replace(text, lit("#"), lit("")))).cast(LongType)
+    val ellipses = ((length(text) - length(replace(text, lit("..."), lit("")))) / 3)
+      .cast(LongType)
+    val hashRatio = when(n > 0, round(hashes.cast(DoubleType) / nD, 6))
+      .otherwise(lit(0.0))
+    val ellipsisRatio = when(n > 0, round(ellipses.cast(DoubleType) / nD, 6))
+      .otherwise(lit(0.0))
+    val stopHits = size(filter(toks, t =>
+      lower(t).isin(GopherStopwords: _*))).cast(LongType)
+    val pass = n.between(minWords, maxWords) &&
+      meanLen.between(3.0, 10.0) &&
+      hashRatio <= 0.1 && ellipsisRatio <= 0.1 &&
+      alphaFrac >= 0.8 && stopHits >= 2L
+    struct(n.cast(LongType).as("n_words"), meanLen.as("mean_word_len"),
+      alphaFrac.as("frac_alpha_words"), hashRatio.as("hash_word_ratio"),
+      ellipsisRatio.as("ellipsis_word_ratio"), stopHits.as("stop_hits"),
+      pass.as("pass_gopher"))
+  }
+
+  /** Gopher's "stop word" presence list (loc. cit.): a document must
+    * contain at least two of these to pass.
+    */
+  val GopherStopwords: Seq[String] =
+    Seq("the", "be", "to", "of", "and", "that", "have", "with")
+
   /** Word n-gram shingles from a PRE-TOKENIZED array column (distinct),
     * the unit of Jaccard / MinHash dedup. `n >= 1`; fewer than n tokens
     * yields an empty array.

@@ -437,6 +437,20 @@ class PlanContractSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("dedup_ngram_spans: fingerprint-keyed exchanges only; multiset scan prunes to text") {
+    val p = plan("dedup_ngram_spans")
+    // The window-multiset count shuffles the 20-byte fingerprint with a
+    // map-side partial count — never window text.
+    assert("Exchange hashpartitioning\\(h1#\\d+L, h2#\\d+L, hl#\\d+".r.findFirstIn(p).isDefined,
+      s"multiset count must shuffle on the fingerprint:\n${p.take(800)}")
+    assert(p.contains("partial_count"), "fingerprint count must partial-aggregate map-side")
+    // The fingerprint-only branch reads ONLY the text column (the
+    // deliberate second scan — see SpanDedup scaladoc).
+    assert(p.contains("ReadSchema: struct<text:string>"),
+      "multiset scan must prune to the text column alone")
+    assert(!p.contains("CartesianProduct") && !p.contains("Exchange SinglePartition"))
+  }
+
   test("text_dup_lines: scan-side only — no exchange, no window, no explode") {
     val p = plan("text_dup_lines")
     assert(!p.contains("Exchange"), s"dup-line stats must not shuffle:\n${p.take(600)}")

@@ -307,6 +307,48 @@ class EventStreamsSpec extends SparkSpec {
     assert(vFull == vBigramOnly + 4, "solo tokens missing from the unigram vocabulary")
   }
 
+  test("spanIndexSink: waves consolidate on cadence; folded slice scores like a rebuild") {
+    implicit val sqlCtx = spark.sqlContext
+    // Four waves; a CROSS-WAVE duplicated window ("a b c d" shared by
+    // wave 0 and wave 3 docs) proves the fold checks new docs against
+    // the whole standing corpus, not just their own batch.
+    val docsByWave = (0 until 4).map { w =>
+      (0 until 4).map { i =>
+        val id = (w * 4 + i).toLong
+        val text = if (i == 0) "a b c d tail" + w
+                   else s"u$id v$id w$id x$id y$id"
+        (id, text)
+      }
+    }
+    val input = MemoryStream[(Long, String)]
+    val statePath = Files.createTempDirectory("graft_spanspec_state").toString
+    val ckpt = Files.createTempDirectory("graft_spanspec_ck").toString
+    docsByWave.foreach { docs =>
+      input.addData(docs: _*)
+      EventStreams.spanIndexSink(input.toDF().toDF("doc_id", "text"),
+        "doc_id", "text", w = 4, statePath, ckpt,
+        compactEvery = 2, compactMaxFiles = 4).awaitTermination(120000)
+    }
+    val waveDirs = new java.io.File(statePath + "/win").listFiles()
+      .filter(_.isDirectory).map(_.getName).toSet
+    assert(waveDirs == Set("wave=-1", "wave=3"),
+      s"committed waves not consolidated: $waveDirs")
+    val all = docsByWave.flatten.toDF("doc_id", "text")
+    val streamed = graft.text.SpanDedup.ngramSpanStatsFromSlice(
+        spark.read.parquet(statePath + "/win").drop("wave"),
+        all, "doc_id", "text", w = 4)
+      .orderBy("doc_id").collect().toSeq
+    val rebuilt = graft.text.SpanDedup.ngramSpanStats(all, "doc_id", "text", w = 4)
+      .orderBy("doc_id").collect().toSeq
+    assert(streamed == rebuilt)
+    // The cross-wave duplicate was really found: every "a b c d ..."
+    // doc (one per wave) has its first 4 tokens covered.
+    val covered = streamed.filter(_.getLong(3) > 0) // dup_windows > 0
+    assert(covered.map(_.getLong(0)).toSet == Set(0L, 4L, 8L, 12L),
+      s"cross-wave dup docs wrong: ${covered.map(_.getLong(0))}")
+    assert(covered.forall(_.getLong(4) == 4L), "covered_tokens must be the 4-token span")
+  }
+
   test("tumbling late semantics: drop keys on window END vs watermark, emit closed windows") {
     // Pins the drop/fold/emit boundary rules the streaming_tumbling_late
     // oracle encodes: a late row is dropped iff its WINDOW END is at or
