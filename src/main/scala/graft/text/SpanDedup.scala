@@ -21,9 +21,12 @@ import org.apache.spark.sql.types._
   *    the distributed equivalent is the window fingerprint multiset,
   *    which is ONE scan plus ONE narrow shuffle. Each document emits
   *    its `n - w + 1` windows as 20-byte fingerprints
-  *    `(xxhash64(win), xxhash64(win, 1), length(win))` — no window
+  *    `(xxhash64(win), xxhash64(1, win), length(win))` — no window
   *    TEXT ever crosses an exchange (a window is ~`w` words, so a
-  *    text-keyed shuffle would carry ~`w`× the corpus bytes).
+  *    text-keyed shuffle would carry ~`w`× the corpus bytes). The salt
+  *    leads in h2 so it perturbs the xxhash64 seed chain AHEAD of the
+  *    window bytes (a different-seed hash); salt-last would make h2 a
+  *    pure function of h1 and add no entropy.
   *  - Duplicate fingerprints come from one hash-aggregate
   *    (`count > 1`); duplicated positions from the equi-join back.
   *    Both shuffles carry the 20-byte key only. AQE broadcasts the
@@ -49,14 +52,19 @@ object SpanDedup {
 
   /** Sliding windows of `w` tokens as narrow fingerprints: array of
     * `(pos, h1, h2, hl)` structs, empty when the doc has fewer than `w`
-    * tokens. `h2` salts the tuple with a constant so the pair of 64-bit
-    * hashes is independent; `hl` pins the window text length.
+    * tokens. `h2` hashes the constant salt BEFORE the window text:
+    * Spark's multi-arg xxhash64 seed-chains left-to-right, so
+    * `xxhash64(1, win)` = `hashBytes(win, seed = hashLong(1, 42))` — a
+    * genuinely different-seed hash of the bytes. (The salt-last form
+    * `xxhash64(win, 1)` would be `hashLong(1, h1)`, a pure function of
+    * `h1` carrying ZERO extra entropy — every h1 collision would also
+    * collide h2.) `hl` pins the window text length.
     */
   private def windowFps(toks: Column, w: Int): Column = {
     val fp = transform(sequence(lit(0), size(toks) - w), p => {
       val win = concat_ws(" ", slice(toks, p + 1, lit(w)))
       struct(p.as("pos"), xxhash64(win).as("h1"),
-        xxhash64(win, lit(1)).as("h2"), length(win).as("hl"))
+        xxhash64(lit(1), win).as("h2"), length(win).as("hl"))
     })
     when(size(toks) >= w, fp)
       .otherwise(array().cast(ArrayType(StructType(Seq(
@@ -66,12 +74,15 @@ object SpanDedup {
   }
 
   /** The exploded window-fingerprint table
-    * `(doc_id, pos, h1, h2, hl)` — one row per window position. This is
-    * also the INCREMENTAL INDEX UNIT: window rows are a pure per-doc
+    * `(doc_id, pos, h1, h2, hl, w)` — one row per window position. This
+    * is also the INCREMENTAL INDEX UNIT: window rows are a pure per-doc
     * function of the text, so slices over disjoint document sets fold
     * by plain append (the same argument as [[LanguageModel.tfSlice]]),
     * which is what [[graft.streaming.EventStreams.spanIndexSink]]
-    * maintains per micro-batch.
+    * maintains per micro-batch. The constant `w` column persists the
+    * window width WITH the slice (RLE-compressed to nothing in parquet)
+    * so a reader can never silently score a `w=8` index as `w=4` —
+    * [[ngramSpanStatsFromSlice]] verifies it.
     */
   def windowSlice(docs: DataFrame, idCol: String, textCol: String,
                   w: Int): DataFrame =
@@ -79,7 +90,8 @@ object SpanDedup {
         TextAnalysis.tokens(col(textCol)).as("toks"))
       .select(col("doc_id"), explode(windowFps(col("toks"), w)).as("f"))
       .select(col("doc_id"), col("f.pos").as("pos"),
-        col("f.h1").as("h1"), col("f.h2").as("h2"), col("f.hl").as("hl"))
+        col("f.h1").as("h1"), col("f.h2").as("h2"), col("f.hl").as("hl"),
+        lit(w).as("w"))
 
   /** Per-document duplicate positions: `(doc_id, dup_windows, ps)` with
     * `ps` the sorted array of window start offsets whose fingerprint
@@ -135,40 +147,102 @@ object SpanDedup {
     */
   def ngramSpanStats(docs: DataFrame, idCol: String, textCol: String,
                      w: Int): DataFrame =
-    ngramSpanStatsFromSlice(windowSlice(docs, idCol, textCol, w),
+    statsFromSlice(windowSlice(docs, idCol, textCol, w),
       docs, idCol, textCol, w)
 
-  /** [[ngramSpanStats]] over a PREBUILT (possibly incrementally folded)
-    * [[windowSlice]] — the read side of the streaming index: scoring the
-    * fold equals the one-shot stats exactly (the slice rows are
-    * identical by the disjoint-doc append argument). `docs` supplies
-    * `n_tokens` for every document, including those contributing no
-    * windows.
+  /** [[ngramSpanStats]] over a PREBUILT (persisted, possibly
+    * incrementally folded) [[windowSlice]] — the read side of the
+    * streaming index: scoring the fold equals the one-shot stats
+    * exactly (the slice rows are identical by the disjoint-doc append
+    * argument). `docs` supplies `n_tokens` for every document,
+    * including those contributing no windows.
+    *
+    * Guard (shared contract with
+    * [[graft.streaming.EventStreams.spanIndexSink]]): the slice must
+    * carry the `w` column [[windowSlice]] persists, and its value must
+    * equal the `w` argument — scoring a `w=8` index as `w=4` would
+    * silently mis-state `n_windows`/`covered_tokens`. The check is one
+    * eager min/max over the slice's constant RLE column (cheap on a
+    * stored index — this entry point is for PERSISTED slices; the
+    * inline path [[ngramSpanStats]] builds its own slice and skips it).
     */
   def ngramSpanStatsFromSlice(wins: DataFrame, docs: DataFrame,
                               idCol: String, textCol: String,
                               w: Int): DataFrame = {
     require(w >= 1, s"window width must be >= 1, got $w")
+    require(wins.columns.contains("w"),
+      "slice lacks the 'w' width column windowSlice persists — cannot " +
+        "verify it was built at the requested window width")
+    val bounds = wins.agg(min(col("w")), max(col("w"))).head()
+    require(bounds.isNullAt(0) ||
+        (bounds.getInt(0) == w && bounds.getInt(1) == w),
+      s"slice was built with w in [${bounds.get(0)}, ${bounds.get(1)}], " +
+        s"caller asked for w=$w")
+    statsFromSlice(wins, docs, idCol, textCol, w)
+  }
+
+  private def statsFromSlice(wins: DataFrame, docs: DataFrame,
+                             idCol: String, textCol: String,
+                             w: Int): DataFrame = {
+    require(w >= 1, s"window width must be >= 1, got $w")
     val perDoc = dupPositions(wins)
     docs.select(col(idCol).as("doc_id"),
         size(TextAnalysis.tokens(col(textCol))).cast(LongType).as("n_tokens"))
       .join(perDoc, Seq("doc_id"), "left")
+      // covered_tokens is computed ONCE here: the interval-union fold is
+      // a non-codegen HOF aggregate, so repeating it inside the fraction
+      // could evaluate twice if CSE doesn't merge the subtrees.
       .select(col("doc_id"), col("n_tokens"),
         greatest(col("n_tokens") - lit((w - 1).toLong), lit(0L)).as("n_windows"),
         coalesce(col("dup_windows"), lit(0L)).as("dup_windows"),
-        coalesce(coveredTokens(col("ps"), w), lit(0L)).as("covered_tokens"),
+        coalesce(coveredTokens(col("ps"), w), lit(0L)).as("covered_tokens"))
+      .select(col("doc_id"), col("n_tokens"), col("n_windows"),
+        col("dup_windows"), col("covered_tokens"),
         when(col("n_tokens") > 0,
-          round(coalesce(coveredTokens(col("ps"), w), lit(0L))
-            .cast(DoubleType) / col("n_tokens").cast(DoubleType), 6))
+          round(col("covered_tokens").cast(DoubleType) /
+            col("n_tokens").cast(DoubleType), 6))
           .otherwise(lit(0.0)).as("dup_token_frac"))
+  }
+
+  /** Keep-intervals — the complement `[0, n) \ ∪[p, p+w)` of the merged
+    * duplicate spans — as ONE left fold over the ascending positions:
+    * O(|ps|) per document, emitting each gap `[gs, ge)` (all non-empty
+    * by construction) the moment the running merged span advances past
+    * it. The same single-running-end shape as [[coveredTokens]].
+    */
+  private def keepGaps(ps: Column, n: Column, w: Int): Column = {
+    val gapT = ArrayType(StructType(Seq(
+      StructField("gs", LongType, nullable = false),
+      StructField("ge", LongType, nullable = false))))
+    val emptyGaps = array().cast(gapT)
+    aggregate(ps,
+      struct(emptyGaps.as("gaps"), lit(-1L).as("e")),
+      (acc, p) => {
+        val pl = p.cast(LongType)
+        val prevEnd = when(acc("e") < 0L, lit(0L)).otherwise(acc("e"))
+        struct(
+          when(acc("e") >= 0L && pl <= acc("e"), acc("gaps"))
+            .when(pl > prevEnd, concat(acc("gaps"),
+              array(struct(prevEnd.as("gs"), pl.as("ge")))))
+            .otherwise(acc("gaps")).as("gaps"),
+          greatest(acc("e"), pl + lit(w.toLong)).as("e"))
+      },
+      acc => {
+        val tailStart = when(acc("e") < 0L, lit(0L)).otherwise(acc("e"))
+        when(n > tailStart, concat(acc("gaps"),
+          array(struct(tailStart.as("gs"), n.as("ge")))))
+          .otherwise(acc("gaps"))
+      })
   }
 
   /** Span REMOVAL (the paper's actionable form): drop every token lying
     * inside any duplicated window and rejoin the remainder with single
     * spaces — `(doc_id, clean_text)`, the empty string when everything
-    * (or the whole doc) is duplicated. The keep test is
-    * `¬∃ p ∈ ps: p ≤ i < p + w` per token — O(tokens × |ps|) per
-    * document, bounded by the document alone (see scale notes above).
+    * (or the whole doc) is duplicated. Kept text is the concatenation
+    * of the [[keepGaps]] gap slices — O(tokens + |ps|) per document
+    * (the gaps fold is linear in `|ps|`, the slices copy each kept
+    * token once), so even the saturated regime (|ps| ≈ tokens, every
+    * window duplicated) stays linear in the document.
     */
   def removeDupSpans(docs: DataFrame, idCol: String, textCol: String,
                      w: Int): DataFrame = {
@@ -179,9 +253,12 @@ object SpanDedup {
     docs.select(col(idCol).as("doc_id"),
         TextAnalysis.tokens(col(textCol)).as("toks"))
       .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("toks"),
+        keepGaps(coalesce(col("ps"), emptyPs),
+          size(col("toks")).cast(LongType), w).as("gaps"))
       .select(col("doc_id"),
-        concat_ws(" ", filter(col("toks"), (_, i) =>
-          !exists(coalesce(col("ps"), emptyPs), p =>
-            p <= i && i < p + lit(w)))).as("clean_text"))
+        concat_ws(" ", flatten(transform(col("gaps"), g =>
+          slice(col("toks"), g("gs").cast(IntegerType) + 1,
+            (g("ge") - g("gs")).cast(IntegerType))))).as("clean_text"))
   }
 }

@@ -49,6 +49,26 @@ class SpanDedupSpec extends SparkSpec {
     assert(got(7L) == "v1 v2")
   }
 
+  test("ngramSpanStatsFromSlice: rejects a slice built at a different w") {
+    val slice = SpanDedup.windowSlice(corpus, "doc_id", "text", w = 8)
+      .cache()
+    try {
+      // matching w scores; mismatched w fails loudly (never silently
+      // mis-stating n_windows/covered_tokens), as does a slice with the
+      // width column stripped.
+      assert(SpanDedup.ngramSpanStatsFromSlice(slice, corpus, "doc_id",
+        "text", w = 8).count() == 7L)
+      val e = intercept[IllegalArgumentException] {
+        SpanDedup.ngramSpanStatsFromSlice(slice, corpus, "doc_id", "text", w = 4)
+      }
+      assert(e.getMessage.contains("w=4"))
+      intercept[IllegalArgumentException] {
+        SpanDedup.ngramSpanStatsFromSlice(slice.drop("w"), corpus,
+          "doc_id", "text", w = 8)
+      }
+    } finally { slice.unpersist(); () }
+  }
+
   test("gopherRules: rule vector arithmetic and the composed pass flag") {
     import spark.implicits._
     val passing = Iterator.fill(6)("the cat and dog have fun with that ball")
