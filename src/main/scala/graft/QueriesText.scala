@@ -375,6 +375,8 @@ private[graft] object QueriesText {
           col("g.frac_alpha_words").as("frac_alpha_words"),
           col("g.hash_word_ratio").as("hash_word_ratio"),
           col("g.ellipsis_word_ratio").as("ellipsis_word_ratio"),
+          col("g.frac_bullet_lines").as("frac_bullet_lines"),
+          col("g.frac_ellipsis_lines").as("frac_ellipsis_lines"),
           col("g.stop_hits").as("stop_hits"),
           col("g.pass_gopher").as("pass_gopher"))
     }),
@@ -1089,7 +1091,13 @@ private[graft] object QueriesText {
         |    coalesce(list_sum(list_transform(toks, t -> CAST(len(t) AS BIGINT))), 0) AS sumlen,
         |    len(list_filter(toks, t -> regexp_matches(t, '[A-Za-z]'))) AS nalpha,
         |    CAST(len(text) - len(replace(text, '#', '')) AS BIGINT) AS hashes,
-        |    CAST((len(text) - len(replace(text, '...', ''))) // 3 AS BIGINT) AS ellipses,
+        |    CAST((len(text) - len(replace(text, '...', ''))) // 3
+        |      + (len(text) - len(replace(text, '…', ''))) AS BIGINT) AS ellipses,
+        |    len(string_split(text, chr(10))) AS nlines,
+        |    len(list_filter(string_split(text, chr(10)), l ->
+        |      list_contains(['•', '-', '*'], substr(ltrim(l), 1, 1)))) AS nbullet,
+        |    len(list_filter(string_split(text, chr(10)), l ->
+        |      ends_with(rtrim(l), '...') OR ends_with(rtrim(l), '…'))) AS nelline,
         |    CAST(len(list_filter(toks, t -> list_contains(
         |      ['the','be','to','of','and','that','have','with'], lower(t)))) AS BIGINT)
         |      AS stop_hits
@@ -1103,12 +1111,16 @@ private[graft] object QueriesText {
         |      AS hash_word_ratio,
         |    CASE WHEN n > 0 THEN round(ellipses / CAST(n AS DOUBLE), 6) ELSE 0.0 END
         |      AS ellipsis_word_ratio,
+        |    round(nbullet / CAST(nlines AS DOUBLE), 6) AS frac_bullet_lines,
+        |    round(nelline / CAST(nlines AS DOUBLE), 6) AS frac_ellipsis_lines,
         |    stop_hits
         |  FROM s)
         |SELECT doc_id, n_words, mean_word_len, frac_alpha_words,
-        |  hash_word_ratio, ellipsis_word_ratio, stop_hits,
+        |  hash_word_ratio, ellipsis_word_ratio,
+        |  frac_bullet_lines, frac_ellipsis_lines, stop_hits,
         |  (n_words BETWEEN 50 AND 100000 AND mean_word_len BETWEEN 3.0 AND 10.0
         |   AND hash_word_ratio <= 0.1 AND ellipsis_word_ratio <= 0.1
+        |   AND frac_bullet_lines <= 0.9 AND frac_ellipsis_lines <= 0.3
         |   AND frac_alpha_words >= 0.8 AND stop_hits >= 2) AS pass_gopher
         |FROM m""".stripMargin,
 

@@ -113,17 +113,25 @@ object TextAnalysis {
     *  - `n_words`, `mean_word_len` (chars per word; 0.0 when empty)
     *  - `frac_alpha_words` — fraction of words containing at least one
     *    ASCII letter (rule: ≥ 0.8)
-    *  - `hash_word_ratio` / `ellipsis_word_ratio` — '#' and '...'
-    *    occurrences per word (rules: ≤ 0.1 each)
+    *  - `hash_word_ratio` / `ellipsis_word_ratio` — '#' and ellipsis
+    *    ('...' or the unicode '…') occurrences per word (rules: ≤ 0.1
+    *    each)
+    *  - `frac_bullet_lines` / `frac_ellipsis_lines` — the two
+    *    LINE-based A1 rules: fraction of newline-split lines whose
+    *    left-trimmed first character is a bullet ('•', '-', '*';
+    *    rule: ≤ 0.9) and fraction whose right-trimmed text ends with
+    *    an ellipsis (rule: ≤ 0.3). Denominator is ALL split lines
+    *    (blank lines included) — both engines split identically, and a
+    *    document with no newline is its own single line.
     *  - `stop_hits` — count of words in Gopher's 8-stopword set
     *    (rule: ≥ 2)
     *  - `pass_gopher` — all of the above plus
     *    `minWords ≤ n_words ≤ maxWords` and `3 ≤ mean_word_len ≤ 10`
     *
     * All columns are scan-side arithmetic/HOFs over the token array —
-    * no shuffle, no UDF; per-word work is bounded by the document.
-    * Unlike the blended [[qualityScore]] (a ranking signal), this is
-    * the REJECTION rule set production corpus filters apply verbatim,
+    * no shuffle, no UDF; per-word/per-line work is bounded by the
+    * document. Unlike the blended [[qualityScore]] (a ranking signal),
+    * this is the REJECTION rule set production corpus filters apply,
     * exposed as columns so a pipeline can audit WHICH rule fired.
     */
   def gopherRules(toks: Column, text: Column,
@@ -137,22 +145,36 @@ object TextAnalysis {
       round(size(filter(toks, t => t.rlike("[A-Za-z]"))).cast(DoubleType) / nD, 6))
       .otherwise(lit(0.0))
     val hashes = (length(text) - length(replace(text, lit("#"), lit("")))).cast(LongType)
-    val ellipses = ((length(text) - length(replace(text, lit("..."), lit("")))) / 3)
-      .cast(LongType)
+    val ellipses = (((length(text) - length(replace(text, lit("..."), lit("")))) / 3) +
+      (length(text) - length(replace(text, lit("…"), lit(""))))).cast(LongType)
     val hashRatio = when(n > 0, round(hashes.cast(DoubleType) / nD, 6))
       .otherwise(lit(0.0))
     val ellipsisRatio = when(n > 0, round(ellipses.cast(DoubleType) / nD, 6))
       .otherwise(lit(0.0))
+    // Line rules: the denominator counts every newline-split segment
+    // (split never yields an empty array — an empty doc is one blank
+    // line, which matches neither predicate).
+    val lines = split(text, "\n")
+    val nLines = size(lines).cast(DoubleType)
+    val bulletFrac = round(size(filter(lines, l =>
+      substring(ltrim(l), 1, 1).isin("•", "-", "*"))).cast(DoubleType) / nLines, 6)
+    val ellipsisLineFrac = round(size(filter(lines, l => {
+      val r = rtrim(l)
+      endswith(r, lit("...")) || endswith(r, lit("…"))
+    })).cast(DoubleType) / nLines, 6)
     val stopHits = size(filter(toks, t =>
       lower(t).isin(GopherStopwords: _*))).cast(LongType)
     val pass = n.between(minWords, maxWords) &&
       meanLen.between(3.0, 10.0) &&
       hashRatio <= 0.1 && ellipsisRatio <= 0.1 &&
+      bulletFrac <= 0.9 && ellipsisLineFrac <= 0.3 &&
       alphaFrac >= 0.8 && stopHits >= 2L
     struct(n.cast(LongType).as("n_words"), meanLen.as("mean_word_len"),
       alphaFrac.as("frac_alpha_words"), hashRatio.as("hash_word_ratio"),
-      ellipsisRatio.as("ellipsis_word_ratio"), stopHits.as("stop_hits"),
-      pass.as("pass_gopher"))
+      ellipsisRatio.as("ellipsis_word_ratio"),
+      bulletFrac.as("frac_bullet_lines"),
+      ellipsisLineFrac.as("frac_ellipsis_lines"),
+      stopHits.as("stop_hits"), pass.as("pass_gopher"))
   }
 
   /** Gopher's "stop word" presence list (loc. cit.): a document must

@@ -73,22 +73,32 @@ class SpanDedupSpec extends SparkSpec {
     import spark.implicits._
     val passing = Iterator.fill(6)("the cat and dog have fun with that ball")
       .mkString(" ") // 54 words, mean 31/9, 5 stopword hits per repeat
+    // 4 lines: 3 bullet-prefixed (0.75), 2 ellipsis-terminated — one
+    // ASCII '...', one unicode '…' (0.5); the '…' also counts one
+    // ellipsis occurrence in the word ratio (2 ellipses / 11 words).
+    val listy = "• the first...\n - second item …\n* third\nplain tail"
     val df = Seq(
       (1L, "the be to of and that have with #a b... c"),
       (2L, ""),
-      (3L, passing)).toDF("doc_id", "text")
+      (3L, passing),
+      (4L, listy)).toDF("doc_id", "text")
     val got = df.select(col("doc_id"),
         TextAnalysis.gopherRules(TextAnalysis.tokens(col("text")), col("text")).as("g"))
       .select(col("doc_id"), col("g.*")).collect()
       .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2), r.getDouble(3),
-        r.getDouble(4), r.getDouble(5), r.getLong(6), r.getBoolean(7)))).toMap
+        r.getDouble(4), r.getDouble(5), r.getDouble(6), r.getDouble(7),
+        r.getLong(8), r.getBoolean(9)))).toMap
     // 11 words: lengths sum 31; 1 '#', 1 '...'; all words have a letter;
+    // one line, neither bullet-led nor ellipsis-terminated;
     // 8 stopword hits; fails on word count and mean word length.
-    assert(got(1L) == ((11L, 2.818182, 1.0, 0.090909, 0.090909, 8L, false)))
-    assert(got(2L) == ((0L, 0.0, 0.0, 0.0, 0.0, 0L, false)))
-    val (n3, mean3, alpha3, hash3, ell3, stops3, pass3) = got(3L)
+    assert(got(1L) == ((11L, 2.818182, 1.0, 0.090909, 0.090909, 0.0, 0.0, 8L, false)))
+    assert(got(2L) == ((0L, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0L, false)))
+    val (n3, mean3, alpha3, hash3, ell3, bul3, ellLine3, stops3, pass3) = got(3L)
     assert(n3 == 54L && pass3)
     assert(mean3 == math.rint(31.0 / 9.0 * 1e6) / 1e6)
     assert(alpha3 == 1.0 && hash3 == 0.0 && ell3 == 0.0 && stops3 == 30L)
+    assert(bul3 == 0.0 && ellLine3 == 0.0)
+    val (_, _, _, _, ell4, bul4, ellLine4, _, pass4) = got(4L)
+    assert(ell4 == 0.181818 && bul4 == 0.75 && ellLine4 == 0.5 && !pass4)
   }
 }
