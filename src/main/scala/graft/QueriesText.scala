@@ -213,6 +213,43 @@ private[graft] object QueriesText {
     * [[LmMaxSurprisal]]. */
   private[graft] val LmMaxBigramSurprisal = 3.47
 
+  /** The exact-substring span tier the cleaning gates arm
+    * ([[graft.text.CorpusPipeline.clean]]'s `spanDedupW` /
+    * `maxDupSpanFrac`): 8-token windows (the span gates' width) and a
+    * 0.5 coverage ceiling. The fixture's span coverage is bimodal —
+    * ~9% of docs at every SF have duplicated windows and essentially
+    * all of those are >0.8 covered (measured via the oracle CTE at 3
+    * SFs) — so 0.5 drops exactly the boilerplate-saturated population
+    * while any threshold in (0, 0.8) selects the same set, making the
+    * gate robust to fixture drift. */
+  private[graft] val SpanDedupW = 8
+  private[graft] val SpanMaxDupFrac = 0.5
+
+  /** CTE fragment scoring every document's duplicated-span coverage
+    * fraction as `spanfrac(doc_id, span_frac)` — the by-string twin of
+    * [[graft.text.SpanDedup.ngramSpanStats]]'s `dup_token_frac` (same
+    * rounding), names prefixed `span` so it composes with the LM
+    * fragments in one WITH (the corpus-cleaning oracles arm all
+    * tiers). */
+  private[graft] def spanFracCte(w: Int): String =
+    s"""spantoks AS (SELECT doc_id,
+       |    CASE WHEN trim(text) = '' THEN []
+       |         ELSE regexp_split_to_array(trim(text), '\\s+') END AS st
+       |  FROM documents),
+       |spanw AS (SELECT doc_id, CAST(i AS BIGINT) AS pos,
+       |    array_to_string(st[i + 1 : i + $w], ' ') AS wtext
+       |  FROM spantoks, unnest(range(0, greatest(len(st) - ${w - 1}, 0))) AS u(i)),
+       |spanc AS (SELECT wtext FROM spanw GROUP BY wtext HAVING count(*) > 1),
+       |spand AS (SELECT doc_id, pos FROM spanw
+       |          WHERE wtext IN (SELECT wtext FROM spanc)),
+       |spancov AS (SELECT doc_id, CAST(count(DISTINCT pos + j) AS BIGINT) AS covered
+       |  FROM spand, unnest(range(0, $w)) AS r(j) GROUP BY doc_id),
+       |spanfrac AS (SELECT spantoks.doc_id,
+       |    CASE WHEN len(st) > 0
+       |      THEN round(coalesce(covered, 0) / CAST(len(st) AS DOUBLE), 6)
+       |      ELSE 0.0 END AS span_frac
+       |  FROM spantoks LEFT JOIN spancov USING (doc_id))""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_normalize" -> ((s, dir) =>
       t(s, dir, "documents").select(col("doc_id"),
@@ -468,13 +505,15 @@ private[graft] object QueriesText {
 
     // The composed cleaning flow (CorpusPipeline.clean): language ->
     // quality -> corpus-LM surprisal (BOTH tiers armed: order-0 unigram
-    // + order-1 bigram) -> exact-dup keeper -> truncation drop ->
+    // + order-1 bigram) -> exact-substring span tier (8-token windows,
+    // 0.5 coverage ceiling) -> exact-dup keeper -> truncation drop ->
     // near-dup keeper, all thresholds the gate constants above.
     "corpus_clean" -> ((s, dir) =>
       graft.text.CorpusPipeline.clean(t(s, dir, "documents"), "doc_id", "text",
         lang = "en", minQuality = 0.45, jaccardThreshold = 0.5, maxDocFreq = 100L,
         maxSurprisal = LmMaxSurprisal,
         maxBigramSurprisal = LmMaxBigramSurprisal,
+        spanDedupW = SpanDedupW, maxDupSpanFrac = SpanMaxDupFrac,
         lmMaxDocTokens = LmDocTokenCap)),
 
     // ---- dedup ------------------------------------------------------------
@@ -867,6 +906,12 @@ private[graft] object QueriesText {
           docs, "doc_id", "text", maxDocTokens = LmDocTokenCap)
         .select(col("doc_id"),
           (col("avg_neg_logprob") <= LmMaxSurprisal).as("pass_lm"))
+      // Exact-substring span tier: duplicated-window coverage against
+      // the whole corpus, at the same (w, ceiling) corpus_clean arms.
+      val span = graft.text.SpanDedup.ngramSpanStats(
+          docs, "doc_id", "text", SpanDedupW)
+        .select(col("doc_id"),
+          (col("dup_token_frac") <= SpanMaxDupFrac).as("pass_span_dedup"))
       docs
         .select(col("doc_id"), col("text"), TextAnalysis.tokens(col("text")).as("toks"))
         .select(col("doc_id"), col("text"),
@@ -885,10 +930,12 @@ private[graft] object QueriesText {
         .withColumn("pass_not_truncated", col("_trunc").isNull)
         .drop("_trunc")
         .join(lm, Seq("doc_id"))
+        .join(span, Seq("doc_id"))
         .withColumn("keep",
           col("pass_lang") && col("pass_quality") &&
             col("pass_repetition") && col("pass_no_digit_runs") &&
-            col("pass_not_truncated") && col("pass_lm"))
+            col("pass_not_truncated") && col("pass_lm") &&
+            col("pass_span_dedup"))
     }),
 
     // ---- sequence packing -------------------------------------------------
@@ -972,6 +1019,7 @@ private[graft] object QueriesText {
       val cases = langs.map(l => s"WHEN h_$l = $best THEN '$l'").mkString(" ")
       s"""WITH ${lmScoreCte(LmDocTokenCap)},
          |${bigramLmScoreCte(LmDocTokenCap)},
+         |${spanFracCte(SpanDedupW)},
          |h AS (
          |  SELECT doc_id, text,
          |    CAST(length(text) AS DOUBLE) AS n_char,
@@ -991,9 +1039,11 @@ private[graft] object QueriesText {
          |kept AS (SELECT scored.doc_id, scored.text, scored.lang_guess, scored.quality
          |         FROM scored JOIN lmscore USING (doc_id)
          |                     JOIN bgscore USING (doc_id)
+         |                     JOIN spanfrac USING (doc_id)
          |         WHERE lang_guess = 'en' AND quality >= 0.45
          |           AND lm_anl <= $LmMaxSurprisal
-         |           AND bg_anl <= $LmMaxBigramSurprisal),
+         |           AND bg_anl <= $LmMaxBigramSurprisal
+         |           AND span_frac <= $SpanMaxDupFrac),
          |fp AS (SELECT doc_id, text, lang_guess, quality,
          |         md5(array_to_string($toks, ' ')) AS fp FROM kept),
          |keepers AS (SELECT fp, min(doc_id) AS keeper FROM fp GROUP BY 1),
@@ -1404,6 +1454,7 @@ private[graft] object QueriesText {
       }.mkString(",\n    ")
       val best = s"greatest(${TextAnalysis.StopwordLists.map(l => s"h_${l._1}").mkString(", ")})"
       s"""WITH ${lmScoreCte(LmDocTokenCap)},
+         |${spanFracCte(SpanDedupW)},
          |b AS (
          |  SELECT doc_id, text,
          |    CAST(length(text) AS DOUBLE) AS n_char,
@@ -1430,11 +1481,13 @@ private[graft] object QueriesText {
          |  len(regexp_extract_all(text, '[0-9]{6,}')) = 0 AS pass_no_digit_runs,
          |  COALESCE(text NOT IN (SELECT t FROM tc), TRUE) AS pass_not_truncated,
          |  lm_anl <= $LmMaxSurprisal AS pass_lm,
+         |  span_frac <= $SpanMaxDupFrac AS pass_span_dedup,
          |  (h_en = best AND best > 0) AND quality >= 0.45 AND rep < 0.6
          |    AND len(regexp_extract_all(text, '[0-9]{6,}')) = 0
          |    AND COALESCE(text NOT IN (SELECT t FROM tc), TRUE)
-         |    AND lm_anl <= $LmMaxSurprisal AS keep
-         |FROM m JOIN lmscore USING (doc_id)""".stripMargin
+         |    AND lm_anl <= $LmMaxSurprisal
+         |    AND span_frac <= $SpanMaxDupFrac AS keep
+         |FROM m JOIN lmscore USING (doc_id) JOIN spanfrac USING (doc_id)""".stripMargin
     },
 
     // Shard-local running sums replicated with the md5-derived shard hash.

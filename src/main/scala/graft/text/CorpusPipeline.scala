@@ -30,7 +30,17 @@ object CorpusPipeline {
     * order-1 twin ([[LanguageModel.bigramSurprisal]]) for
     * locally-incoherent text whose unigram stats look fluent. Infinity
     * (both defaults) skips a tier entirely — no tf shuffle is planned
-    * for an unarmed tier. `lmMaxDocTokens` bounds
+    * for an unarmed tier.
+    *
+    * `spanDedupW` arms the exact-substring span tier ([[SpanDedup]],
+    * Lee et al. 2021): documents whose duplicated-window coverage
+    * fraction (`dup_token_frac` over `spanDedupW`-token windows,
+    * computed against the RAW input corpus like the LM tiers) exceeds
+    * `maxDupSpanFrac` are dropped — the boilerplate-saturated documents
+    * the document-level dedup tiers below can't see when the
+    * surrounding text differs. 0 (the default) leaves the tier unarmed:
+    * no window fingerprint shuffle is planned, the same contract as the
+    * LM tiers. `lmMaxDocTokens` bounds
     * the per-doc evidence window (and thereby the LM fold's per-group
     * buffer — see [[LanguageModel.unigramSurprisal]]): each doc is
     * scored over its first N tokens, the length tier a web corpus needs
@@ -49,6 +59,7 @@ object CorpusPipeline {
             jaccardThreshold: Double = 0.5, maxDocFreq: Long = 100L,
             maxSurprisal: Double = Double.PositiveInfinity,
             maxBigramSurprisal: Double = Double.PositiveInfinity,
+            spanDedupW: Int = 0, maxDupSpanFrac: Double = 0.5,
             lmMaxDocTokens: Int = 5000,
             cache: DataFrame => DataFrame = graft.util.CacheScope.untracked): DataFrame = {
     import org.apache.spark.sql.expressions.Window
@@ -66,7 +77,7 @@ object CorpusPipeline {
       maxBigramSurprisal ->
         (if (maxBigramSurprisal.isPosInfinity) null
          else LanguageModel.bigramSurprisal(docs, idCol, textCol, cache, lmMaxDocTokens)))
-    val kept = lmTiers.zipWithIndex.foldLeft(
+    val keptLm = lmTiers.zipWithIndex.foldLeft(
       scored0.where(col("lang_guess") === lang && col("quality") >= minQuality)) {
       case (acc, ((threshold, scores), i)) =>
         if (threshold.isPosInfinity) acc
@@ -75,6 +86,19 @@ object CorpusPipeline {
             Seq("doc_id"))
           .where(col(s"_anl$i") <= threshold).drop(s"_anl$i")
     }
+    // Span tier (armed only when spanDedupW > 0 — an unarmed tier plans
+    // no window shuffle): drop documents whose duplicated-window
+    // coverage against the RAW corpus exceeds maxDupSpanFrac. The frac
+    // is the rounded value [[SpanDedup.ngramSpanStats]] reports, so the
+    // threshold compare is engine-replicable.
+    val kept =
+      if (spanDedupW <= 0) keptLm
+      else keptLm
+        .join(SpanDedup.ngramSpanStats(docs, idCol, textCol, spanDedupW)
+            .select(col("doc_id"), col("dup_token_frac")),
+          Seq("doc_id"))
+        .where(col("dup_token_frac") <= maxDupSpanFrac)
+        .drop("dup_token_frac")
 
     // Exact-dup keeper via one window pass (no self-join): the smallest
     // doc_id per fingerprint survives.
