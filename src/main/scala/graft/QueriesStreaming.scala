@@ -250,6 +250,52 @@ private[graft] object QueriesStreaming {
         docs, "doc_id", "text", w = 8)
     }),
 
+    // The SAME span-index maintenance killed mid-stream and restarted,
+    // with the compaction cadence armed: the injected failure lands at
+    // the worst replay point — wave 1 is written AND wave 0 is already
+    // consolidated into wave=-1, but the checkpoint never commits the
+    // tick — then a second run from the unchanged checkpoint REPLAYS
+    // the whole compaction tick (foreachBatch is at-least-once). The
+    // replay-safe sink (wave-keyed dynamic overwrite; consolidation
+    // re-entering idempotently via the manifest recover protocol) must
+    // converge to the identical folded index: the oracle is the
+    // uninterrupted one-shot span stats'.
+    "streaming_span_dedup_restart" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val waveDir = Tables.stageWaves(s, docs, pmod(col("doc_id"), lit(2)), 2,
+        "graft_spanrw", filesPerWave = Tables.WaveStageFiles)
+      def stream = s.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", Tables.WaveStageFiles.toString).parquet(waveDir)
+      val statePath = graft.util.Scratch.dir("graft_spanrw_state")
+      val ckpt = graft.util.Scratch.dir("graft_spanrw_ck")
+      val tripped = new java.util.concurrent.atomic.AtomicBoolean(false)
+      val chaos: Long => Unit = b =>
+        if (b == 1L && tripped.compareAndSet(false, true))
+          throw new RuntimeException(
+            "injected: wave written and compacted, tick commit lost")
+      withShufflePartitions(s, 8) {
+        val q1 = graft.streaming.EventStreams.spanIndexSink(stream, "doc_id",
+          "text", w = 8, statePath, ckpt, compactEvery = 2, compactMaxFiles = 4,
+          chaosAfterTick = chaos)
+        try { q1.awaitTermination(); throw new IllegalStateException(
+          "streaming_span_dedup_restart: the injected failure never fired")
+        } catch {
+          case e: org.apache.spark.sql.streaming.StreamingQueryException
+            if e.getMessage.contains("injected") => () // the planned crash
+        }
+        graft.streaming.EventStreams.spanIndexSink(stream, "doc_id", "text",
+          w = 8, statePath, ckpt, compactEvery = 2, compactMaxFiles = 4,
+          chaosAfterTick = chaos).awaitTermination()
+      }
+      require(new java.io.File(statePath + "/win/wave=-1").isDirectory &&
+        !new java.io.File(statePath + "/win/wave=0").exists(),
+        "replayed compaction tick did not converge to the consolidated layout")
+      graft.text.SpanDedup.ngramSpanStatsFromSlice(
+        graft.util.CacheScope.untracked(
+          s.read.parquet(statePath + "/win").drop("wave")),
+        docs, "doc_id", "text", w = 8)
+    }),
+
     "streaming_dedup_incremental_live" -> ((s, dir) => {
       val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
       val waveDir = Tables.stageWaves(s, docs, pmod(col("doc_id"), lit(2)), 2, "graft_incw")
@@ -699,6 +745,7 @@ private[graft] object QueriesStreaming {
     // The streamed window-fingerprint fold must reproduce the one-shot
     // exact-substring span stats — the oracle IS dedup_ngram_spans'.
     "streaming_span_dedup_live" -> QueriesText.ngramSpanOracleSql,
+    "streaming_span_dedup_restart" -> QueriesText.ngramSpanOracleSql,
     // Crash + replay must converge to the UNINTERRUPTED run's result —
     // the whole point of the replay-safe sink. Same oracle by
     // construction.

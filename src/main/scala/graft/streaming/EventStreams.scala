@@ -568,11 +568,20 @@ object EventStreams {
     * ingest stream: a new document's spans are checked against the
     * WHOLE standing corpus (the folded multiset), not just its own
     * batch, at append cost.
+    *
+    * `chaosAfterTick(batchId)` is a test-only failure-injection hook
+    * invoked at the END of the batch body — after the wave write AND
+    * the compaction branch, before the checkpoint commits — so a gate
+    * can kill the stream at the worst replay point (the whole
+    * compaction tick re-executes on restart: the dynamic wave
+    * overwrite must replace its own wave and the consolidation must
+    * re-enter idempotently via the manifest recover protocol).
     */
   def spanIndexSink(docs: DataFrame, idCol: String, textCol: String, w: Int,
                     statePath: String, checkpoint: String,
                     compactEvery: Int = 0,
-                    compactMaxFiles: Int = 8): StreamingQuery =
+                    compactMaxFiles: Int = 8,
+                    chaosAfterTick: Long => Unit = _ => ()): StreamingQuery =
     docs.writeStream
       .outputMode(OutputMode.Update())
       .option("checkpointLocation", checkpoint)
@@ -586,7 +595,7 @@ object EventStreams {
           graft.ops.Compact.consolidateWaves(
             batch.sparkSession, statePath + "/win", currentWave = batchId,
             maxFiles = compactMaxFiles)
-        ()
+        chaosAfterTick(batchId)
       }
       .trigger(Trigger.AvailableNow())
       .start()
