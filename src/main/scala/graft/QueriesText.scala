@@ -679,6 +679,17 @@ private[graft] object QueriesText {
 
     // ---- similarity search ------------------------------------------------
     "recall_minhash_lsh" -> ((s, dir) => {
+      // The banding knob is pinned to the production formula: unlike
+      // the embedding tier's count-derived autoNbits, (b, r) is
+      // corpus-independent (pair collision odds depend only on the
+      // pair's Jaccard and the split), so the standing audit runs at
+      // the threshold-derived choice rather than a count-derived one.
+      locally {
+        val p = Dedup.MinHashParams()
+        require(p.bands == Dedup.bandsForThreshold(p.numPerm, 0.5),
+          s"production banding ${p.bands} is not bandsForThreshold(" +
+            s"${p.numPerm}, 0.5) = ${Dedup.bandsForThreshold(p.numPerm, 0.5)}")
+      }
       // ONE exact-collapsed shingle index feeds both tiers (the approx
       // tier's signature + verify sides AND the exact twin's self-join) —
       // the audit previously re-tokenized and re-indexed the corpus per

@@ -308,6 +308,31 @@ object Dedup {
     val bs: Seq[Long] = lcg(7L).map(s => Math.floorMod(s, prime)).take(numPerm).toList
   }
 
+  /** Threshold-derived banding: the number of bands whose LSH S-curve
+    * midpoint `(1/b)^(1/r)` (with `r = numPerm / b`) sits closest to
+    * the target Jaccard threshold, over the divisors of `numPerm`.
+    * This is the MinHash family's production banding formula — and it
+    * is corpus-INDEPENDENT, unlike the embedding tier's
+    * [[graft.vector.Similarity]] `autoNbits`, which must widen with
+    * `count(*)` because hyperplane-bucket occupancy (and hence
+    * per-bucket candidate cost) grows with the corpus: here the
+    * collision probability of a pair depends only on its Jaccard
+    * similarity and the (b, r) split, never on how many other
+    * documents exist. No `count()` feeds this knob, so there is no
+    * count-derived auto variant to gate; the recall gates pin the
+    * default (32, 8) AS this formula's choice for threshold 0.5
+    * instead (midpoint ≈ 0.595, the canonical "slightly above target"
+    * banding that keeps precision while the exact-Jaccard verify step
+    * removes the false positives).
+    */
+  def bandsForThreshold(numPerm: Int, threshold: Double): Int = {
+    require(numPerm >= 1, s"numPerm must be >= 1, got $numPerm")
+    require(threshold > 0.0 && threshold < 1.0,
+      s"threshold must be in (0, 1), got $threshold")
+    (1 to numPerm).filter(numPerm % _ == 0).minBy(b =>
+      math.abs(math.pow(1.0 / b, b.toDouble / numPerm) - threshold))
+  }
+
   /** Per-doc MinHash signature: one aggregate over the shingle index,
     * producing `numPerm` min-hash columns in a single shuffle. Prefer
     * [[minHashSignaturesFromShingles]] (shuffle-free) when the per-doc

@@ -341,4 +341,20 @@ class TextDedupSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(got == Set((2L, 2L), (3L, 1L)))
   }
+
+  test("bandsForThreshold: divisor whose S-curve midpoint is closest to the target") {
+    // Midpoints for numPerm = 32: b=2 -> 0.958, b=4 -> 0.841,
+    // b=8 -> 0.595, b=16 -> 0.25 (exact), b=32 -> 0.031.
+    assert(Dedup.bandsForThreshold(32, 0.5) == 8)   // production default
+    assert(Dedup.bandsForThreshold(32, 0.6) == 8)
+    assert(Dedup.bandsForThreshold(32, 0.25) == 16)
+    assert(Dedup.bandsForThreshold(32, 0.95) == 2)
+    assert(Dedup.bandsForThreshold(32, 0.05) == 32)
+    // The knob is corpus-independent: nothing but (numPerm, threshold)
+    // feeds it, matching the production default the recall gate pins.
+    assert(Dedup.MinHashParams().bands ==
+      Dedup.bandsForThreshold(Dedup.MinHashParams().numPerm, 0.5))
+    intercept[IllegalArgumentException](Dedup.bandsForThreshold(32, 1.0))
+    intercept[IllegalArgumentException](Dedup.bandsForThreshold(0, 0.5))
+  }
 }
