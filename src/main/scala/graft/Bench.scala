@@ -30,6 +30,45 @@ object Bench {
   private def fmt3(v: Double): String =
     String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
 
+  /** Host state at measurement start, as a JSON object fragment. The box
+    * this runs on storms (SCALE.md round-14: guest-kernel proactive
+    * reclaim re-faults pages at hypervisor-exit cost, inflating walls
+    * 1.5-4x), so every artifact records the evidence needed to judge its
+    * own weather: uptime, loadavg, and a ~500 ms system-CPU spot sample
+    * (storms show as sys% 60-98). Linux-only reads; any failure degrades
+    * to nulls rather than failing the artifact.
+    */
+  private def hostStateJson(): String = {
+    def firstLine(p: String): Option[String] =
+      try {
+        val s = new String(java.nio.file.Files.readAllBytes(
+          java.nio.file.Paths.get(p)), java.nio.charset.StandardCharsets.UTF_8)
+        s.linesIterator.find(_.nonEmpty)
+      } catch { case _: Throwable => None }
+    val uptime = firstLine("/proc/uptime")
+      .flatMap(_.split("\\s+").headOption).flatMap(_.toDoubleOption)
+    val load = firstLine("/proc/loadavg").map(_.split("\\s+").take(3).toSeq)
+      .filter(_.forall(_.toDoubleOption.isDefined))
+    // Aggregate cpu line: user nice SYSTEM idle iowait irq softirq ...
+    def cpuSysTotal(): Option[(Long, Long)] = firstLine("/proc/stat")
+      .filter(_.startsWith("cpu "))
+      .map(_.trim.split("\\s+").drop(1).flatMap(_.toLongOption))
+      .filter(_.length >= 4)
+      .map(f => (f(2), f.sum))
+    val sysPct =
+      try for {
+        (s0, t0) <- cpuSysTotal()
+        _ = Thread.sleep(500)
+        (s1, t1) <- cpuSysTotal()
+        if t1 > t0
+      } yield 100.0 * (s1 - s0) / (t1 - t0)
+      catch { case _: Throwable => None }
+    val up = uptime.map(fmt3).getOrElse("null")
+    val ld = load.map(_.mkString("[", ",", "]")).getOrElse("null")
+    val sy = sysPct.map(fmt3).getOrElse("null")
+    s"""{"uptime_sec":$up,"loadavg":$ld,"sys_pct_spot":$sy}"""
+  }
+
   /** JSON string literal: escapes backslash, quote, and control chars. */
   private def jsonStr(s: String): String = "\"" + s.flatMap {
     case '"'  => "\\\""
@@ -94,6 +133,9 @@ object Bench {
     // Verify never seeds, so correctness gates stay self-contained.
     val seedState = !sys.env.contains("SPARK_GRAFT_NO_SEED")
     if (seedState) sys.props("spark.graft.seedState") = "1"
+    // Captured BEFORE any Spark work: the artifact must describe the host
+    // as the measurement found it, not as the suite left it.
+    val hostState = hostStateJson()
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -136,6 +178,19 @@ object Bench {
       // only after their references are GC'd — hence all three steps.
       spark.catalog.clearCache()
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
+      // Unload every loaded StateStore provider: each streaming rep's
+      // fresh checkpoint creates NEW providers (the stream-stream join
+      // holds 4 per partition), and terminated queries' providers — with
+      // their full in-memory state maps — stay in StateStore's registry
+      // until the 60 s maintenance cadence notices they are inactive.
+      // Back-to-back reps outrun that cadence, so without this the JVM
+      // retains every prior rep's join/agg state (measured as the
+      // monotone in-JVM rep rise on streaming_join_late). stop() clears
+      // the registry and the maintenance pool; both restart lazily on
+      // the next streaming load. Internal API — a Spark upgrade degrades
+      // to the old behavior instead of failing the run.
+      try org.apache.spark.sql.execution.streaming.state.StateStore.stop()
+      catch { case _: Throwable => () }
       System.gc()
     }
     // A fork-refinement child measures ONE query in a fresh JVM: without a
@@ -236,10 +291,23 @@ object Bench {
       jsonStr(k) + ":" + tags.map(jsonStr).mkString("[", ",", "]")
     }.mkString("{", ",", "}")
     val total = ok.map(_._2).sum
+    // Self-describing methodology: which estimator produced each number
+    // (flagged r13-r15: two artifacts from different estimators are not
+    // comparable, and nothing in the JSON said which one ran). The
+    // estimator label is the decision tree the code actually takes.
+    val estimator =
+      if (!forkEnabled && reps == 1) "single_rep"
+      else if (!forkEnabled) s"median_of_${reps}_in_suite"
+      else s"median_of_${reps}_in_suite_fork_refined_min"
+    val methodology =
+      s"""{"estimator":${jsonStr(estimator)},"reps":$reps,""" +
+        s""""fork_enabled":$forkEnabled,"fork_refine_min_sec":${fmt3(forkSec)},""" +
+        s""""warm_target":$warmTarget,"subset":${only.isDefined}}"""
     val line =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
         s""""failed":$failedJson,"failed_count":${failed.size},""" +
         s""""flaky":$flakyJson,""" +
+        s""""methodology":$methodology,"host_state":$hostState,""" +
         s""""seeded_state":$seedState,"seeded_queries":$seededJson,"sf":"$sfDir"}"""
     if (failed.nonEmpty)
       System.err.println(s"[bench] *** ${failed.size}/${results.size} queries FAILED" +

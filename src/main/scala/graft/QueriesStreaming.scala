@@ -18,6 +18,35 @@ private[graft] object QueriesStreaming {
 
   import QueriesShared._
 
+  /** Whether `needle` appears in the message of `e` or any of its causes.
+    * The restart gates match their injected failure this way because
+    * Spark versions differ in whether StreamingQueryException.getMessage
+    * embeds the cause's message — matching the top message alone would
+    * turn the planned crash into a raw gate failure on versions that
+    * don't.
+    */
+  private def causeChainContains(e: Throwable, needle: String): Boolean =
+    Iterator.iterate(e)(_.getCause).takeWhile(_ != null).take(10)
+      .exists(t => String.valueOf(t.getMessage).contains(needle))
+
+  /** Two-wave document staging as a StateSeed fixture: the wave split is
+    * pure fixture construction, deterministic in (sfDir, tag), so Bench
+    * (seeding on) builds it once per JVM and reps time the streaming
+    * maintainer against the staged files — the deployment shape, and the
+    * same policy + artifact provenance (`seeded_queries`) as the
+    * event-wave fixtures in [[graft.io.Tables]]. Verify never seeds, so
+    * correctness gates stay self-contained. Per-rep re-staging also
+    * re-wrote the corpus to scratch every rep — the dirty-page churn
+    * that arms this box's reclaim storms (SCALE.md round-14).
+    */
+  private def docWaves(s: SparkSession, dir: String, docs: DataFrame,
+                       tag: String, filesPerWave: Int = 1): String =
+    graft.util.StateSeed.root(tag, dir) { root =>
+      Tables.stageWaves(s, docs, pmod(col("doc_id"), lit(2)), 2, tag,
+        filesPerWave = filesPerWave, destDir = Some(root))
+      ()
+    }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "events_tumbling" -> ((s, dir) =>
       Tables.events(s, dir)
@@ -134,8 +163,8 @@ private[graft] object QueriesStreaming {
       // k salted files per wave, matched by maxFilesPerTrigger so one
       // trigger still consumes exactly one wave — single-file waves
       // serialize the fixture write AND the batch read at scale.
-      val waveDir = Tables.stageWaves(s, docs, pmod(col("doc_id"), lit(2)), 2,
-        "graft_bm25w", filesPerWave = Tables.WaveStageFiles)
+      val waveDir = docWaves(s, dir, docs, "graft_bm25w",
+        filesPerWave = Tables.WaveStageFiles)
       val stream = s.readStream.schema(docs.schema)
         .option("maxFilesPerTrigger", Tables.WaveStageFiles.toString).parquet(waveDir)
       val statePath = graft.util.Scratch.dir("graft_bm25w_state")
@@ -164,8 +193,8 @@ private[graft] object QueriesStreaming {
     // as text_lm_surprisal.
     "streaming_lm_live" -> ((s, dir) => {
       val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
-      val waveDir = Tables.stageWaves(s, docs, pmod(col("doc_id"), lit(2)), 2,
-        "graft_lmw", filesPerWave = Tables.WaveStageFiles)
+      val waveDir = docWaves(s, dir, docs, "graft_lmw",
+        filesPerWave = Tables.WaveStageFiles)
       val stream = s.readStream.schema(docs.schema)
         .option("maxFilesPerTrigger", Tables.WaveStageFiles.toString).parquet(waveDir)
       val statePath = graft.util.Scratch.dir("graft_lmw_state")
@@ -194,8 +223,8 @@ private[graft] object QueriesStreaming {
     // bit-for-bit: same oracle as text_lm_bigram.
     "streaming_lm_bigram_live" -> ((s, dir) => {
       val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
-      val waveDir = Tables.stageWaves(s, docs, pmod(col("doc_id"), lit(2)), 2,
-        "graft_lmbw", filesPerWave = Tables.WaveStageFiles)
+      val waveDir = docWaves(s, dir, docs, "graft_lmbw",
+        filesPerWave = Tables.WaveStageFiles)
       val stream = s.readStream.schema(docs.schema)
         .option("maxFilesPerTrigger", Tables.WaveStageFiles.toString).parquet(waveDir)
       val statePath = graft.util.Scratch.dir("graft_lmbw_state")
@@ -230,8 +259,8 @@ private[graft] object QueriesStreaming {
     // append cost.
     "streaming_span_dedup_live" -> ((s, dir) => {
       val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
-      val waveDir = Tables.stageWaves(s, docs, pmod(col("doc_id"), lit(2)), 2,
-        "graft_spanw", filesPerWave = Tables.WaveStageFiles)
+      val waveDir = docWaves(s, dir, docs, "graft_spanw",
+        filesPerWave = Tables.WaveStageFiles)
       val stream = s.readStream.schema(docs.schema)
         .option("maxFilesPerTrigger", Tables.WaveStageFiles.toString).parquet(waveDir)
       val statePath = graft.util.Scratch.dir("graft_spanw_state")
@@ -262,8 +291,8 @@ private[graft] object QueriesStreaming {
     // uninterrupted one-shot span stats'.
     "streaming_span_dedup_restart" -> ((s, dir) => {
       val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
-      val waveDir = Tables.stageWaves(s, docs, pmod(col("doc_id"), lit(2)), 2,
-        "graft_spanrw", filesPerWave = Tables.WaveStageFiles)
+      val waveDir = docWaves(s, dir, docs, "graft_spanrw",
+        filesPerWave = Tables.WaveStageFiles)
       def stream = s.readStream.schema(docs.schema)
         .option("maxFilesPerTrigger", Tables.WaveStageFiles.toString).parquet(waveDir)
       val statePath = graft.util.Scratch.dir("graft_spanrw_state")
@@ -281,7 +310,7 @@ private[graft] object QueriesStreaming {
           "streaming_span_dedup_restart: the injected failure never fired")
         } catch {
           case e: org.apache.spark.sql.streaming.StreamingQueryException
-            if e.getMessage.contains("injected") => () // the planned crash
+            if causeChainContains(e, "injected") => () // the planned crash
         }
         graft.streaming.EventStreams.spanIndexSink(stream, "doc_id", "text",
           w = 8, statePath, ckpt, compactEvery = 2, compactMaxFiles = 4,
@@ -298,7 +327,7 @@ private[graft] object QueriesStreaming {
 
     "streaming_dedup_incremental_live" -> ((s, dir) => {
       val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
-      val waveDir = Tables.stageWaves(s, docs, pmod(col("doc_id"), lit(2)), 2, "graft_incw")
+      val waveDir = docWaves(s, dir, docs, "graft_incw")
       val stream = s.readStream.schema(docs.schema)
         .option("maxFilesPerTrigger", "1").parquet(waveDir)
       val statePath = graft.util.Scratch.dir("graft_incw_state") + "/index"
@@ -320,7 +349,7 @@ private[graft] object QueriesStreaming {
     // the SAME full-recompute fixpoint oracle as the batch gate.
     "streaming_cluster_labels_live" -> ((s, dir) => {
       val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
-      val waveDir = Tables.stageWaves(s, docs, pmod(col("doc_id"), lit(2)), 2, "graft_lblw")
+      val waveDir = docWaves(s, dir, docs, "graft_lblw")
       val stream = s.readStream.schema(docs.schema)
         .option("maxFilesPerTrigger", "1").parquet(waveDir)
       val statePath = graft.util.Scratch.dir("graft_lblw_state") + "/index"
@@ -345,7 +374,7 @@ private[graft] object QueriesStreaming {
     // uninterrupted run's.
     "streaming_dedup_restart" -> ((s, dir) => {
       val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
-      val waveDir = Tables.stageWaves(s, docs, pmod(col("doc_id"), lit(2)), 2, "graft_rsw")
+      val waveDir = docWaves(s, dir, docs, "graft_rsw")
       def stream = s.readStream.schema(docs.schema)
         .option("maxFilesPerTrigger", "1").parquet(waveDir)
       val statePath = graft.util.Scratch.dir("graft_rsw_state") + "/index"
@@ -363,7 +392,7 @@ private[graft] object QueriesStreaming {
           "streaming_dedup_restart: the injected failure never fired")
         } catch {
           case e: org.apache.spark.sql.streaming.StreamingQueryException
-            if e.getMessage.contains("injected") => () // the planned crash
+            if causeChainContains(e, "injected") => () // the planned crash
         }
         graft.streaming.EventStreams.corpusDedupSink(stream, "doc_id", "text",
           statePath, acceptedPath, ckpt, chaosAfterAccept = chaos)

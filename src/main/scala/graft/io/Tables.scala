@@ -205,7 +205,7 @@ object Tables {
     * fixture-side costs at fixture scale, not part of any operator.
     */
   def wavedEventsStream(spark: SparkSession, dir: String, nWaves: Int): DataFrame =
-    stagedWaveStream(spark, dir, nWaves, identity)
+    stagedWaveStream(spark, dir, nWaves, "inorder", identity)
 
   /** Late/out-of-order twin of [[wavedEventsStream]]: rows with
     * `event_id % lateMod == 0` are DELIVERED `delayWaves` waves after
@@ -236,12 +236,14 @@ object Tables {
     import org.apache.spark.sql.functions._
     require(lateMod >= 2, s"lateMod must leave some rows on time, got $lateMod")
     require(delayWaves >= 1, s"delayWaves must displace, got $delayWaves")
-    stagedWaveStream(spark, dir, nWaves, baseWave =>
-      when(pmod(col("event_id"), lit(lateMod)) === 0,
-        least(baseWave + delayWaves, lit(nWaves - 1))).otherwise(baseWave))
+    stagedWaveStream(spark, dir, nWaves, s"late_m${lateMod}_d$delayWaves",
+      baseWave =>
+        when(pmod(col("event_id"), lit(lateMod)) === 0,
+          least(baseWave + delayWaves, lit(nWaves - 1))).otherwise(baseWave))
   }
 
   private def stagedWaveStream(spark: SparkSession, dir: String, nWaves: Int,
+                               waveKey: String,
                                waveFor: org.apache.spark.sql.Column =>
                                  org.apache.spark.sql.Column): DataFrame = {
     import org.apache.spark.sql.functions._
@@ -251,20 +253,35 @@ object Tables {
     // TIMESTAMP whatever the source encoding, and the stream needs no
     // per-encoding branch of its own.
     val raw = table(spark, dir, "events")
-    // Wave boundaries are computed in NANOS (micros * 1000) even though
-    // the normalized column is micros: the DuckDB oracle's replica of the
-    // displacement schedule uses epoch_ns, and span = max - min + 1
-    // differs between the two units (off by 999 ns), which could flip a
-    // boundary row's wave. Micro-aligned data makes micros*1000 exactly
-    // the nanos the oracle sees.
-    val tns = unix_micros(col("ts")) * 1000
-    val Array(tsMin, tsMax) = raw
-      .agg(min(tns), max(tns))
-      .collect().head.toSeq.map(_.asInstanceOf[Long]).toArray
-    val span = tsMax - tsMin + 1
-    val waveDir = stageWaves(spark, raw,
-      waveFor(((tns - tsMin) * nWaves / span).cast("int")), nWaves,
-      "graft_waves", filesPerWave = WaveStageFiles)
+    // Staging (the min/max collect + the full write) is FIXTURE
+    // construction, not the operator any waved gate measures — in Bench
+    // (StateSeed enabled) it runs once per (fixture, sfDir) per JVM and
+    // reps measure the streaming operator against the staged files, the
+    // deployment shape. Wave content is a pure function of (events
+    // table, nWaves, waveKey-encoded knobs), so reuse cannot change any
+    // result, only its timing; the artifact's `seeded_queries` records
+    // the touch per gate. Per-rep re-staging also re-wrote the whole
+    // events table to scratch every rep — cumulative dirty-page churn
+    // that arms this box's reclaim storms (SCALE.md round-14) and was
+    // the in-JVM monotone rep rise on streaming_join_late.
+    val waveDir = graft.util.StateSeed.root(
+      s"graft_waves_n${nWaves}_$waveKey", dir) { root =>
+      // Wave boundaries are computed in NANOS (micros * 1000) even though
+      // the normalized column is micros: the DuckDB oracle's replica of the
+      // displacement schedule uses epoch_ns, and span = max - min + 1
+      // differs between the two units (off by 999 ns), which could flip a
+      // boundary row's wave. Micro-aligned data makes micros*1000 exactly
+      // the nanos the oracle sees.
+      val tns = unix_micros(col("ts")) * 1000
+      val Array(tsMin, tsMax) = raw
+        .agg(min(tns), max(tns))
+        .collect().head.toSeq.map(_.asInstanceOf[Long]).toArray
+      val span = tsMax - tsMin + 1
+      stageWaves(spark, raw,
+        waveFor(((tns - tsMin) * nWaves / span).cast("int")), nWaves,
+        "graft_waves", filesPerWave = WaveStageFiles, destDir = Some(root))
+      ()
+    }
     normalizeEventTs(spark.readStream.schema(raw.schema)
       .option("maxFilesPerTrigger", WaveStageFiles.toString)
       .parquet(waveDir))
@@ -295,10 +312,14 @@ object Tables {
   private[graft] def stageWaves(spark: SparkSession, df: DataFrame,
                                 wave: org.apache.spark.sql.Column,
                                 nWaves: Int, tag: String,
-                                filesPerWave: Int = 1): String = {
+                                filesPerWave: Int = 1,
+                                destDir: Option[String] = None): String = {
     import org.apache.spark.sql.functions.{col, lit, pmod, xxhash64}
     require(filesPerWave >= 1, s"filesPerWave must be >= 1, got $filesPerWave")
-    val waveDir = new org.apache.hadoop.fs.Path(graft.util.Scratch.dir(tag))
+    // destDir lets StateSeed-managed callers stage into the seed root so
+    // the fixture is built once per JVM in Bench (see [[seededWaves]]).
+    val waveDir = new org.apache.hadoop.fs.Path(
+      destDir.getOrElse(graft.util.Scratch.dir(tag)))
     val fs = waveDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val tmp = new org.apache.hadoop.fs.Path(
       graft.util.Scratch.dir(tag + "_tmp"), "waves")

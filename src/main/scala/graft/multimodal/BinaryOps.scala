@@ -41,7 +41,11 @@ object BinaryOps {
         val id    = r.getLong(0)
         val bytes = r.getAs[Array[Byte]](1)
         val n     = bytes.length.toLong
-        // ??? real codec goes here; deterministic fake below.
+        // Deterministic fake decode (a real codec slots in here — see
+        // ImageCodec for the JDK-imageio tier, gated separately): the
+        // fake is a pure integer function of the payload, so the DuckDB
+        // oracle replicates it bit-for-bit and the PLUMBING gets a full
+        // hash-compare gate, which no real codec output could have.
         val width  = (n % 640L).toInt + 1
         val height = ((n * 7L) % 480L).toInt + 1
         val format = (n % 3L) match {
@@ -75,7 +79,9 @@ object BinaryOps {
       it.map { r =>
         val id = r.getLong(0)
         val bytes = r.getAs[Array[Byte]](1)
-        // ??? model inference goes here; deterministic fake below.
+        // Deterministic fake inference (a model runtime slots in here):
+        // exact integer math so the DuckDB oracle replicates it and the
+        // batched-iterator contract gets a full hash-compare gate.
         val sums = new Array[Long](dim)
         var i = 0
         while (i < bytes.length) {

@@ -552,8 +552,9 @@ object EventStreams {
 
   /** Streaming exact-substring window-index maintenance: each
     * micro-batch appends its [[graft.text.SpanDedup.windowSlice]]
-    * (`(doc_id, pos, h1, h2, hl)` — 20-byte fingerprints, never window
-    * text) to `/win`. The slice IS the whole index: the duplicate
+    * (`(doc_id, pos, h1, h2, hl, w, v)` — 20-byte fingerprints plus the
+    * constant width/scheme-version fence columns, never window text)
+    * to `/win`. The slice IS the whole index: the duplicate
     * multiset and per-doc span positions derive from the fold, so like
     * the LM sinks (and unlike BM25) there is no stats sidecar and
     * history is never re-tokenized — O(batch) per wave. Scoring the

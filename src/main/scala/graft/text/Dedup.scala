@@ -329,8 +329,18 @@ object Dedup {
     require(numPerm >= 1, s"numPerm must be >= 1, got $numPerm")
     require(threshold > 0.0 && threshold < 1.0,
       s"threshold must be in (0, 1), got $threshold")
-    (1 to numPerm).filter(numPerm % _ == 0).minBy(b =>
-      math.abs(math.pow(1.0 / b, b.toDouble / numPerm) - threshold))
+    // Tie-break: a threshold equidistant between two divisors' midpoints
+    // takes the SMALLER divisor — fewer bands means more rows per band,
+    // i.e. the HIGHER midpoint of the two, matching the "slightly above
+    // target" convention documented above (precision-leaning; the exact
+    // verify step removes false positives, while a recall-leaning tie
+    // would pay more candidate pairs for duplicates the threshold never
+    // asked for). The midpoint is strictly decreasing in b, so sorting
+    // by (distance, b) makes the rule explicit rather than an accident
+    // of minBy's first-wins ordering.
+    (1 to numPerm).filter(numPerm % _ == 0).minBy { b =>
+      (math.abs(math.pow(1.0 / b, b.toDouble / numPerm) - threshold), b)
+    }
   }
 
   /** Per-doc MinHash signature: one aggregate over the shingle index,

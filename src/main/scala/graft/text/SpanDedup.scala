@@ -21,12 +21,12 @@ import org.apache.spark.sql.types._
   *    the distributed equivalent is the window fingerprint multiset,
   *    which is ONE scan plus ONE narrow shuffle. Each document emits
   *    its `n - w + 1` windows as 20-byte fingerprints
-  *    `(xxhash64(win), xxhash64(1, win), length(win))` — no window
-  *    TEXT ever crosses an exchange (a window is ~`w` words, so a
-  *    text-keyed shuffle would carry ~`w`× the corpus bytes). The salt
-  *    leads in h2 so it perturbs the xxhash64 seed chain AHEAD of the
-  *    window bytes (a different-seed hash); salt-last would make h2 a
-  *    pure function of h1 and add no entropy.
+  *    `(xxhash64(win), xxhash64(FpScheme, win), length(win))` — no
+  *    window TEXT ever crosses an exchange (a window is ~`w` words, so
+  *    a text-keyed shuffle would carry ~`w`× the corpus bytes). The
+  *    scheme-version salt leads in h2 so it perturbs the xxhash64 seed
+  *    chain AHEAD of the window bytes (a different-seed hash);
+  *    salt-last would make h2 a pure function of h1 and add no entropy.
   *  - Duplicate fingerprints come from one hash-aggregate
   *    (`count > 1`); duplicated positions from the equi-join back.
   *    Both shuffles carry the 20-byte key only. AQE broadcasts the
@@ -50,13 +50,26 @@ import org.apache.spark.sql.types._
   */
 object SpanDedup {
 
+  /** Fingerprint scheme version. Bump whenever the (h1, h2, hl)
+    * definition changes (it last changed in the salt-first h2 fix).
+    * The constant is BOTH h2's leading salt — so a scheme bump changes
+    * every fingerprint — AND the value of the `v` column every
+    * persisted slice carries, which [[ngramSpanStatsFromSlice]]
+    * verifies: an index written under an older scheme is fenced off
+    * with a diagnostic instead of silently under-matching when
+    * new-scheme slices are folded onto it (the incremental sink appends
+    * slices across process restarts, so a code upgrade mid-index-life
+    * is a real deployment event, not a hypothetical).
+    */
+  private[graft] val FpScheme = 2
+
   /** Sliding windows of `w` tokens as narrow fingerprints: array of
     * `(pos, h1, h2, hl)` structs, empty when the doc has fewer than `w`
-    * tokens. `h2` hashes the constant salt BEFORE the window text:
-    * Spark's multi-arg xxhash64 seed-chains left-to-right, so
-    * `xxhash64(1, win)` = `hashBytes(win, seed = hashLong(1, 42))` — a
-    * genuinely different-seed hash of the bytes. (The salt-last form
-    * `xxhash64(win, 1)` would be `hashLong(1, h1)`, a pure function of
+    * tokens. `h2` hashes the constant scheme salt BEFORE the window
+    * text: Spark's multi-arg xxhash64 seed-chains left-to-right, so
+    * `xxhash64(v, win)` = `hashBytes(win, seed = hashLong(v, 42))` — a
+    * genuinely different-seed hash of the bytes. (A salt-last form
+    * `xxhash64(win, v)` would be `hashLong(v, h1)`, a pure function of
     * `h1` carrying ZERO extra entropy — every h1 collision would also
     * collide h2.) `hl` pins the window text length.
     */
@@ -64,7 +77,7 @@ object SpanDedup {
     val fp = transform(sequence(lit(0), size(toks) - w), p => {
       val win = concat_ws(" ", slice(toks, p + 1, lit(w)))
       struct(p.as("pos"), xxhash64(win).as("h1"),
-        xxhash64(lit(1), win).as("h2"), length(win).as("hl"))
+        xxhash64(lit(FpScheme), win).as("h2"), length(win).as("hl"))
     })
     when(size(toks) >= w, fp)
       .otherwise(array().cast(ArrayType(StructType(Seq(
@@ -79,10 +92,12 @@ object SpanDedup {
     * function of the text, so slices over disjoint document sets fold
     * by plain append (the same argument as [[LanguageModel.tfSlice]]),
     * which is what [[graft.streaming.EventStreams.spanIndexSink]]
-    * maintains per micro-batch. The constant `w` column persists the
-    * window width WITH the slice (RLE-compressed to nothing in parquet)
-    * so a reader can never silently score a `w=8` index as `w=4` —
-    * [[ngramSpanStatsFromSlice]] verifies it.
+    * maintains per micro-batch. The constant `w` and `v` columns
+    * persist the window width and the [[FpScheme]] version WITH the
+    * slice (RLE-compressed to nothing in parquet) so a reader can never
+    * silently score a `w=8` index as `w=4`, nor fold new-scheme slices
+    * onto a stale-scheme index — [[ngramSpanStatsFromSlice]] verifies
+    * both.
     */
   def windowSlice(docs: DataFrame, idCol: String, textCol: String,
                   w: Int): DataFrame =
@@ -91,7 +106,7 @@ object SpanDedup {
       .select(col("doc_id"), explode(windowFps(col("toks"), w)).as("f"))
       .select(col("doc_id"), col("f.pos").as("pos"),
         col("f.h1").as("h1"), col("f.h2").as("h2"), col("f.hl").as("hl"),
-        lit(w).as("w"))
+        lit(w).as("w"), lit(FpScheme).as("v"))
 
   /** Per-document duplicate positions: `(doc_id, dup_windows, ps)` with
     * `ps` the sorted array of window start offsets whose fingerprint
@@ -159,12 +174,21 @@ object SpanDedup {
     *
     * Guard (shared contract with
     * [[graft.streaming.EventStreams.spanIndexSink]]): the slice must
-    * carry the `w` column [[windowSlice]] persists, and its value must
-    * equal the `w` argument — scoring a `w=8` index as `w=4` would
-    * silently mis-state `n_windows`/`covered_tokens`. The check is one
-    * eager min/max over the slice's constant RLE column (cheap on a
-    * stored index — this entry point is for PERSISTED slices; the
-    * inline path [[ngramSpanStats]] builds its own slice and skips it).
+    * carry the `w` and `v` columns [[windowSlice]] persists, with
+    * `w` equal to the argument and `v` equal to [[FpScheme]] — scoring
+    * a `w=8` index as `w=4` would silently mis-state
+    * `n_windows`/`covered_tokens`, and scoring (or folding onto) a
+    * stale-scheme index would silently under-match duplicates across
+    * the scheme boundary. The check is one filtered existence probe:
+    * both columns are constant, so parquet row-group stats
+    * (min == max == expected) prune every row group of a healthy
+    * stored index and the probe is footer-only work; the full min/max
+    * scan runs only on the failure path, to say what the slice
+    * actually contains. Comparisons happen in SQL (type-coercing), so
+    * a slice whose columns were widened to LONG by external tooling
+    * gets the intended diagnostic, not a ClassCastException. (The
+    * inline path [[ngramSpanStats]] builds its own slice and skips
+    * all of this.)
     */
   def ngramSpanStatsFromSlice(wins: DataFrame, docs: DataFrame,
                               idCol: String, textCol: String,
@@ -173,11 +197,20 @@ object SpanDedup {
     require(wins.columns.contains("w"),
       "slice lacks the 'w' width column windowSlice persists — cannot " +
         "verify it was built at the requested window width")
-    val bounds = wins.agg(min(col("w")), max(col("w"))).head()
-    require(bounds.isNullAt(0) ||
-        (bounds.getInt(0) == w && bounds.getInt(1) == w),
-      s"slice was built with w in [${bounds.get(0)}, ${bounds.get(1)}], " +
-        s"caller asked for w=$w")
+    require(wins.columns.contains("v"),
+      s"slice lacks the 'v' fingerprint-scheme column windowSlice " +
+        s"persists — it predates scheme v$FpScheme; rebuild the index")
+    val bad = wins.where(col("w").isNull || col("w") =!= lit(w) ||
+      col("v").isNull || col("v") =!= lit(FpScheme))
+    if (!bad.isEmpty) {
+      val b = wins.agg(min(col("w")), max(col("w")),
+        min(col("v")), max(col("v"))).head()
+      def rng(lo: Int, hi: Int) = s"[${b.get(lo)}, ${b.get(hi)}]"
+      throw new IllegalArgumentException(
+        s"slice was built with w in ${rng(0, 1)} (caller asked for w=$w) " +
+          s"under fingerprint scheme v in ${rng(2, 3)} (this build " +
+          s"writes v=$FpScheme)")
+    }
     statsFromSlice(wins, docs, idCol, textCol, w)
   }
 

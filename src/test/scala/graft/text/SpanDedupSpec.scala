@@ -66,6 +66,26 @@ class SpanDedupSpec extends SparkSpec {
         SpanDedup.ngramSpanStatsFromSlice(slice.drop("w"), corpus,
           "doc_id", "text", w = 8)
       }
+      // Fingerprint-scheme fence: a slice persisted under an older
+      // scheme version (or predating the version column) is rejected
+      // deliberately, never folded onto or scored silently.
+      val stale = slice.withColumn("v",
+        org.apache.spark.sql.functions.lit(SpanDedup.FpScheme - 1))
+      val ev = intercept[IllegalArgumentException] {
+        SpanDedup.ngramSpanStatsFromSlice(stale, corpus, "doc_id", "text", w = 8)
+      }
+      assert(ev.getMessage.contains("scheme"))
+      intercept[IllegalArgumentException] {
+        SpanDedup.ngramSpanStatsFromSlice(slice.drop("v"), corpus,
+          "doc_id", "text", w = 8)
+      }
+      // Type-widened fence columns (e.g. a slice rewritten by external
+      // tooling with LONG w/v) still verify: comparison is SQL-coercing.
+      val widened = slice
+        .withColumn("w", org.apache.spark.sql.functions.col("w").cast("long"))
+        .withColumn("v", org.apache.spark.sql.functions.col("v").cast("long"))
+      assert(SpanDedup.ngramSpanStatsFromSlice(widened, corpus, "doc_id",
+        "text", w = 8).count() == 7L)
     } finally { slice.unpersist(); () }
   }
 
