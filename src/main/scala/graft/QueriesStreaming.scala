@@ -184,6 +184,58 @@ private[graft] object QueriesStreaming {
         QueriesText.Bm25Queries, k = 10)
     }),
 
+    // The SAME BM25 index maintenance killed mid-stream and restarted —
+    // the bm25 twin of streaming_span_dedup_restart, and the harder
+    // replay: this sink writes TWO sidecars (tf + stats) and the stats
+    // row feeds df/avgdl, so a non-idempotent replay would double-count
+    // every wave-1 document in the corpus statistics and shift EVERY
+    // score, not just the replayed docs'. The injected failure lands at
+    // the worst point — both sidecars written AND consolidated, tick
+    // commit lost — and the replayed tick (dynamic wave overwrite;
+    // consolidation re-entering via the manifest recover protocol, on
+    // both sidecars) must converge to the identical folded index: the
+    // oracle is the uninterrupted full-rebuild ranking, same as
+    // streaming_bm25_live / text_bm25_topk.
+    "streaming_bm25_restart" -> ((s, dir) => {
+      import graft.text.Bm25
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val terms = Bm25.queryTerms(QueriesText.Bm25Queries)
+      val waveDir = docWaves(s, dir, docs, "graft_bm25rw",
+        filesPerWave = Tables.WaveStageFiles)
+      def stream = s.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", Tables.WaveStageFiles.toString).parquet(waveDir)
+      val statePath = graft.util.Scratch.dir("graft_bm25rw_state")
+      val ckpt = graft.util.Scratch.dir("graft_bm25rw_ck")
+      val tripped = new java.util.concurrent.atomic.AtomicBoolean(false)
+      val chaos: Long => Unit = b =>
+        if (b == 1L && tripped.compareAndSet(false, true))
+          throw new RuntimeException(
+            "injected: both sidecars written and compacted, tick commit lost")
+      withShufflePartitions(s, 8) {
+        val q1 = graft.streaming.EventStreams.bm25IndexSink(stream, "doc_id",
+          "text", terms, statePath, ckpt, compactEvery = 2, compactMaxFiles = 4,
+          chaosAfterTick = chaos)
+        try { q1.awaitTermination(); throw new IllegalStateException(
+          "streaming_bm25_restart: the injected failure never fired")
+        } catch {
+          case e: org.apache.spark.sql.streaming.StreamingQueryException
+            if causeChainContains(e, "injected") => () // the planned crash
+        }
+        graft.streaming.EventStreams.bm25IndexSink(stream, "doc_id", "text",
+          terms, statePath, ckpt, compactEvery = 2, compactMaxFiles = 4,
+          chaosAfterTick = chaos).awaitTermination()
+      }
+      Seq("/tf", "/stats").foreach { sub =>
+        require(new java.io.File(statePath + sub + "/wave=-1").isDirectory &&
+          !new java.io.File(statePath + sub + "/wave=0").exists(),
+          s"replayed compaction tick did not converge on $sub")
+      }
+      Bm25.scoreIndex(
+        s.read.parquet(statePath + "/tf").drop("wave"),
+        Bm25.foldStats(s.read.parquet(statePath + "/stats").drop("wave")),
+        QueriesText.Bm25Queries, k = 10)
+    }),
+
     // Streaming corpus-LM maintenance: the LIVE twin of
     // text_lm_surprisal. Two document waves flow through lmIndexSink —
     // each micro-batch appends its (doc, term, tf) slice (O(batch) per
@@ -758,6 +810,7 @@ private[graft] object QueriesStreaming {
     "streaming_dedup_incremental_live" -> incrementalLiveOracleSql,
     // The streaming fold must score exactly like the full rebuild.
     "streaming_bm25_live" -> QueriesText.bm25TopKOracleSql,
+    "streaming_bm25_restart" -> QueriesText.bm25TopKOracleSql,
 
     // The streamed LM fold must score exactly like the one-shot corpus
     // surprisal — the oracle IS text_lm_surprisal's full replica.

@@ -438,11 +438,17 @@ object EventStreams {
     * wave instead of double-counting its documents in df and avgdl —
     * and consolidation only touches waves whose batch has committed,
     * which can never re-fire.
+    *
+    * `chaosAfterTick(batchId)` is the same test-only failure-injection
+    * hook as [[spanIndexSink]]'s, at the same worst replay point: both
+    * slices written AND consolidated, checkpoint commit lost — the
+    * whole two-sidecar compaction tick must replay idempotently.
     */
   def bm25IndexSink(docs: DataFrame, idCol: String, textCol: String,
                     terms: Seq[String], statePath: String,
                     checkpoint: String, compactEvery: Int = 0,
-                    compactMaxFiles: Int = 8): StreamingQuery =
+                    compactMaxFiles: Int = 8,
+                    chaosAfterTick: Long => Unit = _ => ()): StreamingQuery =
     docs.writeStream
       .outputMode(OutputMode.Update())
       .option("checkpointLocation", checkpoint)
@@ -462,6 +468,7 @@ object EventStreams {
               batch.sparkSession, statePath + sub, currentWave = batchId,
               maxFiles = compactMaxFiles)
           }
+        chaosAfterTick(batchId)
       }
       .trigger(Trigger.AvailableNow())
       .start()
