@@ -41,6 +41,40 @@ private[graft] object QueriesShared {
     try body finally s.conf.set("spark.sql.shuffle.partitions", prev)
   }
 
+  /** Shuffle partitions for the stateful streaming gates, sized to the
+    * streamed table's on-disk bytes (one file-system listing, no scan):
+    * `clamp(bytes / 4 MB, 8, session cores)`. The old fixed 8 was the
+    * right small-SF choice (8 state stores for ~150 stateful keys; see
+    * [[withShufflePartitions]]) but becomes the bottleneck exactly where
+    * the rung is expensive: at sf10 the stream-stream interval join ran
+    * 4.1x faster at 32 partitions than at 8 (217.8 -> 52.8 s,
+    * StreamPartsProbe, identical output), because 8 partitions cap the
+    * stateful stages at a quarter of the box. The rule keeps 8 through
+    * sf1 (events 16 MB -> 8) and widens to the core count at sf10
+    * (162 MB -> 32) — the local-mode analogue of sizing
+    * shuffle.partitions to the data on a cluster (SCALE.md knobs table:
+    * ~2-3x total cores with AQE coalescing at 100 TB). Partition count
+    * never changes results — stateful ops are key-partitioned whatever
+    * the count — which is what makes this a pure throughput knob.
+    */
+  def streamParts(s: SparkSession, dir: String, table: String = "events"): Int = {
+    // Operator override, and the invariance harness: the small test SFs
+    // all resolve to 8, so the widened path is proven by forcing 32 and
+    // re-running the full oracle compare (every streaming gate must
+    // hash-match DuckDB at BOTH widths — partition count is a throughput
+    // knob precisely because results never depend on it).
+    sys.env.get("SPARK_GRAFT_STREAM_PARTS").map(_.toInt).getOrElse {
+      val bytes =
+        try {
+          val p = new org.apache.hadoop.fs.Path(s"$dir/$table.parquet")
+          p.getFileSystem(s.sparkContext.hadoopConfiguration)
+            .getContentSummary(p).getLength
+        } catch { case _: Throwable => 0L }
+      val cores = s.sparkContext.defaultParallelism
+      math.max(8, math.min(cores, (bytes / (4L << 20)).toInt))
+    }
+  }
+
   /** Batch sessionization over the events table (gap > 30 min starts a
     * session): lag + running sum of start flags assigns session ids in
     * two window passes over ONE shuffle (same partitioning), then one

@@ -65,7 +65,7 @@ private[graft] object QueriesStreaming {
     "streaming_tumbling_live" -> ((s, dir) => {
       val ckpt = graft.util.Scratch.dir("graft_stream_ck")
       val out = graft.util.Scratch.dir("graft_stream_out") + "/agg"
-      withShufflePartitions(s, 8) {
+      withShufflePartitions(s, streamParts(s, dir)) {
         val q = graft.streaming.EventStreams
           .tumblingAgg(Tables.eventsStream(s, dir), watermark = "0 seconds")
           .writeStream.outputMode("append")
@@ -88,7 +88,7 @@ private[graft] object QueriesStreaming {
     "streaming_sliding_live" -> ((s, dir) => {
       val ckpt = graft.util.Scratch.dir("graft_sslide_ck")
       val out = graft.util.Scratch.dir("graft_sslide_out") + "/agg"
-      withShufflePartitions(s, 8) {
+      withShufflePartitions(s, streamParts(s, dir)) {
         val q = graft.streaming.EventStreams
           .slidingAgg(Tables.eventsStream(s, dir), watermark = "0 seconds")
           .writeStream.outputMode("append")
@@ -110,7 +110,7 @@ private[graft] object QueriesStreaming {
     "streaming_sliding_late" -> ((s, dir) => {
       val ckpt = graft.util.Scratch.dir("graft_sslate2_ck")
       val out = graft.util.Scratch.dir("graft_sslate2_out") + "/agg"
-      withShufflePartitions(s, 8) {
+      withShufflePartitions(s, streamParts(s, dir)) {
         val q = graft.streaming.EventStreams
           .slidingAgg(Tables.lateWavedEventsStream(s, dir, nWaves = 4),
             watermark = "96 hours")
@@ -169,7 +169,7 @@ private[graft] object QueriesStreaming {
         .option("maxFilesPerTrigger", Tables.WaveStageFiles.toString).parquet(waveDir)
       val statePath = graft.util.Scratch.dir("graft_bm25w_state")
       val ckpt = graft.util.Scratch.dir("graft_bm25w_ck")
-      withShufflePartitions(s, 8) {
+      withShufflePartitions(s, streamParts(s, dir, "documents")) {
         graft.streaming.EventStreams.bm25IndexSink(stream, "doc_id", "text",
           terms, statePath, ckpt, compactEvery = 2, compactMaxFiles = 4)
           .awaitTermination()
@@ -211,7 +211,7 @@ private[graft] object QueriesStreaming {
         if (b == 1L && tripped.compareAndSet(false, true))
           throw new RuntimeException(
             "injected: both sidecars written and compacted, tick commit lost")
-      withShufflePartitions(s, 8) {
+      withShufflePartitions(s, streamParts(s, dir, "documents")) {
         val q1 = graft.streaming.EventStreams.bm25IndexSink(stream, "doc_id",
           "text", terms, statePath, ckpt, compactEvery = 2, compactMaxFiles = 4,
           chaosAfterTick = chaos)
@@ -251,7 +251,7 @@ private[graft] object QueriesStreaming {
         .option("maxFilesPerTrigger", Tables.WaveStageFiles.toString).parquet(waveDir)
       val statePath = graft.util.Scratch.dir("graft_lmw_state")
       val ckpt = graft.util.Scratch.dir("graft_lmw_ck")
-      withShufflePartitions(s, 8) {
+      withShufflePartitions(s, streamParts(s, dir, "documents")) {
         graft.streaming.EventStreams.lmIndexSink(stream, "doc_id", "text",
           statePath, ckpt, compactEvery = 2, compactMaxFiles = 4)
           .awaitTermination()
@@ -281,7 +281,7 @@ private[graft] object QueriesStreaming {
         .option("maxFilesPerTrigger", Tables.WaveStageFiles.toString).parquet(waveDir)
       val statePath = graft.util.Scratch.dir("graft_lmbw_state")
       val ckpt = graft.util.Scratch.dir("graft_lmbw_ck")
-      withShufflePartitions(s, 8) {
+      withShufflePartitions(s, streamParts(s, dir, "documents")) {
         graft.streaming.EventStreams.lmBigramIndexSink(stream, "doc_id", "text",
           statePath, ckpt, compactEvery = 2, compactMaxFiles = 4)
           .awaitTermination()
@@ -317,7 +317,7 @@ private[graft] object QueriesStreaming {
         .option("maxFilesPerTrigger", Tables.WaveStageFiles.toString).parquet(waveDir)
       val statePath = graft.util.Scratch.dir("graft_spanw_state")
       val ckpt = graft.util.Scratch.dir("graft_spanw_ck")
-      withShufflePartitions(s, 8) {
+      withShufflePartitions(s, streamParts(s, dir, "documents")) {
         graft.streaming.EventStreams.spanIndexSink(stream, "doc_id", "text",
           w = 8, statePath, ckpt, compactEvery = 2, compactMaxFiles = 4)
           .awaitTermination()
@@ -354,7 +354,7 @@ private[graft] object QueriesStreaming {
         if (b == 1L && tripped.compareAndSet(false, true))
           throw new RuntimeException(
             "injected: wave written and compacted, tick commit lost")
-      withShufflePartitions(s, 8) {
+      withShufflePartitions(s, streamParts(s, dir, "documents")) {
         val q1 = graft.streaming.EventStreams.spanIndexSink(stream, "doc_id",
           "text", w = 8, statePath, ckpt, compactEvery = 2, compactMaxFiles = 4,
           chaosAfterTick = chaos)
@@ -385,7 +385,7 @@ private[graft] object QueriesStreaming {
       val statePath = graft.util.Scratch.dir("graft_incw_state") + "/index"
       val acceptedPath = graft.util.Scratch.dir("graft_incw_acc") + "/accepted"
       val ckpt = graft.util.Scratch.dir("graft_incw_ck")
-      withShufflePartitions(s, 8) {
+      withShufflePartitions(s, streamParts(s, dir, "documents")) {
         graft.streaming.EventStreams.corpusDedupSink(stream, "doc_id", "text",
           statePath, acceptedPath, ckpt).awaitTermination()
       }
@@ -407,7 +407,7 @@ private[graft] object QueriesStreaming {
       val statePath = graft.util.Scratch.dir("graft_lblw_state") + "/index"
       val labelsPath = graft.util.Scratch.dir("graft_lblw_lbl") + "/labels"
       val ckpt = graft.util.Scratch.dir("graft_lblw_ck")
-      withShufflePartitions(s, 8) {
+      withShufflePartitions(s, streamParts(s, dir, "documents")) {
         graft.streaming.EventStreams.corpusLabelSink(stream, "doc_id", "text",
           statePath, labelsPath, ckpt).awaitTermination()
       }
@@ -437,7 +437,7 @@ private[graft] object QueriesStreaming {
         if (b == 1L && tripped.compareAndSet(false, true))
           throw new RuntimeException(
             "injected: accepted wave committed, index waves lost")
-      withShufflePartitions(s, 8) {
+      withShufflePartitions(s, streamParts(s, dir, "documents")) {
         val q1 = graft.streaming.EventStreams.corpusDedupSink(stream, "doc_id",
           "text", statePath, acceptedPath, ckpt, chaosAfterAccept = chaos)
         try { q1.awaitTermination(); throw new IllegalStateException(
@@ -473,7 +473,7 @@ private[graft] object QueriesStreaming {
     "streaming_dedup_live" -> ((s, dir) => {
       val ckpt = graft.util.Scratch.dir("graft_sdedup_ck")
       val out = graft.util.Scratch.dir("graft_sdedup_out") + "/t"
-      withShufflePartitions(s, 8) {
+      withShufflePartitions(s, streamParts(s, dir)) {
         val q = graft.streaming.EventStreams
           .dedupStream(Tables.eventsStream(s, dir), watermark = "2 hours")
           .select(col("event_id"), col("user_id"), col("event_type"),
@@ -508,7 +508,7 @@ private[graft] object QueriesStreaming {
         .select(col("event_id"), col("ts"), col("user_id"),
           col("event_type"), col("value"))
         .as[graft.streaming.EventStreams.Event]
-      withShufflePartitions(s, 8) {
+      withShufflePartitions(s, streamParts(s, dir)) {
         val q = graft.streaming.EventStreams.sessionize(evs, gapMs = 30L * 60 * 1000)
           .toDF()
           .writeStream.outputMode("append")
@@ -528,7 +528,7 @@ private[graft] object QueriesStreaming {
     "streaming_merge_live" -> ((s, dir) => {
       val ckpt = graft.util.Scratch.dir("graft_smerge_ck")
       val statePath = graft.util.Scratch.dir("graft_smerge_state") + "/state"
-      withShufflePartitions(s, 8) {
+      withShufflePartitions(s, streamParts(s, dir)) {
         val q = graft.streaming.EventStreams.mergeSink(
           Tables.eventsStream(s, dir)
             .select(col("user_id"), col("event_type"), col("event_id"),
@@ -557,7 +557,7 @@ private[graft] object QueriesStreaming {
         .select(col("event_id"), col("ts"), col("user_id"),
           col("event_type"), col("value"))
         .as[graft.streaming.EventStreams.Event]
-      withShufflePartitions(s, 8) {
+      withShufflePartitions(s, streamParts(s, dir)) {
         val q = graft.streaming.EventStreams.sessionize(evs, gapMs = 30L * 60 * 1000)
           .toDF()
           .writeStream.outputMode("append")
@@ -579,7 +579,7 @@ private[graft] object QueriesStreaming {
     "streaming_merge_partitioned" -> ((s, dir) => {
       val ckpt = graft.util.Scratch.dir("graft_smergep_ck")
       val statePath = graft.util.Scratch.dir("graft_smergep_state") + "/state"
-      withShufflePartitions(s, 8) {
+      withShufflePartitions(s, streamParts(s, dir)) {
         graft.streaming.EventStreams.mergeSinkPartitioned(
           Tables.wavedEventsStream(s, dir, nWaves = 3)
             .select(col("user_id"), col("event_type"), col("event_id"),
@@ -597,7 +597,7 @@ private[graft] object QueriesStreaming {
     "streaming_merge_waves" -> ((s, dir) => {
       val ckpt = graft.util.Scratch.dir("graft_smergew_ck")
       val statePath = graft.util.Scratch.dir("graft_smergew_state") + "/state"
-      withShufflePartitions(s, 8) {
+      withShufflePartitions(s, streamParts(s, dir)) {
         val q = graft.streaming.EventStreams.mergeSink(
           Tables.wavedEventsStream(s, dir, nWaves = 3)
             .select(col("user_id"), col("event_type"), col("event_id"),
@@ -624,7 +624,7 @@ private[graft] object QueriesStreaming {
     "streaming_tumbling_late" -> ((s, dir) => {
       val ckpt = graft.util.Scratch.dir("graft_stlate_ck")
       val out = graft.util.Scratch.dir("graft_stlate_out") + "/agg"
-      withShufflePartitions(s, 8) {
+      withShufflePartitions(s, streamParts(s, dir)) {
         val q = graft.streaming.EventStreams
           .tumblingAgg(Tables.lateWavedEventsStream(s, dir, nWaves = 4),
             watermark = "96 hours")
@@ -647,7 +647,7 @@ private[graft] object QueriesStreaming {
         .select(col("event_id"), col("ts"), col("user_id"),
           col("event_type"), col("value"))
         .as[graft.streaming.EventStreams.Event]
-      withShufflePartitions(s, 8) {
+      withShufflePartitions(s, streamParts(s, dir)) {
         val q = graft.streaming.EventStreams
           .sessionize(evs, gapMs = 30L * 60 * 1000, watermark = "96 hours")
           .toDF()
@@ -663,7 +663,7 @@ private[graft] object QueriesStreaming {
     "streaming_merge_late" -> ((s, dir) => {
       val ckpt = graft.util.Scratch.dir("graft_smlate_ck")
       val statePath = graft.util.Scratch.dir("graft_smlate_state") + "/state"
-      withShufflePartitions(s, 8) {
+      withShufflePartitions(s, streamParts(s, dir)) {
         val q = graft.streaming.EventStreams.mergeSink(
           Tables.lateWavedEventsStream(s, dir, nWaves = 4)
             .select(col("user_id"), col("event_type"), col("event_id"),
@@ -685,7 +685,7 @@ private[graft] object QueriesStreaming {
     "streaming_heavy_hitters_live" -> ((s, dir) => {
       val ckpt = graft.util.Scratch.dir("graft_shh_ck")
       val statePath = graft.util.Scratch.dir("graft_shh_state") + "/state"
-      withShufflePartitions(s, 8) {
+      withShufflePartitions(s, streamParts(s, dir)) {
         graft.streaming.EventStreams.heavyHittersSink(
           Tables.wavedEventsStream(s, dir, nWaves = 3)
             .select(col("user_id")),
@@ -706,7 +706,7 @@ private[graft] object QueriesStreaming {
     "streaming_join_live" -> ((s, dir) => {
       val ckpt = graft.util.Scratch.dir("graft_sjoin_ck")
       val out = graft.util.Scratch.dir("graft_sjoin_out") + "/t"
-      withShufflePartitions(s, 8) {
+      withShufflePartitions(s, streamParts(s, dir)) {
         val q = graft.streaming.EventStreams
           .clickPurchaseJoin(Tables.eventsStream(s, dir), watermark = "2 hours")
           .writeStream.outputMode("append")
@@ -730,7 +730,7 @@ private[graft] object QueriesStreaming {
     "streaming_join_late" -> ((s, dir) => {
       val ckpt = graft.util.Scratch.dir("graft_sjlate_ck")
       val out = graft.util.Scratch.dir("graft_sjlate_out") + "/t"
-      withShufflePartitions(s, 8) {
+      withShufflePartitions(s, streamParts(s, dir)) {
         val q = graft.streaming.EventStreams
           .clickPurchaseJoin(Tables.lateWavedEventsStream(s, dir, nWaves = 4),
             watermark = "96 hours")
