@@ -70,10 +70,17 @@ private[graft] object QueriesShared {
           p.getFileSystem(s.sparkContext.hadoopConfiguration)
             .getContentSummary(p).getLength
         } catch { case _: Throwable => 0L }
-      val cores = s.sparkContext.defaultParallelism
-      math.max(8, math.min(cores, (bytes / (4L << 20)).toInt))
+      sizeStreamParts(bytes, s.sparkContext.defaultParallelism)
     }
   }
+
+  /** The [[streamParts]] arithmetic, pure for testing:
+    * `max(8, min(cores, bytes / 4 MB))` — the 8-partition floor wins
+    * over the core cap on a narrow session (a <8-core box still gets 8
+    * state stores; the floor is a state-granularity choice, not a
+    * parallelism one). */
+  private[graft] def sizeStreamParts(bytes: Long, cores: Int): Int =
+    math.max(8, math.min(cores, (bytes / (4L << 20)).toInt))
 
   /** Batch sessionization over the events table (gap > 30 min starts a
     * session): lag + running sum of start flags assigns session ids in
