@@ -49,12 +49,16 @@ object Bench {
       .flatMap(_.split("\\s+").headOption).flatMap(_.toDoubleOption)
     val load = firstLine("/proc/loadavg").map(_.split("\\s+").take(3).toSeq)
       .filter(_.forall(_.toDoubleOption.isDefined))
-    // Aggregate cpu line: user nice SYSTEM idle iowait irq softirq ...
+    // Aggregate cpu line: user nice SYSTEM idle iowait irq softirq steal
+    // guest guest_nice. Total sums only the first 8 fields (user..steal):
+    // the kernel already folds guest/guest_nice into user/nice, so
+    // including them double-counts guest ticks on VMs and understates
+    // sys_pct_spot — the exact storm signal this field exists to capture.
     def cpuSysTotal(): Option[(Long, Long)] = firstLine("/proc/stat")
       .filter(_.startsWith("cpu "))
       .map(_.trim.split("\\s+").drop(1).flatMap(_.toLongOption))
       .filter(_.length >= 4)
-      .map(f => (f(2), f.sum))
+      .map(f => (f(2), f.take(8).sum))
     val sysPct =
       try for {
         (s0, t0) <- cpuSysTotal()

@@ -20,6 +20,36 @@ private[graft] object QueriesShared {
   def t(s: SparkSession, dir: String, name: String): DataFrame =
     Tables.table(s, dir, name)
 
+  /** Conditional scan widening for kernel-heavy pipelines (guide §2.5:
+    * one unsplittable input file -> repartition right after the read).
+    * The driver tables are single parquet files with one row group, so
+    * every scan-rooted chain — tokenize, md5 shingles, text-stats
+    * kernels, i.e. the expensive per-row work of the text/dedup tiers —
+    * runs as ONE task regardless of core count (measured: the span tier
+    * 3.7 s -> 1.2 s at sf0.1 once widened; broadcast subtrees re-run the
+    * same serial chain at 1.5-2.7 s per single-task stage). The widening
+    * is layout-derived, not box-tuned: it fires only when the scan plans
+    * fewer than half the session's cores (a 100 TB table plans thousands
+    * of splits, so the extra exchange vanishes exactly where it would
+    * cost — the repartition is the small-SF/unsplittable-file fix, never
+    * a standing stage). Round-robin keeps column pruning intact (no key
+    * column is forced into pruned branches) and `sortBeforeRepartition`
+    * keeps task retries deterministic. Applied ONLY to multi-stage
+    * pipelines that already shuffle; the deliberately shuffle-free
+    * scan-side gates (text_*, sampling) keep their zero-exchange shape.
+    */
+  def widen(s: SparkSession, df: DataFrame): DataFrame = {
+    // SPARK_GRAFT_NO_WIDEN restores the raw scan — the A/B harness for
+    // pricing the widening (and proving result-invariance either way).
+    if (sys.env.contains("SPARK_GRAFT_NO_WIDEN")) return df
+    val cores = s.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions * 2 <= cores) df.repartition(cores) else df
+  }
+
+  /** [[t]] + [[widen]]: the read for kernel-heavy pipeline gates. */
+  def tW(s: SparkSession, dir: String, name: String): DataFrame =
+    widen(s, t(s, dir, name))
+
   /** Shares-analog literal dim over nation names (reference
     * transform.py:193-194 {TSLA:3160, RIVN:920, LCID:1600, default 1000}).
     */
@@ -63,7 +93,16 @@ private[graft] object QueriesShared {
     // re-running the full oracle compare (every streaming gate must
     // hash-match DuckDB at BOTH widths — partition count is a throughput
     // knob precisely because results never depend on it).
-    sys.env.get("SPARK_GRAFT_STREAM_PARTS").map(_.toInt).getOrElse {
+    sys.env.get("SPARK_GRAFT_STREAM_PARTS").map { v =>
+      // Validated here, not deep inside the first streaming gate: a
+      // non-numeric or non-positive override must name the env var
+      // instead of surfacing as a NumberFormatException or an obscure
+      // Spark shuffle-partition error.
+      val n = v.trim.toIntOption.getOrElse(sys.error(
+        s"SPARK_GRAFT_STREAM_PARTS must be a positive integer, got '$v'"))
+      require(n >= 1, s"SPARK_GRAFT_STREAM_PARTS must be >= 1, got $n")
+      n
+    }.getOrElse {
       val bytes =
         try {
           val p = new org.apache.hadoop.fs.Path(s"$dir/$table.parquet")

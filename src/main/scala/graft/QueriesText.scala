@@ -387,14 +387,14 @@ private[graft] object QueriesText {
     // hash-fingerprint path is verified, not assumed.
     "dedup_ngram_spans" -> ((s, dir) =>
       graft.text.SpanDedup.ngramSpanStats(
-        t(s, dir, "documents"), "doc_id", "text", w = 8)),
+        tW(s, dir, "documents"), "doc_id", "text", w = 8)),
 
     // The actionable form: excise every duplicated-window token span
     // and rejoin the remainder — what ExactSubstr dedup actually DOES
     // to a training corpus (keep the novel remainder, not drop the doc).
     "dedup_ngram_spans_clean" -> ((s, dir) =>
       graft.text.SpanDedup.removeDupSpans(
-        t(s, dir, "documents"), "doc_id", "text", w = 8)),
+        tW(s, dir, "documents"), "doc_id", "text", w = 8)),
 
     // Gopher rejection-rule vector (Rae et al. 2021 table A1): the
     // per-doc rule columns plus the composed pass flag — the REJECTION
@@ -509,7 +509,7 @@ private[graft] object QueriesText {
     // 0.5 coverage ceiling) -> exact-dup keeper -> truncation drop ->
     // near-dup keeper, all thresholds the gate constants above.
     "corpus_clean" -> ((s, dir) =>
-      graft.text.CorpusPipeline.clean(t(s, dir, "documents"), "doc_id", "text",
+      graft.text.CorpusPipeline.clean(tW(s, dir, "documents"), "doc_id", "text",
         lang = "en", minQuality = 0.45, jaccardThreshold = 0.5, maxDocFreq = 100L,
         maxSurprisal = LmMaxSurprisal,
         maxBigramSurprisal = LmMaxBigramSurprisal,
@@ -904,7 +904,7 @@ private[graft] object QueriesText {
     // tier; floats re-read only at exact rescore). floor(x*scale + 0.5)
     // is bit-replicable in DuckDB; the gate emits the code digest.
     "corpus_filter_report" -> ((s, dir) => {
-      val docs = t(s, dir, "documents")
+      val docs = tW(s, dir, "documents")
       // Corpus-level truncation flag: the one non-scan-side column — a
       // doc fails when its text is a proper prefix of another doc's
       // text (Dedup.prefixContainedDocs; narrow 12-byte-key join).

@@ -13,7 +13,16 @@ import java.util.Comparator
 object Scratch {
 
   private lazy val root: Path = {
-    val r = Files.createTempDirectory("graft_scratch_")
+    // SPARK_GRAFT_SCRATCH_DIR points scratch at a specific filesystem
+    // (e.g. a RAM-backed tmpfs, or a fast local SSD on a cluster node) —
+    // the per-process root still lives in its own random subdirectory
+    // and is removed on exit. Default: java.io.tmpdir, unchanged.
+    val base = sys.env.get("SPARK_GRAFT_SCRATCH_DIR").map(Path.of(_))
+    base.foreach(Files.createDirectories(_))
+    val r = base match {
+      case Some(b) => Files.createTempDirectory(b, "graft_scratch_")
+      case None    => Files.createTempDirectory("graft_scratch_")
+    }
     Runtime.getRuntime.addShutdownHook(new Thread(() => deleteRecursively(r)))
     r
   }

@@ -44,17 +44,25 @@ object StreamPartsProbe {
         q.awaitTermination()
       }
       val sec = (System.nanoTime() - t0) / 1e9
-      val rows = spark.read.parquet(out).count()
+      // CONTENT invariance, not just cardinality: an order-insensitive
+      // digest (count + sum of per-row xxhash64 over every column) —
+      // two runs with equal counts but different rows cannot pass.
+      val df = spark.read.parquet(out)
+      val digest = df.select(
+          org.apache.spark.sql.functions.count(org.apache.spark.sql.functions.lit(1)),
+          org.apache.spark.sql.functions.sum(org.apache.spark.sql.functions.xxhash64(
+            df.columns.map(col): _*)))
+        .first().toSeq.map(String.valueOf).mkString(":")
       try org.apache.spark.sql.execution.streaming.state.StateStore.stop()
       catch { case _: Throwable => () }
-      (p, sec, rows)
+      (p, sec, digest)
     }
-    val rows = results.map(_._3).distinct
-    require(rows.size == 1,
-      s"partition count changed the RESULT row count: $results")
+    val digests = results.map(_._3).distinct
+    require(digests.size == 1,
+      s"partition count changed the RESULT content: $results")
     println(results.map { case (p, sec, _) =>
       s""""p$p":${"%.3f".format(sec)}"""
-    }.mkString(s"""{"probe":"stream_parts","sf":"$dir","rows":${rows.head},""", ",", "}"))
+    }.mkString(s"""{"probe":"stream_parts","sf":"$dir","digest":"${digests.head}",""", ",", "}"))
     spark.stop()
   }
 }
