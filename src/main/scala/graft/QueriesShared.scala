@@ -217,6 +217,10 @@ private[graft] object QueriesShared {
   }
 
   def clusterLabelsOf(docs: DataFrame): DataFrame = {
+    // Persist, NOT CacheScope.truncate: measured 2.0 -> 3.1 s at sf0.1
+    // with truncation — the CC loop's own localCheckpoints already bound
+    // the plan here, and the eager checkpoint jobs serialize
+    // materialization the persist pipeline overlapped.
     val c = Dedup.exactCollapse(docs, "doc_id", "text", cache = df => df.persist())
     val idx = Dedup.countedShingleIndexCollapsed(c, n = 3, maxDocFreq = 100L).persist()
     val repLabels = Dedup.clusterRepresentatives(

@@ -567,7 +567,7 @@ private[graft] object QueriesText {
       }
       val batch = Dedup.collapsedIndex(docs.where(pmod(col("doc_id"), lit(2)) =!= 0),
         "doc_id", "text", n = 3, maxDocFreq = 100L, hashFn = Dedup.Md5Hash60,
-        cache = df => df.persist())
+        cache = graft.util.CacheScope.truncate)
       Dedup.incrementalNearDupPairsCollapsed(batch,
           Dedup.CollapsedIndex(s.read.parquet(root + "/rep_index"),
             s.read.parquet(root + "/membership")),
@@ -597,7 +597,7 @@ private[graft] object QueriesText {
       }
       val batch = Dedup.collapsedIndex(docs.where(pmod(col("doc_id"), lit(2)) =!= 0),
         "doc_id", "text", n = 3, maxDocFreq = 100L, hashFn = Dedup.Md5Hash60,
-        cache = df => df.persist())
+        cache = graft.util.CacheScope.truncate)
       Dedup.incrementalNearDupPairsCollapsed(batch,
           Dedup.CollapsedIndex(s.read.parquet(root + "/rep_index"),
             s.read.parquet(root + "/membership")),
@@ -653,12 +653,12 @@ private[graft] object QueriesText {
         s.read.parquet(root + "/membership"))
       val batch = Dedup.collapsedIndex(batchDocs, "doc_id", "text",
         n = 3, maxDocFreq = 100L, hashFn = Dedup.Md5Hash60,
-        cache = df => df.persist())
+        cache = graft.util.CacheScope.truncate)
       Dedup.clusterRepresentativesIncrementalCollapsed(
         s.read.parquet(root + "/labels"),
         batch.membership.select(col("doc_id"), col("rep_id")),
         Dedup.incrementalNearDupPairsCollapsed(batch, st, threshold = 0.5),
-        cache = df => df.persist())
+        cache = graft.util.CacheScope.truncate)
     }),
 
     // The incremental dedup run as a LIVE stream: two document waves
@@ -668,13 +668,15 @@ private[graft] object QueriesText {
     // accepted doc with the wave that admitted it.
     "dedup_minhash_lsh" -> ((s, dir) =>
       Dedup.minHashLshPairs(t(s, dir, "documents"), "doc_id", "text",
-        n = 3, threshold = 0.5, maxDocFreq = 100L, hashFn = Dedup.Md5Hash60)),
+        n = 3, threshold = 0.5, maxDocFreq = 100L, hashFn = Dedup.Md5Hash60,
+        cache = graft.util.CacheScope.truncate)),
 
     // Same md5-hash gate trick; 60-bit width (4x15-bit bands) keeps every
     // shift inside positive BIGINT range on both engines.
     "dedup_simhash" -> ((s, dir) =>
       Dedup.simHashPairs(t(s, dir, "documents"), "doc_id", "text", maxHamming = 3,
-          hashFn = Dedup.Md5Hash60, bits = 60)
+          hashFn = Dedup.Md5Hash60, bits = 60,
+          cache = graft.util.CacheScope.truncate)
         .select(col("doc_a"), col("doc_b"), col("hamming").cast(LongType).as("hamming"))),
 
     // ---- similarity search ------------------------------------------------
@@ -698,10 +700,15 @@ private[graft] object QueriesText {
       // sharing the Md5Hash60 index with the exact side changes nothing;
       // both tiers expand through the same membership, so the recall
       // ratio is the document-level ratio the oracle replicates.
+      // Both persisted intermediates go through CacheScope.truncate: the
+      // index feeds FOUR consumers (both tiers' verify sides + the two
+      // expansions) and the membership three — persist alone leaves that
+      // many copies of the collapse+index tree in the terminal plan.
       val c = Dedup.exactCollapse(t(s, dir, "documents"), "doc_id", "text",
-        cache = df => df.persist())
-      val idx = Dedup.countedShingleIndexCollapsed(c, n = 3, maxDocFreq = 100L,
-        hashFn = Dedup.Md5Hash60).persist()
+        cache = graft.util.CacheScope.truncate)
+      val idx = graft.util.CacheScope.truncate(
+        Dedup.countedShingleIndexCollapsed(c, n = 3, maxDocFreq = 100L,
+          hashFn = Dedup.Md5Hash60))
       Recall.pairRecall(
         Dedup.expandExactGroups(Dedup.minHashLshPairsFromIndex(idx, threshold = 0.5),
           c.membership, "jaccard", idx, lit(1.0)),
@@ -722,9 +729,10 @@ private[graft] object QueriesText {
       val c = Dedup.exactCollapse(
         t(s, dir, "documents")
           .where(graft.ops.Sampling.hashBucket(col("doc_id"), Dedup.Md5Hash60) < 5000),
-        "doc_id", "text", cache = df => df.persist())
-      val idx = Dedup.countedShingleIndexCollapsed(c, n = 3, maxDocFreq = 100L,
-        hashFn = Dedup.Md5Hash60).persist()
+        "doc_id", "text", cache = graft.util.CacheScope.truncate)
+      val idx = graft.util.CacheScope.truncate(
+        Dedup.countedShingleIndexCollapsed(c, n = 3, maxDocFreq = 100L,
+          hashFn = Dedup.Md5Hash60))
       Recall.pairRecall(
         Dedup.expandExactGroups(Dedup.minHashLshPairsFromIndex(idx, threshold = 0.5),
           c.membership, "jaccard", idx, lit(1.0)),

@@ -108,7 +108,17 @@ object CorpusPipeline {
       .withColumn("keeper", min(col("doc_id")).over(keeperW))
       .where(col("doc_id") === col("keeper"))
       .select(col("doc_id"), col("text"), col("lang_guess"), col("quality"))
-    val afterExact = cache(afterExact0)
+    // Lineage truncation, not just caching (guide §3.3/§5): afterExact0's
+    // LOGICAL tree contains the whole scored + LM-tier + span-tier
+    // upstream, and it is referenced by the shingle index (feeding both
+    // self-join sides), the truncation tier, and the final anti-join — a
+    // plain persist leaves 4-5 copies of that tree in the terminal
+    // action's plan (the formatted plan measured ~1 MB), so Catalyst
+    // re-analysis/optimization became a real term of the gate's wall.
+    // localCheckpoint materializes the same blocks a persist would AND
+    // cuts the plan to a scan of them. SPARK_GRAFT_NO_PLANCUT restores
+    // the persist-only shape (the A/B harness).
+    val afterExact = graft.util.CacheScope.truncate(afterExact0)
 
     // Near-dup losers: the larger id of each surviving pair. The input is
     // exact-unique by construction (the keeper window above), so this

@@ -41,6 +41,24 @@ object CacheScope {
   /** Persist with no tracking — the one-shot-job default. */
   val untracked: DataFrame => DataFrame = (df: DataFrame) => df.persist()
 
+  /** Persist AND truncate lineage (`localCheckpoint`) — for intermediates
+    * referenced by several downstream branches whose LOGICAL plan would
+    * otherwise carry a copy of the whole upstream tree per reference
+    * (optimization guide §3.3/§5: materialise to truncate the plan; a
+    * plain persist dedups EXECUTION but not per-action Catalyst
+    * re-analysis, measured as ~25% of `corpus_clean`'s wall with its
+    * ~1 MB formatted plan). Blocks are reclaimed by the ContextCleaner
+    * when references expire, and Bench's between-rep cleanup unpersists
+    * them like any tracked persist. `SPARK_GRAFT_NO_PLANCUT` restores
+    * the persist-only shape — the A/B harness for pricing the cut.
+    */
+  val truncate: DataFrame => DataFrame = (df: DataFrame) =>
+    // The system property is the in-JVM escape (plan-shape tests inspect
+    // the composed, un-truncated plan); the env var is the A/B harness.
+    if (sys.env.contains("SPARK_GRAFT_NO_PLANCUT") ||
+        sys.props.contains("spark.graft.noPlanCut")) df.persist()
+    else df.localCheckpoint()
+
   /** No caching at all — for callers managing their own persistence. */
   val none: DataFrame => DataFrame = identity
 }

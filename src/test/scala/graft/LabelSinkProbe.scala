@@ -68,9 +68,13 @@ object LabelSinkProbe {
     val statePath2 = graft.util.Scratch.dir("graft_lblp_p_state") + "/index"
     val labelsPath2 = graft.util.Scratch.dir("graft_lblp_p_lbl") + "/labels"
     val stages = scala.collection.mutable.LinkedHashMap[String, Long]()
+    // SPARK_GRAFT_PROBE_WIDE: widen each wave batch before the fold —
+    // the A/B for parallelizing the single-file batch's scan chain.
+    val wideBatch: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame =
+      if (sys.env.contains("SPARK_GRAFT_PROBE_WIDE")) _.repartition(32) else identity
     val tProbe = ms {
       waves.zipWithIndex.foreach { case (b, w) =>
-        graft.streaming.EventStreams.labelWave(b, "doc_id", "text", w,
+        graft.streaming.EventStreams.labelWave(wideBatch(b), "doc_id", "text", w,
           statePath2, labelsPath2,
           probeStages = Some((s, t) => stages(s) = t))
       }
