@@ -55,7 +55,7 @@ object PlanDump {
       "dedup_suffix_contained" -> "suffix containment = the prefix shape over reverse(text): same single range shuffle, run-collapsing window, narrow-key re-join",
       "text_dup_lines" -> "dup-line repetition signals: one codegen'd graft_line_dup_stats kernel call per row, zero exchanges",
       "text_lm_surprisal" -> "unigram-LM surprisal: tf + term-count shuffles (narrow rows), one-row vocab/total broadcast, per-doc term-ordered fold in a hash aggregate",
-      "corpus_clean" -> "composed cleaning flow incl. the LM tier: surprisal joins on doc_id (vocab/total row broadcast), multiply-read frames persisted once (InMemoryRelation), no cartesian anywhere",
+      "corpus_clean" -> "composed cleaning flow: post-exact frame lineage-truncated (Scan ExistingRDD — the ~1 MB composed plan cost ~25% of the gate in per-action re-analysis), shingle index persisted once (InMemoryRelation), LM tiers execute inside the truncated subplan (vocab row broadcast — pinned on the composed plan in PlanContractSpec), no cartesian anywhere",
       "text_lm_bigram" -> "order-1 LM: per-pair model (counts + context totals + lnP) folded on the vocabulary-sized side, the big (doc, w1, w2) tf crosses ONE join; vocab row broadcast",
       "dedup_ngram_spans" -> "exact-substring spans: 20-byte window fingerprints on every exchange (never window text), multiset scan pruned to the text column, per-doc interval-union fold map-side partial")
     val keep = Seq("Exchange", "Scan", "Join", "Aggregate", "Window", "Expand",
