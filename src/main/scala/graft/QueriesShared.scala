@@ -40,8 +40,10 @@ private[graft] object QueriesShared {
     */
   def widen(s: SparkSession, df: DataFrame): DataFrame = {
     // SPARK_GRAFT_NO_WIDEN restores the raw scan — the A/B harness for
-    // pricing the widening (and proving result-invariance either way).
-    if (sys.env.contains("SPARK_GRAFT_NO_WIDEN")) return df
+    // pricing the widening (and proving result-invariance either way);
+    // the system property is the in-JVM escape for invariance tests.
+    if (sys.env.contains("SPARK_GRAFT_NO_WIDEN") ||
+        sys.props.contains("spark.graft.noWiden")) return df
     val cores = s.sparkContext.defaultParallelism
     if (df.rdd.getNumPartitions * 2 <= cores) df.repartition(cores) else df
   }
