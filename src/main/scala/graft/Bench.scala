@@ -127,6 +127,13 @@ object Bench {
     }
   }
 
+  /** `SPARK_GRAFT_CPUS` as a JSON value: a bare number when numeric
+    * (the normal case), a JSON string otherwise (`local[*]`-style
+    * masters must not make the artifact line unparseable).
+    */
+  private[graft] def cpusJson(cpus: String): String =
+    if (cpus.toIntOption.isDefined) cpus else jsonStr(cpus)
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -308,7 +315,8 @@ object Bench {
         s""""fork_enabled":$forkEnabled,"fork_refine_min_sec":${fmt3(forkSec)},""" +
         s""""warm_target":$warmTarget,"subset":${only.isDefined}}"""
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
+      s"""{"metric":"total","value":$total,"unit":"sec","cpus":${cpusJson(cpus)},""" +
+        s""""queries":$qs,""" +
         s""""failed":$failedJson,"failed_count":${failed.size},""" +
         s""""flaky":$flakyJson,""" +
         s""""methodology":$methodology,"host_state":$hostState,""" +
@@ -345,12 +353,24 @@ object Bench {
     // runs. This line carries the headline fields plus as many of the
     // most expensive queries as fit a conservative budget, and points at
     // the durable full artifact.
-    println(compactLine(total, ok, failed, flakyJson, seedState, sfDir, out))
+    println(compactLine(total, ok, failed, flakyJson, seedState, sfDir, out,
+      cpus = cpus))
   }
 
   /** The trailing compact artifact line: headline fields plus as many of
     * the most expensive queries as fit `budget` characters. Always valid
     * JSON regardless of how many entries fit (including zero).
+    *
+    * The budget is sized to the observed driver tail window: the round-17
+    * driver artifact captured exactly 2000 trailing stdout chars, and the
+    * old 1500 budget left ~40 of 167 gates in the parsed line — gates
+    * that got FASTER fell below the cutoff and were mis-read as
+    * "dropped_from_bench" (round-17 verdict "What's wrong" #2). 1950
+    * (line + trailing newline = 1951 ≤ 2000) carries ~55-60 gates while
+    * keeping the whole line inside the capture window; the full 167-gate
+    * map still lives on the preceding full-artifact line and in
+    * `full_artifact`. `cpus` is carried so driver runs at different core
+    * counts are self-describing (round-17 scaling block, "suspect_cpus").
     *
     * The failed map is budget-bound too — the line exists for a bounded
     * stdout tail, and a failed RUN is exactly when it must parse: each
@@ -362,10 +382,10 @@ object Bench {
   private[graft] def compactLine(total: Double, ok: Seq[(String, Double)],
                                  failed: Seq[(String, String)], flakyJson: String,
                                  seedState: Boolean, sfDir: String, out: String,
-                                 budget: Int = 1500): String = {
+                                 budget: Int = 1950, cpus: String = "32"): String = {
     val tailFixed = "}}"
     def head(failedJson: String): String =
-      s"""{"metric":"total","value":${fmt3(total)},"unit":"sec",""" +
+      s"""{"metric":"total","value":${fmt3(total)},"unit":"sec","cpus":${cpusJson(cpus)},""" +
         s""""queries_total":${ok.size},"failed_count":${failed.size},""" +
         s""""failed":$failedJson,"flaky":$flakyJson,"seeded_state":$seedState,""" +
         s""""sf":${jsonStr(sfDir)},"full_artifact":${jsonStr(out)},""" +

@@ -45,7 +45,24 @@ private[graft] object QueriesShared {
     if (sys.env.contains("SPARK_GRAFT_NO_WIDEN") ||
         sys.props.contains("spark.graft.noWiden")) return df
     val cores = s.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions * 2 <= cores) df.repartition(cores) else df
+    // Planned-split count as the parallelism proxy (one planner pass over
+    // scan metadata, no jobs). Known blind spot (round-17 advice): a
+    // single-row-group file LARGER than maxSplitBytes plans many
+    // byte-range splits — the condition reads false — yet only the split
+    // containing the row group yields rows, so the serial-scan pathology
+    // persists exactly at the mid-size single-row-group case. The skip is
+    // logged with the evidence so probes can see the miss; at 100 TB
+    // (many files/row groups) the condition is false for the right
+    // reason and the log line is the only cost.
+    val parts = df.rdd.getNumPartitions
+    if (parts * 2 <= cores) df.repartition(cores)
+    else {
+      if (parts < cores)
+        System.err.println(
+          s"[widen] skipped: scan plans $parts partitions on $cores cores " +
+            "(check row-group structure if this gate is scan-bound)")
+      df
+    }
   }
 
   /** [[t]] + [[widen]]: the read for kernel-heavy pipeline gates. */

@@ -57,6 +57,14 @@ object EventStreams {
           // representative grain (a duplicate-heavy stream would
           // otherwise pay quadratic candidates per wave), and the state
           // stores the rep index plus the doc->rep membership.
+          //
+          // scope.persist, NOT scope.truncate: the round-18 paired A/B
+          // (streaming_dedup_incremental_live 6.59 vs 6.53 s mean-of-2
+          // medians, _restart 9.22 vs 8.83) measured the eager per-wave
+          // checkpoints flat-to-worse here — this sink's downstream per
+          // wave is short (pairs -> accept -> two writes), so the persist
+          // pipeline overlaps what eager cuts serialize. labelWave below
+          // is the fold where truncation measured a real win.
           val bi = graft.text.Dedup.collapsedIndex(
             batch, idCol, textCol, n = 3, maxDocFreq, hashFn, cache = scope.persist)
           val wave = batchId.toInt
@@ -153,12 +161,31 @@ object EventStreams {
           val r = f
           force(r)
           report(s"w$wave.$name", (System.nanoTime() - t0) / 1000000L)
+          // Probe-mode plan evidence: when spark.graft.probePlanDir names
+          // a directory, each DataFrame stage's formatted plan is dumped
+          // there — how the optimization rounds commit before/after plans
+          // for the per-wave fold (the gate's terminal read-back plan
+          // cannot show the foreachBatch internals).
+          sys.props.get("spark.graft.probePlanDir").foreach { d =>
+            r match {
+              case df: DataFrame =>
+                java.nio.file.Files.writeString(
+                  java.nio.file.Path.of(d, s"w$wave.$name.txt"),
+                  df.queryExecution.explainString(
+                    org.apache.spark.sql.execution.FormattedMode))
+              case _ => ()
+            }
+          }
           r
       }
     try {
+      // scope.truncate (round-18): same rationale as corpusDedupSink —
+      // the wave's index/pairs/prior/fold intermediates are each read by
+      // several downstream branches, and the persist-only shape re-paid
+      // Catalyst analysis of the whole upstream per consumer.
       val bi = stage("index")(graft.text.Dedup.collapsedIndex(
         batch, idCol, textCol, n = 3, maxDocFreq, hashFn,
-        cache = scope.persist))(b => { b.repIdx.count(); b.membership.count() })
+        cache = scope.truncate))(b => { b.repIdx.count(); b.membership.count() })
       def readState(path: String, schema: StructType): DataFrame =
         Merge.readStateOrEmpty(spark, path, schema.add("wave", IntegerType))
           .where(col("wave") < wave).drop("wave")
@@ -170,7 +197,7 @@ object EventStreams {
       val state = graft.text.Dedup.CollapsedIndex(
         readState(repIdxPath, bi.repIdx.schema),
         readState(membershipPath, bi.membership.schema))
-      val pairs = stage("pairs")(scope.persist(
+      val pairs = stage("pairs")(scope.truncate(
         graft.text.Dedup.incrementalNearDupPairsCollapsed(bi, state, threshold)))(
         _.count())
       val labelSchema = new StructType()
@@ -178,11 +205,11 @@ object EventStreams {
       val deltas = Merge.readStateOrEmpty(spark, labelsPath,
           labelSchema.add("wave", IntegerType))
         .where(col("wave") < wave)
-      val prior = stage("prior")(scope.persist(graft.ops.Windows.topKPerGroup(
+      val prior = stage("prior")(scope.truncate(graft.ops.Windows.topKPerGroup(
         deltas, Seq("doc_id"), Seq(col("wave").desc), k = 1).drop("wave")))(_.count())
       // Batch side pre-contracted through its exact-dup membership:
       // the fold iterates over unique batch texts, not batch docs.
-      val updated = stage("fold")(scope.persist(
+      val updated = stage("fold")(scope.truncate(
         graft.text.Dedup.clusterRepresentativesIncrementalCollapsed(
           prior, bi.membership.select(col("doc_id"), col("rep_id")), pairs,
           cache = scope.persist)))(_.count())

@@ -46,13 +46,14 @@ object CorpusPipeline {
     * scored over its first N tokens, the length tier a web corpus needs
     * against pathological multi-GB documents.
     *
-    * `cache` governs the post-exact-dedup frame: it is read by three
-    * downstream branches (the two sides of the shingle self-join and the
-    * final anti-join) and carries the regex-heavy scoring expressions —
-    * without caching the whole scoring chain re-executes per branch
-    * (measured 3x the runtime). Long-lived sessions pass a
-    * `CacheScope.persist` and close the scope after the terminal action;
-    * `CacheScope.none` disables caching for callers managing their own.
+    * `cache` governs the LM/span tf intermediates and the shingle index;
+    * the post-exact-dedup frame goes through `exactCache` (default
+    * [[graft.util.CacheScope.truncate]] — lineage truncation, see the
+    * comment at the call site), so callers managing their own
+    * persistence (`cache = CacheScope.none`) can also opt the post-exact
+    * frame out (or into a tracked scope) explicitly. Long-lived sessions
+    * pass a `CacheScope.persist`/`scope.truncate` and close the scope
+    * after the terminal action.
     */
   def clean(docs: DataFrame, idCol: String, textCol: String,
             lang: String = "en", minQuality: Double = 0.3,
@@ -61,7 +62,8 @@ object CorpusPipeline {
             maxBigramSurprisal: Double = Double.PositiveInfinity,
             spanDedupW: Int = 0, maxDupSpanFrac: Double = 0.5,
             lmMaxDocTokens: Int = 5000,
-            cache: DataFrame => DataFrame = graft.util.CacheScope.untracked): DataFrame = {
+            cache: DataFrame => DataFrame = graft.util.CacheScope.untracked,
+            exactCache: DataFrame => DataFrame = graft.util.CacheScope.truncate): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val scored0 = docs.select(col(idCol).as("doc_id"), col(textCol).as("text"),
       TextAnalysis.langId(col(textCol)).as("lang_guess"),
@@ -70,13 +72,32 @@ object CorpusPipeline {
     // threshold must not cost its tf shuffle. The order-1 tier
     // (maxBigramSurprisal) catches locally-incoherent shuffles of
     // corpus-common words the order-0 tier scores as fluent.
-    val lmTiers: Seq[(Double, DataFrame)] = Seq(
-      maxSurprisal ->
-        (if (maxSurprisal.isPosInfinity) null
-         else LanguageModel.unigramSurprisal(docs, idCol, textCol, cache, lmMaxDocTokens)),
-      maxBigramSurprisal ->
-        (if (maxBigramSurprisal.isPosInfinity) null
-         else LanguageModel.bigramSurprisal(docs, idCol, textCol, cache, lmMaxDocTokens)))
+    //
+    // When BOTH tiers are armed they share ONE tokenization pass
+    // (LanguageModel.sharedSurprisal): the independent tiers run the
+    // tokenizer kernel three times over the raw corpus (unigram tf,
+    // bigram pairs, vocabulary), and post-widening that kernel time is
+    // the tier sum's largest term. Scores are bit-identical (same
+    // scoring folds, same exact vocabulary count), which
+    // OptimizationInvarianceSpec pins via the escape hatch
+    // (SPARK_GRAFT_NO_LMSHARE env / spark.graft.noLmShare sysprop — also
+    // the A/B harness).
+    val shareLm = !maxSurprisal.isPosInfinity &&
+      !maxBigramSurprisal.isPosInfinity &&
+      !sys.env.contains("SPARK_GRAFT_NO_LMSHARE") &&
+      !sys.props.contains("spark.graft.noLmShare")
+    val lmTiers: Seq[(Double, DataFrame)] =
+      if (shareLm) {
+        val (uni, bi) = LanguageModel.sharedSurprisal(
+          docs, idCol, textCol, cache, lmMaxDocTokens)
+        Seq(maxSurprisal -> uni, maxBigramSurprisal -> bi)
+      } else Seq(
+        maxSurprisal ->
+          (if (maxSurprisal.isPosInfinity) null
+           else LanguageModel.unigramSurprisal(docs, idCol, textCol, cache, lmMaxDocTokens)),
+        maxBigramSurprisal ->
+          (if (maxBigramSurprisal.isPosInfinity) null
+           else LanguageModel.bigramSurprisal(docs, idCol, textCol, cache, lmMaxDocTokens)))
     val keptLm = lmTiers.zipWithIndex.foldLeft(
       scored0.where(col("lang_guess") === lang && col("quality") >= minQuality)) {
       case (acc, ((threshold, scores), i)) =>
@@ -117,8 +138,12 @@ object CorpusPipeline {
     // re-analysis/optimization became a real term of the gate's wall.
     // localCheckpoint materializes the same blocks a persist would AND
     // cuts the plan to a scan of them. SPARK_GRAFT_NO_PLANCUT restores
-    // the persist-only shape (the A/B harness).
-    val afterExact = graft.util.CacheScope.truncate(afterExact0)
+    // the persist-only shape (the A/B harness). Routed through the
+    // `exactCache` parameter (default = truncate) so callers managing
+    // their own persistence are not force-checkpointed — note that with
+    // the default, BUILDING this DataFrame eagerly executes the whole
+    // scored+LM+span upstream (localCheckpoint is eager).
+    val afterExact = exactCache(afterExact0)
 
     // Near-dup losers: the larger id of each surviving pair. The input is
     // exact-unique by construction (the keeper window above), so this

@@ -71,13 +71,47 @@ object LanguageModel {
     * fold, history never re-tokenized.
     */
   def tfSlice(docs: DataFrame, idCol: String, textCol: String,
-              maxDocTokens: Int = 0): DataFrame = {
-    val allToks = TextAnalysis.tokens(col(textCol))
-    val capped =
-      if (maxDocTokens > 0) slice(allToks, 1, maxDocTokens) else allToks
-    docs.select(col(idCol).as("doc_id"), capped.as("toks"))
-      .select(col("doc_id"), explode(col("toks")).as("term"))
+              maxDocTokens: Int = 0): DataFrame =
+    tfFromToks(cappedToks(docs, idCol, textCol, maxDocTokens))
+
+  /** The unigram tf aggregation over an already-tokenized
+    * (doc_id, toks) frame — split out so [[sharedSurprisal]] can feed
+    * both LM tiers from ONE materialized tokenization. */
+  private[text] def tfFromToks(toks: DataFrame): DataFrame =
+    toks.select(col("doc_id"), explode(col("toks")).as("term"))
       .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+
+  /** Both LM tiers from ONE tokenization pass (optimization guide §1.2
+    * step 1 / §2.4: don't recompute what two consumers share). The
+    * independent [[unigramSurprisal]] + [[bigramSurprisal]] pair runs
+    * the tokenizer kernel THREE times over the corpus (unigram tf,
+    * bigram pairs, and the bigram tier's vocabulary pass); here the
+    * capped (doc_id, toks) frame is materialized once via `cache` and
+    * every downstream — unigram tf, bigram tf, and the vocabulary,
+    * which is derived from the unigram tf's distinct terms (exactly the
+    * corpus unigram vocabulary, the same integer) — reads the
+    * materialized tokens. Scores are bit-identical to the independent
+    * tiers: [[surprisalFromTf]] / [[bigramSurprisalFromTf]] are shared
+    * verbatim and the smoothing vocabulary is the same exact count.
+    */
+  def sharedSurprisal(docs: DataFrame, idCol: String, textCol: String,
+                      cache: DataFrame => DataFrame =
+                        graft.util.CacheScope.untracked,
+                      maxDocTokens: Int = 0): (DataFrame, DataFrame) = {
+    val toks = cappedToks(docs, idCol, textCol, maxDocTokens)
+    val docIds = docs.select(col(idCol).as("doc_id"))
+    val uniTf = cache(tfFromToks(toks))
+    val uni = surprisalFromTf(uniTf, docIds)
+    // Deliberately NOT materializing `toks` itself: the token projection
+    // of a 100 TB corpus is corpus-sized, and TokenShareProbe (round 16)
+    // measured its cache build+read at or above the recompute cost — so
+    // the two tf builds each re-tokenize (2 passes), while the third
+    // pass (the vocabulary) is eliminated for free by counting distinct
+    // terms of the already-cached unigram tf (the same exact integer).
+    val vocab = uniTf.agg(count_distinct(col("term")).as("v"))
+    val bi = bigramSurprisalFromTf(cache(bigramTfFromToks(toks)), vocab,
+      docIds, cache)
+    (uni, bi)
   }
 
   /** Scores every doc_id in `docIds` against a (possibly folded) tf
