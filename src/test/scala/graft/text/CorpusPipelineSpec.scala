@@ -45,6 +45,32 @@ class CorpusPipelineSpec extends SparkSpec {
     assert(math.abs(got(1L)._2 - (-math.log(7.0 / 12.0))) < 5e-7)
   }
 
+  test("sharedSurprisal == independent unigram + bigram tiers, bit-exact") {
+    // Round-18 optimization: one tokenization feeding both LM tiers with
+    // the smoothing vocabulary derived from the unigram tf must score
+    // EXACTLY like the two independent tiers — including the capped
+    // form and docs with 0/1 tokens (no bigram evidence).
+    val docs = Seq(
+      (1L, "the cat sat on the mat"),
+      (2L, "zyx"),                       // 1 token: no bigrams
+      (3L, "  "),                        // blank: neither tier has evidence
+      (4L, "the cat the cat the cat"),
+      (5L, "on on on zyx mat qwv")
+    ).toDF("doc_id", "text")
+    for (cap <- Seq(0, 3)) {
+      val (uniS, biS) = graft.text.LanguageModel.sharedSurprisal(
+        docs, "doc_id", "text", maxDocTokens = cap)
+      val uniI = graft.text.LanguageModel.unigramSurprisal(
+        docs, "doc_id", "text", maxDocTokens = cap)
+      val biI = graft.text.LanguageModel.bigramSurprisal(
+        docs, "doc_id", "text", maxDocTokens = cap)
+      def rows(df: org.apache.spark.sql.DataFrame) =
+        df.collect().map(_.toString).sorted.toSeq
+      assert(rows(uniS) === rows(uniI), s"unigram tier diverged (cap=$cap)")
+      assert(rows(biS) === rows(biI), s"bigram tier diverged (cap=$cap)")
+    }
+  }
+
   test("dupLineStatsFromTokens: fused kernel == composed chunk-then-stats, incl null tokens") {
     val docs = Seq(
       (1L, Seq("a", "b", "a", "b", "c")),
